@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Benchmark the headline registry queries.
+
+Runs each query at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Timing is end-to-end per query: plan + execute + a count-style action
+(``foreach`` noop would skip result materialization; we use
+``df.write.format("noop")`` which exercises the full plan without
+collecting to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "revenue_by_region",
+    "orders_status_summary",
+    "topk_per_group_orders",
+    "running_total_customer",
+    "rollup_status_priority",
+    "hourly_event_windows",
+    "json_extract_events",
+    "exact_dedup_docs",
+    "doc_quality_scores",
+    "minhash_signatures_docs",
+    "knn_cosine_topk",
+    "centroid_by_label",
+]
+
+
+def main() -> None:
+    from nursinghome_data_pipeline_spark import registry
+    from nursinghome_data_pipeline_spark.session import build_session
+
+    spark = build_session("bench")
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once with the cheapest query
+    qs["pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(timings.values()), 4)
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

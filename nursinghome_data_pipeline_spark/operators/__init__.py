@@ -1,0 +1,8 @@
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    exact_dedup_fingerprints,
+    minhash_lsh_candidate_pairs,
+    minhash_signature_col,
+    ngram_jaccard_col,
+)
+from .similarity import knn_brute_force, random_projection_buckets  # noqa: F401

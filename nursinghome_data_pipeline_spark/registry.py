@@ -1,0 +1,774 @@
+"""Named query registry: the driver contract surface.
+
+Each :class:`QuerySpec` pairs an idiomatic-Spark DataFrame plan with the
+ANSI-SQL oracle DuckDB runs on the same parquet tables (driver compares
+row-count + schema + order-insensitive value-hash at sf=0.01).
+
+Cross-engine determinism rules used throughout (see
+``functions/exprs.py``): double aggregates use power-of-two quantized
+summation so neither summation order nor engine rounding can change the
+result; per-row arithmetic stays in double with identical operation
+order on both sides; every computed column is aliased identically in
+Spark and SQL. Oracle SQL fragments are *generated* from the same
+helpers as the Spark expressions so the two sides cannot drift.
+
+Reference-parity citations point into ``/root/reference`` (the
+pandas/SQLite pipeline whose operator inventory — SURVEY.md §2 — these
+queries cover on the shared star-schema test tables).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.exprs import oracle_q_avg, oracle_q_sum, q_avg, q_sum, q_sum_term
+from .functions.text import (
+    normalize_quarter_col,
+    oracle_quality_score,
+    oracle_token_count,
+    quality_score_col,
+    token_count_col,
+)
+from .operators.dedup import exact_dedup_fingerprints, minhash_signature_col
+from .operators.similarity import knn_brute_force
+from .sources.tpch import load_tables
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    doc: str
+
+
+_SPECS: list[QuerySpec] = []
+
+
+def _register(name: str, oracle: str | None, doc: str):
+    def wrap(fn):
+        _SPECS.append(QuerySpec(name, fn, oracle, doc))
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    dfs = load_tables(spark, sf_dir, names)
+    return [dfs[n] for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Reference surface: aggregation family (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_q_sum('l_quantity')} AS sum_qty,
+           {oracle_q_sum('l_extendedprice')} AS sum_base_price,
+           {oracle_q_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {oracle_q_avg('l_quantity')} AS avg_qty,
+           {oracle_q_avg('l_extendedprice')} AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "Flagship TPC-H-Q1-style grouped aggregate: the reference's "
+    "group-by-summary pattern (A1/A3, build.py:99-106 and "
+    "calculate_metrics.py:123-131) at fact-table scale. Filter pushes "
+    "to the parquet scan; partial aggregation runs map-side, so the "
+    "shuffle carries only |groups| x partitions rows at any data scale.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(
+            F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            q_sum("l_quantity", "sum_qty"),
+            q_sum("l_extendedprice", "sum_base_price"),
+            q_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            q_avg("l_quantity", "avg_qty"),
+            q_avg("l_extendedprice", "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "orders_status_summary",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {oracle_q_sum('o_totalprice')} AS total_price,
+           SUM(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large,
+           {oracle_q_avg('o_totalprice')} AS avg_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "Shape-parity with v_penalties_by_state (build.py:98-107): COUNT(*), "
+    "SUM, conditional count via no-ELSE CASE (NULL when no match — "
+    "identical in Spark and DuckDB), and mean.",
+)
+def orders_status_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        q_sum("o_totalprice", "total_price"),
+        F.sum(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_large"),
+        q_avg("o_totalprice", "avg_price"),
+    )
+
+
+@_register(
+    "dup_check_customer_orders",
+    """
+    SELECT o_custkey, COUNT(*) AS n_rows
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+    """,
+    "Duplicate-natural-key DQ audit (A2, build.py:39-53): GROUP BY key "
+    "HAVING COUNT(*) > 1. Map-side partial counts keep the shuffle tiny.",
+)
+def dup_check_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") > 1)
+    )
+
+
+@_register(
+    "completeness_profile_events",
+    """
+    WITH t AS (
+      SELECT COUNT(*) AS rc,
+             COUNT(event_id) AS c_event_id, COUNT(ts) AS c_ts,
+             COUNT(user_id) AS c_user_id, COUNT(event_type) AS c_event_type,
+             COUNT(value) AS c_value, COUNT(props) AS c_props
+      FROM events
+    )
+    SELECT col AS column_name, rc AS row_count, nn AS non_null_count,
+           CAST(nn AS DOUBLE) * 100 / rc AS pct_not_null
+    FROM t, (VALUES ('event_id'), ('ts'), ('user_id'), ('event_type'),
+                    ('value'), ('props')) v(col),
+         LATERAL (SELECT CASE col WHEN 'event_id' THEN c_event_id
+                                  WHEN 'ts' THEN c_ts
+                                  WHEN 'user_id' THEN c_user_id
+                                  WHEN 'event_type' THEN c_event_type
+                                  WHEN 'value' THEN c_value
+                                  ELSE c_props END AS nn) n
+    """,
+    "Per-column completeness profiling (A6, load_nursing_home_data.py:20-36) "
+    "as ONE aggregation pass — count(col) counts non-nulls — reshaped long "
+    "with stack(). One scan regardless of column count; at 100 TB this is "
+    "the only sane profiling shape (no per-column scans).",
+)
+def completeness_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    cols = events.columns
+    agg = events.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        *[F.count(F.col(c)).alias(f"nn_{c}") for c in cols],
+    )
+    stack_args = ", ".join(f"'{c}', nn_{c}" for c in cols)
+    return agg.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column_name, non_null_count)",
+        "row_count",
+    ).select(
+        "column_name",
+        "row_count",
+        "non_null_count",
+        (F.col("non_null_count").cast("double") * 100 / F.col("row_count")).alias(
+            "pct_not_null"
+        ),
+    )
+
+
+@_register(
+    "event_type_stats",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {oracle_q_sum('value')} AS sum_value,
+           {oracle_q_avg('value')} AS avg_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    "Group-mean + distinct-count (A4/A8, metrics_dashboard.py:28-30 and "
+    ":20-23) over the events table.",
+)
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        q_sum("value", "sum_value"),
+        q_avg("value", "avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_PIVOT_TERM = "CAST(floor(o_totalprice * 1048576.0) AS DECIMAL(38,0))"
+
+
+@_register(
+    "monthly_status_pivot",
+    f"""
+    SELECT CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN {_PIVOT_TERM} END) AS DOUBLE) / 1048576.0 AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN {_PIVOT_TERM} END) AS DOUBLE) / 1048576.0 AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN {_PIVOT_TERM} END) AS DOUBLE) / 1048576.0 AS P
+    FROM orders GROUP BY month(o_orderdate)
+    """,
+    "Pivot aggregation (A5, metrics_dashboard.py:34-39). Explicit pivot "
+    "value list ['F','O','P'] avoids Spark's extra distinct-values job — "
+    "at 100 TB the values pass would be a full extra scan.",
+)
+def monthly_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.month("o_orderdate").alias("order_month"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(q_sum_term("o_totalprice")).cast("double") / F.lit(1048576.0))
+    )
+
+
+@_register(
+    "rollup_status_priority",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           {oracle_q_sum('o_totalprice')} AS total_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "Hierarchical subtotals via ROLLUP — absent from the reference "
+    "(SURVEY §2.10) but native in Spark; one shuffle produces all "
+    "grouping levels.",
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        q_sum("o_totalprice", "total_price"),
+    )
+
+
+@_register(
+    "distinct_parts_per_flag",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Distinct aggregate (SURVEY §2.10 gap). Spark expands this to a "
+    "two-stage partial-distinct plan automatically.",
+)
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / scalar expressions (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "filter_in_projection",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           nullif(l_discount, 0.0) AS disc_or_null,
+           coalesce(nullif(l_tax, 0.0), -1.0) AS tax_or_default
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R') AND l_quantity > 45
+    """,
+    "Equality/IN filter + projection (P16, metrics_dashboard.py:25) with "
+    "COALESCE default (P6, build.py:92) and zero→NULL via NULLIF (P12, "
+    "calculate_metrics.py:132-140). Both predicates push down to parquet.",
+)
+def filter_in_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.where(
+        F.col("l_returnflag").isin("A", "R") & (F.col("l_quantity") > 45)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_or_null"),
+        F.coalesce(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "tax_or_default"
+        ),
+    )
+
+
+@_register(
+    "quarter_normalize",
+    r"""
+    SELECT o_orderkey, raw_quarter,
+           CASE WHEN regexp_extract(raw_quarter, '(20\d{2}).*?(\d)', 1) = ''
+                THEN NULL
+                ELSE regexp_extract(raw_quarter, '(20\d{2}).*?(\d)', 1)
+                     || '-Q' ||
+                     regexp_extract(raw_quarter, '(20\d{2}).*?(\d)', 2)
+           END AS norm_quarter
+    FROM (
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INTEGER)::VARCHAR || ' Q' ||
+             CAST(quarter(o_orderdate) AS INTEGER)::VARCHAR AS raw_quarter
+      FROM orders
+    )
+    """,
+    "The reference's only scalar UDF — normalize_quarter "
+    "(calculate_metrics.py:28-36, row-wise .apply) — as a pure native "
+    "regexp_extract expression (P7/F1): zero Python in the hot path. "
+    "Orderdate years 1995-2001 naturally exercise both the match (20xx) "
+    "and the coerce-to-NULL (19xx) paths.",
+)
+def quarter_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    raw = F.concat(
+        F.year("o_orderdate").cast("int").cast("string"),
+        F.lit(" Q"),
+        F.quarter("o_orderdate").cast("int").cast("string"),
+    )
+    return orders.select(
+        "o_orderkey",
+        raw.alias("raw_quarter"),
+        normalize_quarter_col(raw).alias("norm_quarter"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins & set ops (SURVEY §2.4, §2.7, §2.10)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "revenue_by_region",
+    f"""
+    SELECT r_name,
+           {oracle_q_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY r_name
+    """,
+    "N-way chained inner equi-join (J1, calculate_metrics.py:56-68) as a "
+    "star join. Tiny dims (region/nation) get explicit broadcast hints; "
+    "customer is left to AQE, which broadcasts it while it fits and "
+    "falls back to shuffle join at scale. Only the orders⋈lineitem edge "
+    "shuffles on a 1000-executor cluster.",
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, customer, orders, lineitem = _t(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem"
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            q_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "customers_with_orders_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "Left-semi join (EXISTS) — §2.10 gap, native in Spark.",
+)
+def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@_register(
+    "customers_without_orders_anti",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "Left-anti join (NOT EXISTS) — §2.10 gap, native in Spark.",
+)
+def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@_register(
+    "union_mktsegments",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+    "Union-all of conformed frames (U1, build.py:65-78 pd.concat) via "
+    "unionByName — column alignment by name, same as concat.",
+)
+def union_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    proj = ["c_custkey", "c_name", "c_mktsegment"]
+    a = customer.where(F.col("c_mktsegment") == "BUILDING").select(*proj)
+    b = customer.where(F.col("c_mktsegment") == "MACHINERY").select(*proj)
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# Windows / sorts / top-k (SURVEY §2.6, §2.8, §2.10)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "topk_per_group_orders",
+    """
+    SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    "Top-k per group via ranking window — §2.10 gap. o_orderkey tiebreak "
+    "makes the result set deterministic across engines.",
+)
+def topk_per_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@_register(
+    "running_total_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(floor(o_totalprice * 1048576.0) AS DECIMAL(38,0)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 1048576.0 AS running_spend
+    FROM orders
+    """,
+    "Running aggregate window (§2.10 gap). Explicit ROWS frame + unique "
+    "(o_orderdate, o_orderkey) ordering ⇒ deterministic prefix sums; "
+    "quantized accumulation keeps them bit-stable.",
+)
+def running_total_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(q_sum_term("o_totalprice")).over(w).cast("double")
+            / F.lit(1048576.0)
+        ).alias("running_spend"),
+    )
+
+
+@_register(
+    "top_customers",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+    """,
+    "Global top-k (ORDER BY + LIMIT). Spark plans TakeOrderedAndProject: "
+    "per-partition heaps then a driver merge — no full sort at scale.",
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    return (
+        customer.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "distinct_order_priorities",
+    "SELECT DISTINCT o_orderpriority FROM orders",
+    "Distinct filter-domain values (A8, metrics_dashboard.py:20-23).",
+)
+def distinct_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.select("o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Time & JSON (events table)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "hourly_event_windows",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           {oracle_q_sum('value')} AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "Tumbling event-time window as a batch groupBy(window(ts)) — the "
+    "batch twin of the streaming ingest aggregate (streaming/). Epoch- "
+    "aligned 1h windows ≡ date_trunc('hour').",
+)
+def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), q_sum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "json_extract_events",
+    f"""
+    SELECT k_value, COUNT(*) AS n_events,
+           {oracle_q_sum('value')} AS sum_value
+    FROM (SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+                 value
+          FROM events)
+    GROUP BY k_value
+    """,
+    "JSON field extraction (the reference only *emits* JSON, build.py:53; "
+    "querying it is a §2.10 gap). get_json_object + try_cast is "
+    "ANSI-safe; aggregation keeps the result small at any scale.",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").try_cast("bigint").alias("k_value"),
+            "value",
+        )
+        .groupBy("k_value")
+        .agg(F.count(F.lit(1)).alias("n_events"), q_sum("value", "sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: documents (dedup / text analysis)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "exact_dedup_docs",
+    """
+    SELECT md5(text) AS fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    "Exact deduplication: content-hash groupBy keeping the lowest doc_id "
+    "as canonical. Generalizes the dup-*detect* audit (A2) to dup-"
+    "*resolve*; hash-partitioned, no skew (md5 keys are uniform).",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    return exact_dedup_fingerprints(documents, text_col="text", id_col="doc_id")
+
+
+@_register(
+    "token_count_docs",
+    f"""
+    SELECT doc_id,
+           {oracle_token_count('text')} AS n_tokens,
+           length(text) AS n_chars_calc
+    FROM documents
+    """,
+    "Whitespace token counting over the documents table — pure split/"
+    "size expressions, whole-stage-codegen'd.",
+)
+def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        token_count_col("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+@_register(
+    "doc_quality_scores",
+    f"""
+    SELECT doc_id, {oracle_quality_score('text')} AS quality_score
+    FROM documents
+    """,
+    "Heuristic document quality scoring (length / alpha-ratio / token-"
+    "length components) — all native expressions, no UDF.",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id", quality_score_col("text").alias("quality_score")
+    )
+
+
+@_register(
+    "lang_profile_docs",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           {oracle_q_avg('n_chars')} AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    "Corpus profile by language: doc counts, mean length, source "
+    "diversity (A4/A6-style profiling at corpus scale).",
+)
+def lang_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        q_avg("n_chars", "avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@_register(
+    "minhash_signatures_docs",
+    None,  # xxhash64 is Spark-specific — rows-only check
+    "MinHash signature computation (near-dup dedup stage 1): shingle the "
+    "text, hash each shingle per permutation, take the min. Pure "
+    "higher-order-function expressions (transform/aggregate) — no UDF, "
+    "no shuffle; signatures feed the LSH band join in operators/dedup.",
+)
+def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        minhash_signature_col("text", n_hashes=16).alias("signature"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: embeddings (similarity search)
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+
+@_register(
+    "knn_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             {_DOT.format(a="e.embedding", b="q.qe")} /
+             (sqrt({_DOT.format(a="e.embedding", b="e.embedding")}) *
+              sqrt({_DOT.format(a="q.qe", b="q.qe")})) AS cosine_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, cosine_sim FROM scored
+    ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """,
+    "Brute-force cosine top-k (the exact ANN baseline): broadcast the "
+    "query vector, score with sequential-order zip_with/aggregate "
+    "(bit-identical to the oracle's list_zip/list_sum — verified), "
+    "TakeOrdered top-k. At 100 TB this is one scan + per-partition "
+    "heaps; the scale path is the LSH variant in operators/similarity.",
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    query = embeddings.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    return knn_brute_force(
+        embeddings.where(F.col("vec_id") != 0),
+        query,
+        k=10,
+        id_col="vec_id",
+        vec_col="embedding",
+        extra_cols=("label",),
+    )
+
+
+_CENTROID_Q = 1 << 30  # fine quantization for unit-scale embedding values
+
+
+@_register(
+    "centroid_by_label",
+    f"""
+    SELECT label, dim,
+           CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * {float(_CENTROID_Q)!r}) AS DECIMAL(38,0))) AS DOUBLE)
+             / {float(_CENTROID_Q)!r} / COUNT(v) AS avg_val
+    FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                 unnest(embedding) AS v
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+    "Per-label embedding centroids: posexplode to (label, dim, value), "
+    "quantized exact mean per cell. The explode shuffles |rows|x|dims| "
+    "narrow rows — partial aggregation collapses them map-side first.",
+)
+def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return (
+        embeddings.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                q_sum(F.col("v").cast("double"), bits=30) / F.count("v")
+            ).alias("avg_val")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# public registry API
+# ---------------------------------------------------------------------------
+
+
+def specs() -> list[QuerySpec]:
+    return list(_SPECS)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {s.name: s.fn for s in _SPECS}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {s.name: s.oracle for s in _SPECS if s.oracle is not None}

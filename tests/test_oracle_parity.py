@@ -1,0 +1,35 @@
+"""Every registry query must match its DuckDB oracle exactly — this is
+a local replica of the driver's correctness gate (CORRECTNESS_r{N}.json)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nursinghome_data_pipeline_spark import registry
+
+from .oracle_harness import compare, duckdb_connection
+
+SPECS = [s for s in registry.specs() if s.oracle is not None]
+ROWS_ONLY = [s for s in registry.specs() if s.oracle is None]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_query_matches_oracle(spark, sf_dir, duck, spec):
+    spark_df = spec.fn(spark, sf_dir)
+    oracle_df = duck.sql(spec.oracle).df()
+    problems = compare(spark_df, oracle_df)
+    assert not problems, f"{spec.name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("spec", ROWS_ONLY, ids=[s.name for s in ROWS_ONLY])
+def test_rows_only_query_runs(spark, sf_dir, spec):
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
