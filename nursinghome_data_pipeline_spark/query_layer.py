@@ -1,0 +1,65 @@
+"""Interactive query layer (SURVEY §3.3): the dashboard operators as
+plain engine functions over DataFrames.
+
+Re-expresses ``/root/reference/metrics_dashboard.py`` and
+``streamlit_app.py`` minus the UI: filter domains, filtered slices,
+group means, quarter×facility pivot, numeric profiling, previews.
+The interactive pattern (re-run aggregates per widget change) is where
+``.cache()`` matters — callers should cache the base slice once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def distinct_values(df: DataFrame, column: str) -> list:
+    """A8 + O1: sorted non-null distinct domain for a filter widget
+    (metrics_dashboard.py:20-23)."""
+    rows = df.select(column).na.drop().distinct().orderBy(column).collect()
+    return [r[0] for r in rows]
+
+
+def filter_metrics(df: DataFrame, *, state: str, provnums: list) -> DataFrame:
+    """P16: equality + IN filter (metrics_dashboard.py:25)."""
+    return df.where((F.col("STATE") == state) & F.col("PROVNUM").isin(provnums))
+
+
+def group_mean(df: DataFrame, key: str, value: str) -> DataFrame:
+    """A4 + O2: mean of ``value`` per ``key``, sorted by key
+    (metrics_dashboard.py:28-30,43-46)."""
+    return df.groupBy(key).agg(F.avg(value).alias(f"avg_{value}")).orderBy(key)
+
+
+def quarter_facility_pivot(
+    df: DataFrame,
+    *,
+    index: str = "CY_Qtr",
+    columns: str = "PROVNUM",
+    value: str = "total_nurse_hours",
+    column_values: list | None = None,
+) -> DataFrame:
+    """A5: pivot_table(index, columns, values, aggfunc=sum), sorted
+    (metrics_dashboard.py:34-39). Pass ``column_values`` when known to
+    skip the distinct-values pass (required practice at scale)."""
+    g = df.groupBy(index)
+    p = g.pivot(columns, column_values) if column_values else g.pivot(columns)
+    return p.sum(value).orderBy(index)
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    """P17: select_dtypes(include=['number']) (streamlit_app.py:34)."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
+
+
+def numeric_means(df: DataFrame) -> DataFrame:
+    """A7: one-pass means of every numeric column (streamlit_app.py:34-37)."""
+    cols = numeric_columns(df)
+    return df.agg(*[F.avg(c).alias(c) for c in cols])
+
+
+def preview(df: DataFrame, n: int = 5) -> DataFrame:
+    """H1/O3: LIMIT-n preview (streamlit_app.py:32)."""
+    return df.limit(n)

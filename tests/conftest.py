@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import os
+import tempfile
 
 import pytest
 
@@ -13,7 +14,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from nursinghome_data_pipeline_spark.session import build_session
 
-    spark = build_session("tests", driver_memory="8g")
+    warehouse = tempfile.mkdtemp(prefix="spark-warehouse-")
+    spark = build_session(
+        "tests",
+        driver_memory="8g",
+        extra={"spark.sql.warehouse.dir": warehouse},
+    )
     yield spark
     spark.stop()
 

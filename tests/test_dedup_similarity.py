@@ -1,0 +1,83 @@
+"""Dedup + similarity operator tests: planted exact/near duplicates and
+ANN recall sanity on the embeddings table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nursinghome_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_fingerprints,
+    minhash_lsh_candidate_pairs,
+    near_duplicate_pairs,
+)
+from nursinghome_data_pipeline_spark.operators.similarity import (
+    knn_brute_force,
+    knn_lsh,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("garden", "meadow")),  # near duplicate of 0
+        (3, "completely different content about spark query engines and "
+            "distributed columnar execution at terabyte scale"),
+        (4, "yet another unrelated document mentioning neither foxes nor "
+            "dogs but plenty of parquet files and shuffle partitions"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    assert exact_dedup(docs, ["text"]).count() == 4
+    fps = exact_dedup_fingerprints(docs)
+    assert fps.count() == 4
+    dup = fps.where(F.col("n_copies") == 2).first()
+    assert dup.doc_id == 0  # deterministic: MIN(doc_id) is canonical
+
+
+def test_lsh_candidates_and_verify(docs):
+    cands = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidate_pairs(docs).collect()
+    }
+    assert (0, 1) in cands  # exact dup always collides
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_duplicate_pairs(docs, threshold=0.5).collect()
+    }
+    assert verified[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in verified  # near dup survives the jaccard gate
+    assert all(3 not in pair and 4 not in pair for pair in verified)
+
+
+def test_knn_brute_force_self_similarity(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.where(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    top = knn_brute_force(emb, query, k=5, extra_cols=("label",)).collect()
+    assert top[0].vec_id == 7  # the query itself ranks first…
+    assert top[0].cosine_sim == pytest.approx(1.0)  # …at similarity 1
+    sims = [r.cosine_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_knn_lsh_matches_bucketed_subset(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.where(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    approx = knn_lsh(emb, query, k=5, dim=64, n_planes=4).collect()
+    assert 1 <= len(approx) <= 5
+    assert approx[0].vec_id == 7  # query shares its own bucket
+    assert approx[0].cosine_sim == pytest.approx(1.0)
