@@ -758,6 +758,397 @@ def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.10 native-operator coverage: joins of all kinds, set ops, grouping
+# sets, subqueries, sampling, windows, scalar batteries
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "left_join_order_counts",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    "Left outer join preserving order-less customers (COUNT(col) counts "
+    "matches only). At scale the small side broadcasts via AQE.",
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@_register(
+    "full_outer_status_presence",
+    """
+    SELECT coalesce(a.k, b.k) AS c_custkey,
+           a.k IS NOT NULL AS has_f,
+           b.k IS NOT NULL AS has_p
+    FROM (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F') a
+    FULL OUTER JOIN
+         (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'P') b
+    ON a.k = b.k
+    """,
+    "Full outer join with coalesced key + presence flags.",
+)
+def full_outer_status_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    a = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("ka"))
+        .distinct()
+    )
+    b = (
+        orders.where(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("kb"))
+        .distinct()
+    )
+    return a.join(b, F.col("ka") == F.col("kb"), "full_outer").select(
+        F.coalesce("ka", "kb").alias("c_custkey"),
+        F.col("ka").isNotNull().alias("has_f"),
+        F.col("kb").isNotNull().alias("has_p"),
+    )
+
+
+@_register(
+    "intersect_fp_customers",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    "INTERSECT set operation (§2.10 gap).",
+)
+def intersect_fp_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = orders.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f.intersect(p)
+
+
+@_register(
+    "except_fp_customers",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    "EXCEPT set operation (§2.10 gap).",
+)
+def except_fp_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = orders.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f.subtract(p)  # set semantics, matching SQL EXCEPT
+
+
+@_register(
+    "grouping_sets_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    "Arbitrary GROUPING SETS (§2.10 gap) via the SQL surface — one "
+    "shuffle computes both groupings.",
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@_register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE over two dimensions (§2.10 gap).",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@_register(
+    "orders_above_twice_customer_min",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT MIN(i.o_totalprice) FROM orders i
+                              WHERE i.o_custkey = o.o_custkey)
+    """,
+    "Correlated scalar subquery (§2.10 gap), decorrelated by Catalyst "
+    "into an aggregate + join. MIN (not AVG) keeps the threshold exact "
+    "in floating point, so the predicate is engine-stable.",
+)
+def orders_above_twice_customer_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    mins = orders.groupBy(F.col("o_custkey").alias("mk")).agg(
+        F.min("o_totalprice").alias("min_price")
+    )
+    return (
+        orders.join(mins, F.col("o_custkey") == F.col("mk"))
+        .where(F.col("o_totalprice") > 2 * F.col("min_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@_register(
+    "deterministic_sample_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '2'
+    """,
+    "Deterministic ~1/8 hash sampling (TABLESAMPLE is engine-specific "
+    "and non-reproducible; hash-of-key sampling reproduces on any "
+    "engine/cluster and composes with pushdown).",
+)
+def deterministic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) < "2"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@_register(
+    "asof_last_click_before_purchase",
+    """
+    SELECT e.event_id, e.user_id, e.ts AS purchase_ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+              AND c.ts <= e.ts) AS last_click_ts
+    FROM events e WHERE e.event_type = 'purchase'
+    """,
+    "As-of join (§2.10 gap; Spark has no native one): for each purchase, "
+    "the latest click at-or-before it by the same user. Composed from a "
+    "single RANGE-frame window max over the unioned stream — one shuffle "
+    "on user_id, no per-row subquery. Ties on ts are handled by the "
+    "RANGE frame (peers included), matching the <= oracle semantics.",
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.where(F.col("event_type").isin("click", "purchase"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts")  # default RANGE frame
+    return (
+        ev.withColumn("last_click_ts", F.max(click_ts).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+        )
+    )
+
+
+@_register(
+    "range_join_clicks_after_signup",
+    """
+    SELECT s.event_id, COUNT(c.ts) AS n_clicks_10m
+    FROM events s
+    LEFT JOIN events c
+      ON c.user_id = s.user_id AND c.event_type = 'click'
+     AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 10 MINUTE
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id
+    """,
+    "Range join (§2.10 gap): clicks within 10 minutes after each signup. "
+    "The equi-key (user_id) carries the shuffle; the range predicate is "
+    "a post-join filter, so no O(n²) blow-up — per-user fan-out only.",
+)
+def range_join_clicks_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    signups = events.where(F.col("event_type") == "signup").select(
+        "event_id", F.col("user_id").alias("su"), F.col("ts").alias("sts")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    cond = (
+        (F.col("cu") == F.col("su"))
+        & (F.col("cts") >= F.col("sts"))
+        & (F.col("cts") <= F.col("sts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return (
+        signups.join(clicks, cond, "left")
+        .groupBy("event_id")
+        .agg(F.count("cts").alias("n_clicks_10m"))
+    )
+
+
+@_register(
+    "customer_order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     LAG(CAST(o_orderdate AS DATE)) OVER
+                       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                     CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders
+    """,
+    "LAG analytic window (§2.10 gap): days since the customer's previous "
+    "order; NULL for the first order.",
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(d, F.lag(d).over(w)).alias("gap_days"),
+    )
+
+
+@_register(
+    "string_functions_battery",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 5) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           length(p_name) AS name_len,
+           strpos(p_name, 'a') AS first_a,
+           concat_ws('-', p_brand, p_type) AS brand_type
+    FROM part
+    """,
+    "Scalar string-function battery (the reference uses lower/strip/"
+    "regex only — P1/P7; this pins the wider engine surface).",
+)
+def string_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.length("p_name").alias("name_len"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@_register(
+    "date_functions_battery",
+    """
+    SELECT o_orderkey,
+           year(CAST(o_orderdate AS DATE)) AS order_year,
+           month(CAST(o_orderdate AS DATE)) AS order_month,
+           day(CAST(o_orderdate AS DATE)) AS order_day,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus_30,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+    FROM orders
+    """,
+    "Scalar date-function battery (reference date surface is to_date/"
+    "date()/current_date only — P2/P4). DATE outputs are emitted as ISO "
+    "strings: pandas materializes Spark DATE as datetime.date but "
+    "DuckDB DATE as datetime64, which would break value comparison.",
+)
+def date_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.date_add(d, 30).cast("string").alias("plus_30"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        F.last_day(d).cast("string").alias("month_end"),
+    )
+
+
+@_register(
+    "array_functions_battery",
+    """
+    SELECT p_partkey,
+           len(string_split(p_name, ' ')) AS n_tokens,
+           string_split(p_name, ' ')[1] AS first_token,
+           list_contains(string_split(p_name, ' '), 'widget') AS has_widget,
+           array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_joined
+    FROM part
+    """,
+    "Array/higher-order function battery (§2.10 gap: no array ops in "
+    "the reference at all): split → size/element_at/contains/sort/join.",
+)
+def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    tokens = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        F.size(tokens).alias("n_tokens"),
+        F.element_at(tokens, 1).alias("first_token"),
+        F.array_contains(tokens, "widget").alias("has_widget"),
+        F.array_join(F.array_sort(tokens), "|").alias("sorted_joined"),
+    )
+
+
+@_register(
+    "embedding_norms",
+    f"""
+    SELECT vec_id, label,
+           sqrt({_DOT.format(a="embedding", b="embedding")}) AS l2_norm
+    FROM embeddings
+    """,
+    "Per-vector L2 norm via the sequential-order dot product (exact "
+    "cross-engine match, like knn_cosine_topk).",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vectors import l2_norm_col
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return embeddings.select(
+        "vec_id", "label", l2_norm_col("embedding").alias("l2_norm")
+    )
+
+
+@_register(
+    "approx_profile_events",
+    None,  # approx sketches are engine-specific → rows-only check
+    "Approximate profiling at scale: HLL distinct users + approximate "
+    "value quantiles per event type (exact distinct/quantile would "
+    "shuffle every row; sketches keep it map-side at 100 TB).",
+)
+def approx_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_quantiles"),
+    )
+
+
+@_register(
+    "near_duplicate_pairs_docs",
+    None,  # xxhash64-based LSH is Spark-specific → rows-only check
+    "End-to-end near-dup dedup on documents: MinHash → LSH band join → "
+    "exact n-gram Jaccard verification (operators/dedup).",
+)
+def near_duplicate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_duplicate_pairs
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return near_duplicate_pairs(documents, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
 
