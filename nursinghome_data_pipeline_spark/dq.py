@@ -82,9 +82,13 @@ def completeness_profile(df: DataFrame, *, table_name: str) -> DataFrame:
     cols = df.columns
     agg = df.agg(
         F.count(F.lit(1)).alias("row_count"),
-        *[F.count(F.col(c)).alias(f"nn_{c}") for c in cols],
+        *[F.count(F.col(c)).alias(f"nn_{i}") for i, c in enumerate(cols)],
     )
-    stack_args = ", ".join(f"'{c}', nn_{c}" for c in cols)
+    # index-based aliases + escaped literals: column names may contain
+    # spaces/quotes (raw CSV headers are profiled before normalization)
+    stack_args = ", ".join(
+        "'{}', nn_{}".format(c.replace("'", "''"), i) for i, c in enumerate(cols)
+    )
     return agg.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (column_name, non_null_count)",
         "row_count",

@@ -15,8 +15,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 #: reference regex, calculate_metrics.py:30 — first "20xx" year then the
-#: next digit anywhere after it (lazy gap). Valid in Java regex and RE2.
-QUARTER_PATTERN = r"(20\d{2}).*?(\d)"
+#: next digit anywhere after it (lazy gap). The gap is ``[^\n]`` rather
+#: than ``.`` because Java's ``.`` excludes \r (a line terminator) while
+#: Python's and RE2's exclude only \n; ``[^\n]`` behaves identically in
+#: all three (hypothesis counterexample: "2000\r0").
+QUARTER_PATTERN = r"(20\d{2})[^\n]*?(\d)"
 
 
 def normalize_quarter_col(c: Column | str) -> Column:

@@ -80,6 +80,42 @@ def random_projection_buckets(
     return df.withColumn("bucket", bucket)
 
 
+def embedding_near_duplicate_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucket self-join.
+
+    Vectors in the same sign-projection bucket are scored exactly;
+    pairs with cosine >= threshold survive. The self-join shuffles on
+    the bucket id (2^n_planes uniform buckets), never all-pairs. Recall
+    for very-high-threshold dedup is high because near-identical
+    vectors almost always share every sign bit; raise recall further by
+    multi-probing neighboring buckets.
+    """
+    bucketed = random_projection_buckets(
+        df, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
+    ).select(F.col(id_col), F.col(vec_col), F.col("bucket"))
+    left = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    right = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    return (
+        left.join(right, on="bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _cosine("vec_a", "vec_b").alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def knn_lsh(
     candidates: DataFrame,
     query: DataFrame,

@@ -315,11 +315,11 @@ def filter_in_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quarter_normalize",
     r"""
     SELECT o_orderkey, raw_quarter,
-           CASE WHEN regexp_extract(raw_quarter, '(20\d{2}).*?(\d)', 1) = ''
+           CASE WHEN regexp_extract(raw_quarter, '(20\d{2})[^\n]*?(\d)', 1) = ''
                 THEN NULL
-                ELSE regexp_extract(raw_quarter, '(20\d{2}).*?(\d)', 1)
+                ELSE regexp_extract(raw_quarter, '(20\d{2})[^\n]*?(\d)', 1)
                      || '-Q' ||
-                     regexp_extract(raw_quarter, '(20\d{2}).*?(\d)', 2)
+                     regexp_extract(raw_quarter, '(20\d{2})[^\n]*?(\d)', 2)
            END AS norm_quarter
     FROM (
       SELECT o_orderkey,
@@ -1146,6 +1146,178 @@ def near_duplicate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = _t(spark, sf_dir, "documents")
     return near_duplicate_pairs(documents, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions, round 2: language-ID, fingerprints,
+# tokenization, sessionization
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = "('the','and','of','to','a','in','is','it','for','on')"
+
+
+@_register(
+    "lang_id_docs",
+    f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN n_tok = 0 THEN 'unknown'
+                WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.08 THEN 'en'
+                ELSE 'other' END AS predicted_lang
+    FROM (
+      SELECT doc_id, lang,
+             len(string_split(lower(trim(text)), ' ')) AS n_tok,
+             len(list_filter(string_split(lower(trim(text)), ' '),
+                             t -> t IN {_STOPWORDS})) AS n_stop
+      FROM documents
+    )
+    """,
+    "Language-ID heuristic (north star: n-gram/stopword method): the "
+    "English-stopword token ratio decides en/other. Pure filter/size "
+    "higher-order expressions, map-only at any scale.",
+)
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    stop = [s.strip("'") for s in _STOPWORDS.strip("()").split(",")]
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    return documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(n_tok == 0, "unknown")
+        .when(n_stop.cast("double") / n_tok >= 0.08, "en")
+        .otherwise("other")
+        .alias("predicted_lang"),
+    )
+
+
+@_register(
+    "doc_fingerprint_rolling",
+    """
+    SELECT doc_id,
+           list_min(grams) AS fingerprint,
+           len(list_distinct(grams)) AS n_unique_grams
+    FROM (
+      SELECT doc_id,
+             list_transform(range(1, length(text) - 2),
+                            i -> md5(substr(text, CAST(i AS INTEGER), 4))) AS grams
+      FROM documents WHERE length(text) >= 4
+    )
+    """,
+    "Rolling character-4-gram document fingerprint (winnowing-style "
+    "min-hash selection): the minimum gram hash is a locality-sensitive "
+    "content fingerprint; distinct-gram count measures repetitiveness. "
+    "md5 (not xxhash) keeps it engine-portable for the oracle.",
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    # DuckDB range(1, L-2) is exclusive → i in [1, L-3]; Spark sequence
+    # is inclusive → sequence(1, L-3) matches exactly.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 3),
+        lambda i: F.md5(F.substring(F.col("text"), i, F.lit(4))),
+    )
+    return (
+        documents.where(F.length("text") >= 4)
+        .select(
+            "doc_id",
+            F.array_min(grams).alias("fingerprint"),
+            F.size(F.array_distinct(grams)).alias("n_unique_grams"),
+        )
+    )
+
+
+@_register(
+    "bpe_token_count_docs",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens
+    FROM documents
+    """,
+    "BPE-ish tokenizer token counting (north star): word / number / "
+    "punctuation classes via one regex pass — the cheap pre-tokenizer "
+    "count used for corpus budgeting.",
+)
+def bpe_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return documents.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pat)).alias("n_bpe_tokens"),
+        F.regexp_count("text", F.lit(r"[0-9]+")).alias("n_number_tokens"),
+    )
+
+
+@_register(
+    "user_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    "Sessionization (30-min inactivity gap) via LAG + prefix-sum "
+    "windows — the batch twin of streaming session_window. One shuffle "
+    "on user_id serves both windows and the final aggregate.",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = events.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(wsum))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start")
+    )
+
+
+@_register(
+    "simhash_docs",
+    None,  # xxhash64-based — rows-only check
+    "64-bit SimHash fingerprints (operators/dedup.simhash_col): token "
+    "hashes vote per bit; near-dups differ in few bits.",
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_col
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select("doc_id", simhash_col("text").alias("simhash"))
+
+
+@_register(
+    "embedding_near_dup_pairs",
+    None,  # LSH bucketing is seed/plane-specific — rows-only check
+    "Embedding-cosine near-duplicate pairs via sign-projection LSH "
+    "bucket self-join (operators/similarity).",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_near_duplicate_pairs
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicate_pairs(
+        embeddings, dim=64, threshold=0.9, n_planes=6
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,116 @@
+"""Object-store sync: Spark-native parity for the reference uploader
+(SURVEY §2.1 S8, §2.2 K7-K10 — ``/root/reference/upload_to_s3.py``).
+
+The reference is a boto3 CLI: recursive glob with include/exclude
+filters, sha256 per file, HEAD-compare to skip already-uploaded
+objects, manifest lines, dry-run. Spark-natively the same capabilities
+are: a ``binaryFile`` datasource scan (distributed checksumming — the
+reference hashes serially on one thread), a manifest *table*, an
+anti-join for idempotent skip, and a plan-only mode. Writing the
+payload bytes to the destination is a filesystem/S3A copy — Spark's
+committers already handle multipart + integrity, so this module's job
+is the *decision* layer (what to copy, what to skip, what was copied).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = "path string, size_bytes long, mtime timestamp, sha256 string"
+
+
+def collect_files(
+    base_dir: str,
+    *,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+    include_hidden: bool = False,
+    max_size_bytes: int | None = None,
+) -> list[str]:
+    """S8: recursive listing with fnmatch include/exclude globs, hidden
+    filter, max-size filter (upload_to_s3.py:39-83 semantics)."""
+    out: list[str] = []
+    for root, dirs, files in os.walk(base_dir):
+        if not include_hidden:
+            dirs[:] = [d for d in dirs if not d.startswith(".")]
+        for name in sorted(files):
+            if not include_hidden and name.startswith("."):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, base_dir)
+            if include and not any(fnmatch.fnmatch(rel, p) for p in include):
+                continue
+            if exclude and any(fnmatch.fnmatch(rel, p) for p in exclude):
+                continue
+            if max_size_bytes is not None and os.path.getsize(full) > max_size_bytes:
+                continue
+            out.append(full)
+    return sorted(out)
+
+
+def checksum_files(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Distributed sha256 manifest of the given files via the
+    ``binaryFile`` datasource (replaces the serial hashing loop at
+    upload_to_s3.py:96-116). Each file is one row; hashing scales with
+    the cluster, not the driver."""
+    if not paths:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    df = spark.read.format("binaryFile").load(paths)
+    return df.select(
+        F.col("path"),
+        F.col("length").alias("size_bytes"),
+        F.col("modificationTime").alias("mtime"),
+        F.lower(F.sha2(F.col("content"), 256)).alias("sha256"),
+    )
+
+
+def plan_sync(
+    new_manifest: DataFrame, existing_manifest: DataFrame | None
+) -> DataFrame:
+    """K8: idempotent skip — a file is copied only if its (path, size,
+    sha256) is not already in the destination manifest (the HEAD +
+    metadata compare of upload_to_s3.py:86-93 as one anti-join)."""
+    if existing_manifest is None:
+        return new_manifest
+    return new_manifest.join(
+        existing_manifest.select("path", "size_bytes", "sha256"),
+        on=["path", "size_bytes", "sha256"],
+        how="left_anti",
+    )
+
+
+def manifest_lines(manifest: DataFrame) -> DataFrame:
+    """K9: ``"<sha256>  <path>"`` manifest lines (upload_to_s3.py:174)."""
+    return manifest.select(
+        F.concat_ws("  ", F.col("sha256"), F.col("path")).alias("line")
+    )
+
+
+def sync(
+    spark: SparkSession,
+    base_dir: str,
+    *,
+    manifest_table: str | None = None,
+    dry_run: bool = False,
+    **collect_kwargs,
+) -> DataFrame:
+    """End-to-end: list → checksum → skip-existing → record manifest.
+
+    ``dry_run=True`` (K10) returns the plan without writing anything.
+    Returns the DataFrame of files that would be / were newly recorded.
+    """
+    paths = collect_files(base_dir, **collect_kwargs)
+    fresh = checksum_files(spark, paths)
+    existing = None
+    if manifest_table is not None:
+        if any(t.name == manifest_table for t in spark.catalog.listTables()):
+            existing = spark.table(manifest_table)
+    todo = plan_sync(fresh, existing)
+    if dry_run or manifest_table is None:
+        return todo
+    todo.write.mode("append").format("parquet").saveAsTable(manifest_table)
+    return spark.table(manifest_table)

@@ -1,0 +1,86 @@
+"""Object-store sync parity tests (S8, K7-K10): glob filters,
+distributed checksumming, idempotent skip, manifest lines, dry-run."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from nursinghome_data_pipeline_spark.sources.object_sync import (
+    checksum_files,
+    collect_files,
+    manifest_lines,
+    plan_sync,
+    sync,
+)
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sync_src")
+    (d / "a.csv").write_bytes(b"alpha,beta\n1,2\n")
+    (d / "b.txt").write_bytes(b"hello world")
+    (d / "big.bin").write_bytes(b"x" * 10_000)
+    (d / ".hidden").write_bytes(b"secret")
+    sub = d / "nested"
+    sub.mkdir()
+    (sub / "c.csv").write_bytes(b"gamma\n3\n")
+    hid = d / ".git"
+    hid.mkdir()
+    (hid / "inside.csv").write_bytes(b"nope")
+    return d
+
+
+def test_collect_filters(tree):
+    base = str(tree)
+    all_files = collect_files(base)
+    names = [p.split("sync_src")[-1] for p in all_files]
+    assert any("a.csv" in n for n in names)
+    assert any("nested" in n for n in names)
+    assert not any("hidden" in n or ".git" in n for n in names)
+    only_csv = collect_files(base, include=["*.csv", "**/*.csv"])
+    assert all(p.endswith(".csv") for p in only_csv) and len(only_csv) == 2
+    no_big = collect_files(base, max_size_bytes=100)
+    assert not any("big.bin" in p for p in no_big)
+    excl = collect_files(base, exclude=["*.txt"])
+    assert not any(p.endswith(".txt") for p in excl)
+
+
+def test_checksums_match_hashlib(spark, tree):
+    files = collect_files(str(tree), include=["b.txt"])
+    row = checksum_files(spark, files).first()
+    assert row.sha256 == hashlib.sha256(b"hello world").hexdigest()
+    assert row.size_bytes == 11
+
+
+def test_plan_sync_skips_existing(spark, tree):
+    files = collect_files(str(tree))
+    fresh = checksum_files(spark, files)
+    # everything is "already uploaded" → nothing to do (K8 idempotency)
+    assert plan_sync(fresh, fresh).count() == 0
+    # drop one from the destination → exactly that one is planned
+    partial = fresh.where(~fresh.path.endswith("b.txt"))
+    todo = plan_sync(fresh, partial).collect()
+    assert len(todo) == 1 and todo[0].path.endswith("b.txt")
+
+
+def test_manifest_lines_format(spark, tree):
+    files = collect_files(str(tree), include=["b.txt"])
+    line = manifest_lines(checksum_files(spark, files)).first().line
+    sha, path = line.split("  ", 1)
+    assert len(sha) == 64 and path.endswith("b.txt")
+
+
+def test_sync_end_to_end_idempotent(spark, tree):
+    t = "manifest_sync_test"
+    first = sync(spark, str(tree), manifest_table=t)
+    n = first.count()
+    assert n == collect_files(str(tree)) .__len__()
+    # second run appends nothing (idempotent)
+    second = sync(spark, str(tree), manifest_table=t)
+    assert second.count() == n
+    # dry-run never writes
+    dry = sync(spark, str(tree), manifest_table=t, dry_run=True)
+    assert dry.count() == 0
+    assert spark.table(t).count() == n
