@@ -1217,13 +1217,21 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.length("text") - 3),
         lambda i: F.md5(F.substring(F.col("text"), i, F.lit(4))),
     )
+    from .operators.dedup import _bind
+
+    # lambda-bind so the md5-per-gram transform runs once, not once per
+    # output column (fingerprint + n_unique_grams both reference it)
+    out = _bind(
+        grams,
+        lambda g: F.struct(
+            F.array_min(g).alias("fingerprint"),
+            F.size(F.array_distinct(g)).alias("n_unique_grams"),
+        ),
+    )
     return (
         documents.where(F.length("text") >= 4)
-        .select(
-            "doc_id",
-            F.array_min(grams).alias("fingerprint"),
-            F.size(F.array_distinct(grams)).alias("n_unique_grams"),
-        )
+        .select("doc_id", out.alias("_o"))
+        .select("doc_id", "_o.fingerprint", "_o.n_unique_grams")
     )
 
 
