@@ -1329,6 +1329,166 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM-pipeline extensions, round 3: multimodal plumbing, LSH kNN,
+# simhash pairs, streaming execution
+# ---------------------------------------------------------------------------
+
+#: DuckDB hex-digit → int (sha256 returns lowercase hex in both engines)
+_HEXPOS = "strpos('0123456789abcdef', substr(sha256(text), {p}, 1)) - 1"
+
+
+@_register(
+    "multimodal_features",
+    f"""
+    SELECT media_id, mime,
+           generate_subscripts(feature, 1) - 1 AS dim,
+           unnest(feature) AS feature_val
+    FROM (
+      SELECT doc_id AS media_id, 'text/plain' AS mime,
+             list_transform(range(1, 9), i ->
+               (({_HEXPOS.format(p="(i-1)*2+1")}) * 16
+                + ({_HEXPOS.format(p="(i-1)*2+2")})) / 255.0) AS feature
+      FROM documents
+    )
+    """,
+    "Multimodal feature extraction (north star): opaque binary payloads "
+    "+ typed metadata struct, features via Arrow-batched mapInPandas "
+    "(operators/multimodal.extract_features). The stub decoder derives "
+    "the vector from sha256(payload), so the DuckDB oracle reproduces "
+    "it exactly from hex math — the full mapInPandas path is "
+    "hash-checked, not just row-counted. Exploded to scalar rows for "
+    "engine-portable comparison.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_features
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    media = documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "mime", F.posexplode("feature").alias("dim", "feature_val")
+    )
+
+
+@_register(
+    "frame_sample_plan",
+    """
+    SELECT doc_id AS media_id,
+           unnest(range(0, (length(text) * 37) % 5000, 1000)) AS frame_ts_ms
+    FROM documents
+    """,
+    "Video frame-sampling plumbing (north star): the per-media frame "
+    "explosion is driven by metadata duration only (no codec needed), "
+    "executed through the mapInPandas sampler "
+    "(operators/multimodal.sample_frames) and hash-checked against the "
+    "range() oracle. Frame payloads are produced by the stub decoder "
+    "but excluded here (engine-specific bytes).",
+)
+def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_frames
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    media = documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 4), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.length("text") * 37) % 5000).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return sample_frames(media, every_ms=1000).select("media_id", "frame_ts_ms")
+
+
+@_register(
+    "knn_lsh_topk",
+    None,  # LSH buckets depend on seeded projection planes — rows-only
+    "Approximate nearest-neighbor top-k (north star scale path): "
+    "brute-force cosine restricted to the query's sign-projection LSH "
+    "bucket (operators/similarity.knn_lsh). Exact twin with an oracle: "
+    "knn_cosine_topk.",
+)
+def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import knn_lsh
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    query = embeddings.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    return knn_lsh(embeddings, query, k=10, dim=64, n_planes=6)
+
+
+@_register(
+    "simhash_near_dup_pairs",
+    None,  # xxhash64-based fingerprints — rows-only
+    "SimHash near-duplicate pairs: 16-bit band bucketing (pigeonhole "
+    "guarantee) + bit_count Hamming verify "
+    "(operators/dedup.simhash_near_duplicate_pairs).",
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_duplicate_pairs
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicate_pairs(documents, max_hamming=10)
+
+
+@_register(
+    "streaming_hourly_events",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           {oracle_q_sum('value')} AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "The hourly event aggregate executed as a REAL Structured Streaming "
+    "job: file-source readStream over the events parquet, watermarked "
+    "tumbling window, complete-mode memory sink driven to completion "
+    "(availableNow semantics via processAllAvailable). Hash-checked "
+    "against the batch SQL twin — streaming and batch agree exactly on "
+    "bounded input.",
+)
+def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType
+
+    from .sources.tpch import table_path
+    from .streaming.ingest_stream import run_stream_to_memory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), q_sum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    run_stream_to_memory(agg, "nh_stream_hourly_events", output_mode="complete")
+    return spark.table("nh_stream_hourly_events")
+
+
+# ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
 
