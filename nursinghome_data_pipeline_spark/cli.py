@@ -1,0 +1,201 @@
+"""Command-line surface: one subcommand per reference entry point.
+
+The reference is driven by standalone scripts (``README.md:10-16``):
+``python build.py`` / ``python calculate_metrics.py`` /
+``python load_nursing_home_data.py`` / ``python upload_to_s3.py`` and
+two Streamlit apps. A reference user switching to this engine runs the
+same workflows as::
+
+    python -m nursinghome_data_pipeline_spark build --config datasets.yml --csv-dir csvs/
+    python -m nursinghome_data_pipeline_spark metrics DATA_DIR --out out/
+    python -m nursinghome_data_pipeline_spark profile DIR
+    python -m nursinghome_data_pipeline_spark sync DIR --manifest-table m --dry-run
+    python -m nursinghome_data_pipeline_spark catalog [--table T]
+    python -m nursinghome_data_pipeline_spark query NAME --sf-dir /root/testdata/sf0.01
+
+The dashboards' *query shapes* (filter / distinct domains / group-mean /
+pivot / preview / completeness) are exposed by ``catalog`` and the
+``query_layer`` module; the Streamlit UI itself is presentation, out of
+engine scope (SURVEY §7.1 step 6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _session(args: argparse.Namespace) -> SparkSession:
+    from .session import build_session
+
+    extra = {}
+    if args.warehouse:
+        extra["spark.sql.warehouse.dir"] = args.warehouse
+    return build_session(
+        "nursinghome-cli",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+        extra=extra,
+    )
+
+
+def _add_session_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default=None, help="Spark master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--warehouse", default=None, help="spark.sql.warehouse.dir")
+
+
+def _cmd_build(args: argparse.Namespace) -> int:
+    from .pipelines.penalties import run_build
+
+    spark = _session(args)
+    staged = run_build(spark, config_path=args.config, csv_dir=args.csv_dir)
+    for name, rows in staged.items():
+        print(f"{name}: staged {rows} rows")
+    return 0
+
+
+def _cmd_metrics(args: argparse.Namespace) -> int:
+    from .pipelines.staffing_metrics import run_staffing_metrics
+
+    spark = _session(args)
+    metrics, report = run_staffing_metrics(
+        spark, args.data_dir, out_dir=args.out
+    )
+    print(f"metrics rows: {metrics.count()}")
+    for pair in report.empty_merges:
+        print(f"warning: empty merge joining {pair}")
+    print(f"zero-blanked rows: {report.zero_blanked_rows}")
+    print(f"dropped (bad denominator): {report.dropped_bad_denominator}")
+    return 0
+
+
+def _cmd_profile(args: argparse.Namespace) -> int:
+    from .pipelines.profiling import profile_directory
+
+    spark = _session(args)
+    counts = profile_directory(
+        spark, args.directory, stage_tables=not args.no_stage
+    )
+    for table, rows in counts.items():
+        print(f"{table}: {rows} rows")
+    return 0
+
+
+def _cmd_sync(args: argparse.Namespace) -> int:
+    from .sources.object_sync import manifest_lines, sync
+
+    spark = _session(args)
+    result = sync(
+        spark,
+        args.base_dir,
+        manifest_table=args.manifest_table,
+        dry_run=args.dry_run,
+        include=args.include or None,
+        exclude=args.exclude or None,
+        include_hidden=args.hidden,
+        max_size_bytes=(
+            int(args.max_size_mb * 1024 * 1024) if args.max_size_mb else None
+        ),
+    )
+    for row in manifest_lines(result).collect():
+        print(("DRY-RUN  " if args.dry_run else "") + row["line"])
+    return 0
+
+
+def _cmd_catalog(args: argparse.Namespace) -> int:
+    from .query_layer import numeric_means, preview
+
+    spark = _session(args)
+    if args.table is None:
+        for t in spark.catalog.listTables():
+            print(t.name)
+        return 0
+    df = spark.table(args.table)
+    print(f"== preview {args.table}")
+    preview(df, args.rows).show(truncate=False)
+    print(f"== numeric means")
+    numeric_means(df).show(truncate=False)
+    tables = {t.name for t in spark.catalog.listTables()}
+    if "dq_completeness" in tables:
+        print(f"== completeness")
+        from pyspark.sql import functions as F
+
+        (
+            spark.table("dq_completeness")
+            .where(F.col("table_name") == args.table)
+            .select("column_name", "pct_not_null")
+            .show(truncate=False)
+        )
+    return 0
+
+
+def _cmd_query(args: argparse.Namespace) -> int:
+    from .registry import queries
+
+    q = queries()
+    if args.name not in q:
+        print(f"unknown query {args.name!r}; available:", file=sys.stderr)
+        for name in sorted(q):
+            print(f"  {name}", file=sys.stderr)
+        return 2
+    spark = _session(args)
+    df = q[args.name](spark, args.sf_dir)
+    df.show(args.rows, truncate=False)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="nursinghome_data_pipeline_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("build", help="config-driven CSV ingest -> stage -> curate")
+    p.add_argument("--config", required=True, help="datasets.yml path")
+    p.add_argument("--csv-dir", required=True)
+    _add_session_args(p)
+    p.set_defaults(fn=_cmd_build)
+
+    p = sub.add_parser("metrics", help="staffing-metrics pipeline")
+    p.add_argument("data_dir")
+    p.add_argument("--out", default=None, help="CSV artifact output dir")
+    _add_session_args(p)
+    p.set_defaults(fn=_cmd_metrics)
+
+    p = sub.add_parser("profile", help="load+stage+profile every CSV in a directory")
+    p.add_argument("directory")
+    p.add_argument("--no-stage", action="store_true")
+    _add_session_args(p)
+    p.set_defaults(fn=_cmd_profile)
+
+    p = sub.add_parser("sync", help="idempotent object-store sync planner")
+    p.add_argument("base_dir")
+    p.add_argument("--manifest-table", default=None)
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--include", action="append", default=[])
+    p.add_argument("--exclude", action="append", default=[])
+    p.add_argument("--hidden", action="store_true")
+    p.add_argument("--max-size-mb", type=float, default=None)
+    _add_session_args(p)
+    p.set_defaults(fn=_cmd_sync)
+
+    p = sub.add_parser("catalog", help="list tables / preview / profile one table")
+    p.add_argument("--table", default=None)
+    p.add_argument("--rows", type=int, default=5)
+    _add_session_args(p)
+    p.set_defaults(fn=_cmd_catalog)
+
+    p = sub.add_parser("query", help="run a named registry query")
+    p.add_argument("name")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--rows", type=int, default=20)
+    _add_session_args(p)
+    p.set_defaults(fn=_cmd_query)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

@@ -1,0 +1,117 @@
+"""Skew mitigation & co-located joins (100 TB design, SURVEY §7.3).
+
+The reference never meets skew (11k-row inputs), but its join/agg
+shapes (J1 composite-key join, A1/A3 group-bys) hit it immediately at
+corpus scale: one hot facility/state/null key can pin a whole executor.
+Three standard remedies, engine-native:
+
+- **AQE skew-join splitting** is already on in ``session.build_session``
+  (``spark.sql.adaptive.skewJoin.enabled``) — runtime splitting of
+  oversized partitions, zero code change.
+- **Salted two-phase aggregation** (here): spread a hot group key over
+  ``n_salts`` sub-keys, partially aggregate, then re-aggregate. Works
+  for any algebraic aggregate (sum/count/min/max — avg as sum+count).
+- **Salted replicated join** (here): explode the small side once per
+  salt so the large side's hot key scatters over ``n_salts`` reducers.
+- **Bucketed co-located join** (here): pre-bucket both tables on the
+  join key at write time; Spark's bucketing-aware scan joins them with
+  NO Exchange at all — the shuffle is paid once at ingest, then every
+  downstream join of the bucketed tables is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, Column]],
+    *,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column -> (combine_fn_name, partial_expr) where
+    ``combine_fn_name`` is one of sum/count/min/max; the partial runs
+    per (keys, salt), then partials combine per keys (count combines
+    with sum). Result is identical to a direct groupBy — only the
+    shuffle layout changes: the first exchange hashes (keys, salt), so
+    a hot key occupies ``n_salts`` reducers instead of one; the second
+    exchange moves only ``n_salts`` pre-aggregated rows per group.
+    """
+    salted = df.withColumn(
+        _SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    partial = salted.groupBy(*keys, _SALT).agg(
+        *[
+            getattr(F, fn)(expr).alias(out)
+            for out, (fn, expr) in aggs.items()
+        ]
+    )
+    combine = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    return partial.groupBy(*keys).agg(
+        *[
+            getattr(F, combine[fn])(out).alias(out)
+            for out, (fn, _) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the large side, replicate the small.
+
+    The large side gets a uniform random-but-deterministic salt in
+    [0, n_salts); the small side is exploded ``n_salts``× so every
+    (key, salt) bucket finds its match. Shuffle volume for the small
+    side grows n_salts×, but the large side's hot key now spreads over
+    ``n_salts`` reducers. Use when AQE's runtime skew splitting isn't
+    available (e.g. the join feeds a co-partitioned downstream op).
+    """
+    keyed = large.withColumn(
+        _SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    replicated = small.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = keyed.join(replicated, on=[*on, _SALT], how=how)
+    return out.drop(_SALT)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist as a bucketed (and optionally sort-bucketed) table.
+
+    Joins/aggregations between tables bucketed on the same key with the
+    same bucket count read co-located buckets — no Exchange in the
+    plan (verified by tests). At 100 TB this converts every recurring
+    fact⋈fact join from a full shuffle into a local merge.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
+def has_exchange(df: DataFrame) -> bool:
+    """True if the executed plan contains a shuffle Exchange (test/
+    diagnostics helper for asserting co-located execution)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange" in plan

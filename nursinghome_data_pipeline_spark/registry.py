@@ -1443,6 +1443,40 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "salted_event_value_stats",
+    f"""
+    SELECT event_type, {oracle_q_sum('value')} AS sum_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    "Skew-safe two-phase aggregation (operators/skew.salted_aggregate): "
+    "the partial aggregate hashes (event_type, salt) so a hot type "
+    "spreads over 16 reducers; the final combine moves 16 rows per "
+    "group. Hash-checked against the plain GROUP BY oracle — salting "
+    "must not change results (quantized sums are associative, so "
+    "regrouping is exact).",
+)
+def salted_event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_aggregate
+
+    (events,) = _t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        events,
+        ["event_type"],
+        {
+            "sum_q": ("sum", q_sum_term("value")),
+            "n_events": ("count", F.lit(1)),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        (F.col("sum_q").cast("double") / F.lit(float(1 << 20))).alias("sum_value"),
+        "n_events",
+    )
+
+
+@_register(
     "streaming_hourly_events",
     f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,

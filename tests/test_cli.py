@@ -1,0 +1,73 @@
+"""CLI parity: each reference entry-point script maps to a subcommand
+(README.md:10-16 workflows run via ``python -m nursinghome_data_pipeline_spark``)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nursinghome_data_pipeline_spark.cli import main
+
+from .conftest import SF_DIR
+
+CONFIG_YAML = """
+datasets:
+  penalties:
+    filename_pattern: "NH_Penalties_*.csv"
+    staging_table: staging_penalties
+    natural_key: [cms_certification_number_ccn, penalty_date]
+    columns:
+      cms_certification_number_ccn: {type: string}
+      penalty_date: {type: date}
+      penalty_type: {type: string}
+      fine_amount: {type: numeric}
+      payment_denial_length_in_days: {type: int, nullable: true}
+      state: {type: string}
+      provider_name: {type: string}
+"""
+
+CSV = """CMS Certification Number (CCN),Penalty Date,Penalty Type,Fine Amount,State,Provider Name
+015009,01/15/2024,Fine,10000.50,AL,Alpha Home
+025010,02/20/2024,Fine,500,TX,Beta Home
+"""
+
+
+@pytest.fixture(autouse=True)
+def _reuse_test_session(spark):
+    """CLI calls build_session -> getOrCreate reuses the test session."""
+
+
+def test_query_subcommand(capsys):
+    rc = main(["query", "pricing_summary", "--sf-dir", SF_DIR, "--rows", "3"])
+    assert rc == 0
+    assert "l_returnflag" in capsys.readouterr().out
+
+
+def test_query_unknown_name(capsys):
+    rc = main(["query", "no_such_query"])
+    assert rc == 2
+    assert "pricing_summary" in capsys.readouterr().err
+
+
+def test_build_subcommand(tmp_path, spark, capsys):
+    (tmp_path / "datasets.yml").write_text(CONFIG_YAML)
+    (tmp_path / "NH_Penalties_a.csv").write_text(CSV)
+    rc = main(
+        ["build", "--config", str(tmp_path / "datasets.yml"), "--csv-dir", str(tmp_path)]
+    )
+    assert rc == 0
+    assert "penalties: staged 2 rows" in capsys.readouterr().out
+    assert spark.table("fact_penalty").count() == 2
+
+
+def test_sync_dry_run(tmp_path, capsys):
+    (tmp_path / "a.txt").write_text("hello")
+    (tmp_path / "b.bin").write_text("world")
+    rc = main(["sync", str(tmp_path), "--dry-run", "--include", "*.txt"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and out[0].startswith("DRY-RUN") and "a.txt" in out[0]
+
+
+def test_catalog_subcommand(spark, capsys):
+    rc = main(["catalog"])
+    assert rc == 0
