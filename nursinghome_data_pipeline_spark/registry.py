@@ -1429,6 +1429,26 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "knn_ivf_topk",
+    None,  # IVF cells depend on the trained index — rows-only
+    "IVF approximate nearest-neighbor (north star scale path): k-means "
+    "centroids trained driver-side on a bounded deterministic sample, "
+    "cell assignment via one vectorized pandas-UDF matmul per Arrow "
+    "batch, probing the 4 nearest cells. Probing all cells is proven "
+    "equal to exact brute force in tests/test_ivf.py.",
+)
+def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_train_centroids, knn_ivf
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    cent = ivf_train_centroids(embeddings, n_centroids=8, sample_rows=2000)
+    qvec = embeddings.where(F.col("vec_id") == 0).first()["embedding"]
+    return knn_ivf(
+        embeddings.where(F.col("vec_id") != 0), qvec, cent, k=10, n_probe=4
+    )
+
+
+@_register(
     "simhash_near_dup_pairs",
     None,  # xxhash64-based fingerprints — rows-only
     "SimHash near-duplicate pairs: 16-bit band bucketing (pigeonhole "

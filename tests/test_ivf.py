@@ -1,0 +1,66 @@
+"""IVF ANN: probing all cells must equal exact brute force; fewer
+probes must stay within the probed cells."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nursinghome_data_pipeline_spark.operators.similarity import (
+    ivf_assign,
+    ivf_train_centroids,
+    knn_brute_force,
+    knn_ivf,
+)
+
+N_CENTROIDS = 8
+
+
+def _embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_assignment_deterministic_and_in_range(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    cent = ivf_train_centroids(emb, n_centroids=N_CENTROIDS, sample_rows=500)
+    assert cent.shape == (N_CENTROIDS, 64)
+    a1 = ivf_assign(emb, cent).select("vec_id", "cell").collect()
+    a2 = ivf_assign(emb, cent).select("vec_id", "cell").collect()
+    assert sorted(a1) == sorted(a2)
+    assert all(0 <= r.cell < N_CENTROIDS for r in a1)
+
+
+def test_probe_all_cells_equals_brute_force(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    cent = ivf_train_centroids(emb, n_centroids=N_CENTROIDS, sample_rows=500)
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    exact = knn_brute_force(
+        emb.where(F.col("vec_id") != 0),
+        spark.createDataFrame([(list(qvec),)], "query_embedding array<double>"),
+        k=10,
+    ).collect()
+    ivf_all = knn_ivf(
+        emb.where(F.col("vec_id") != 0),
+        qvec,
+        cent,
+        k=10,
+        n_probe=N_CENTROIDS,
+    ).collect()
+    assert [r.vec_id for r in exact] == [r.vec_id for r in ivf_all]
+    for a, b in zip(exact, ivf_all):
+        assert abs(a.cosine_sim - b.cosine_sim) < 1e-12
+
+
+def test_partial_probe_stays_in_cells(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    cent = ivf_train_centroids(emb, n_centroids=N_CENTROIDS, sample_rows=500)
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    got = knn_ivf(emb, qvec, cent, k=5, n_probe=2).collect()
+    assert 0 < len(got) <= 5
+    # every result must come from one of the probed cells
+    cells = {
+        r.cell
+        for r in ivf_assign(emb, cent)
+        .where(F.col("vec_id").isin([r.vec_id for r in got]))
+        .collect()
+    }
+    assert len(cells) <= 2
