@@ -147,6 +147,43 @@ def minhash_signature_col(
     )
 
 
+def _intra_bucket_pairs(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    member_cols: list[str],
+    make_pair,
+    keep,
+) -> DataFrame:
+    """Generate unordered pairs WITHIN hash buckets, bucket-locally.
+
+    ``collect_list`` gathers each bucket's members, then a nested
+    ``transform`` emits every pair and ``keep`` prunes before the
+    explode. Compared to a bucket self-join this computes the upstream
+    (signature) subtree ONCE and shuffles once (measured 8.0s → 2.5s on
+    simhash pairs at sf0.1 — Spark does not share the scan/projection
+    between the two sides of a self-join).
+
+    Scale note: bucket membership lists must fit in memory — fine for
+    uniform hash buckets; a pathologically hot bucket (mass-duplicated
+    content) should be removed by EXACT dedup first
+    (:func:`exact_dedup_fingerprints`), which collapses identical
+    payloads before any near-dup pass.
+    """
+    ms = F.col("ms")
+    bucketed = banded.groupBy(*bucket_cols).agg(
+        F.collect_list(F.struct(*member_cols)).alias("ms")
+    )
+    nested = F.filter(
+        F.flatten(
+            F.transform(ms, lambda x: F.transform(ms, lambda y: make_pair(x, y)))
+        ),
+        keep,
+    )
+    return (
+        bucketed.select(F.explode(nested).alias("p")).select("p.*").distinct()
+    )
+
+
 def minhash_lsh_candidate_pairs(
     df: DataFrame,
     *,
@@ -193,13 +230,14 @@ def minhash_lsh_candidate_pairs(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
-    left = banded.withColumnRenamed(id_col, "id_a")
-    right = banded.withColumnRenamed(id_col, "id_b")
-    return (
-        left.join(right, on=["band", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    return _intra_bucket_pairs(
+        banded,
+        ["band", "band_hash"],
+        [id_col],
+        lambda x, y: F.struct(
+            x[id_col].alias("id_a"), y[id_col].alias("id_b")
+        ),
+        lambda p: p["id_a"] < p["id_b"],
     )
 
 
@@ -230,34 +268,62 @@ def simhash_col(text: Column | str) -> Column:
     th = F.transform(F.split(F.trim(c), r"\s+"), lambda s: F.xxhash64(s))
     # bit masks as int64 literals (bit 63 is the sign bit → negative)
     masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(SIMHASH_BITS)]
-    counts = F.aggregate(
-        th,
-        F.array_repeat(F.lit(0), SIMHASH_BITS),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
-                    for m in masks
-                ]
-            ),
-            lambda x, y: x + y,
-        ),
-    )
+    #: SWAR byte-lane mask: one set bit per byte of a long
+    SWAR_MASK = 0x0101010101010101
 
-    # lambda-bind counts (see _bind): the 64-term pack loop would
-    # otherwise re-run the whole aggregate fold once per bit
+    # ±1 voting means bit b is set iff 2*count_set(b) > n_tokens, so
+    # only the 64 per-bit set-counts are needed. SWAR packing: fold j
+    # (0..7) accumulates (h >> j) & 0x0101...01 — byte k of accumulator
+    # j counts bit 8k+j — 8 scalar folds of 2 ops/token instead of 64
+    # (measured 2.0s → 0.35s on 5k docs). Byte counters hold ≤255, so
+    # docs longer than 255 tokens take the per-bit scalar-fold fallback
+    # (CaseWhen evaluates lazily — one path per row).
     def pack(arr: Column) -> Column:
-        out = F.lit(0).cast("long")
+        n = F.size(arr)
+
+        def swar_fold(j: int):
+            return lambda acc, h: acc + F.shiftrightunsigned(h, j).bitwiseAND(
+                F.lit(SWAR_MASK)
+            )
+
+        packed = F.array(
+            *[
+                F.aggregate(arr, F.lit(0).cast("long"), swar_fold(j))
+                for j in range(8)
+            ]
+        )
+
+        def unpack(pa: Column) -> Column:
+            out = F.lit(0).cast("long")
+            for b, m in enumerate(masks):
+                j, k = b % 8, b // 8
+                cnt = F.shiftrightunsigned(F.get(pa, j), 8 * k).bitwiseAND(
+                    F.lit(0xFF)
+                )
+                out = out.bitwiseOR(
+                    F.when(cnt * 2 > n, F.lit(m).cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                )
+            return out
+
+        def bit_counter(b: int):
+            return lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(
+                F.lit(1)
+            ).cast("int")
+
+        fallback = F.lit(0).cast("long")
         for b, m in enumerate(masks):
-            out = out.bitwiseOR(
-                F.when(F.get(arr, b) > 0, F.lit(m).cast("long")).otherwise(
+            cnt = F.aggregate(arr, F.lit(0), bit_counter(b))
+            fallback = fallback.bitwiseOR(
+                F.when(cnt * 2 > n, F.lit(m).cast("long")).otherwise(
                     F.lit(0).cast("long")
                 )
             )
-        return out
 
-    return _bind(counts, pack)
+        return F.when(n <= 255, _bind(packed, unpack)).otherwise(fallback)
+
+    return _bind(th, pack)
 
 
 def hamming_distance_col(a: Column | str, b: Column | str) -> Column:
@@ -283,39 +349,34 @@ def simhash_near_duplicate_pairs(
     recall trade-off, tunable via chunk count).
     """
     sig = df.select(F.col(id_col), simhash_col(text_col).alias("sh"))
+    # bucket id packs (band, chunk): band i shifted into bits 16-17
     banded = sig.select(
         id_col,
         "sh",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("sh"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
-                    )
+                    F.shiftrightunsigned(F.col("sh"), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    + F.lit(i << 16)
                     for i in range(4)
                 ]
             )
-        ).alias("bc"),
-    ).select(id_col, "sh", "bc.band", "bc.chunk")
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "band", "chunk"
+        ).alias("bucket"),
     )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "band", "chunk"
-    )
-    return (
-        left.join(right, on=["band", "chunk"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            hamming_distance_col("sh_a", "sh_b").alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
+    # intra-bucket pair generation (see _intra_bucket_pairs): ONE
+    # signature computation and ONE shuffle, vs. a self-join that
+    # computes the fingerprint subtree once per side
+    return _intra_bucket_pairs(
+        banded,
+        ["bucket"],
+        [id_col, "sh"],
+        lambda x, y: F.struct(
+            x[id_col].alias("id_a"),
+            y[id_col].alias("id_b"),
+            F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
+        ),
+        lambda p: (p["id_a"] < p["id_b"]) & (p["hamming"] <= max_hamming),
     )
 
 

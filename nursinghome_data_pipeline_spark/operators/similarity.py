@@ -100,21 +100,23 @@ def embedding_near_duplicate_pairs(
     vectors almost always share every sign bit; raise recall further by
     multi-probing neighboring buckets.
     """
+    from .dedup import _intra_bucket_pairs
+
     bucketed = random_projection_buckets(
         df, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
     ).select(F.col(id_col), F.col(vec_col), F.col("bucket"))
-    left = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    pairs = _intra_bucket_pairs(
+        bucketed,
+        ["bucket"],
+        [id_col, vec_col],
+        lambda x, y: F.struct(
+            x[id_col].alias("id_a"),
+            y[id_col].alias("id_b"),
+            _cosine(x[vec_col], y[vec_col]).alias("cosine_sim"),
+        ),
+        lambda p: p["id_a"] < p["id_b"],
     )
-    right = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
-    )
-    return (
-        left.join(right, on="bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", _cosine("vec_a", "vec_b").alias("cosine_sim"))
-        .where(F.col("cosine_sim") >= threshold)
-    )
+    return pairs.where(F.col("cosine_sim") >= threshold)
 
 
 def ivf_train_centroids(

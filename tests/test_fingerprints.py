@@ -66,3 +66,18 @@ def test_embedding_near_dup_pairs(spark):
     assert pairs[(0, 1)] == pytest.approx(1.0)
     assert (0, 2) in pairs and pairs[(0, 2)] > 0.99
     assert all(3 not in p for p in pairs)
+
+
+def test_simhash_long_doc_fallback_consistent(spark):
+    """Docs over 255 tokens take the per-bit fallback path; simhash is
+    invariant under multiset repetition (2*c > n is scale-free), so a
+    6x-repeated doc (300 tokens, fallback) must equal the 50-token
+    original (SWAR path)."""
+    base = " ".join(f"tok{i * 7 % 53}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, base), (2, " ".join([base] * 6))], "doc_id long, text string"
+    )
+    from nursinghome_data_pipeline_spark.operators.dedup import simhash_col
+
+    sigs = [r.s for r in df.orderBy("doc_id").select(simhash_col("text").alias("s")).collect()]
+    assert sigs[0] == sigs[1]
