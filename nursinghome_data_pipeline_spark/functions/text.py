@@ -55,6 +55,54 @@ def oracle_token_count(expr: str) -> str:
     )
 
 
+#: minimal deterministic sentiment lexicons (lexicon-based scoring is
+#: the standard cheap pre-filter for corpus curation; swap in a real
+#: lexicon — VADER/AFINN-style — without changing the plan shape)
+POSITIVE_WORDS = (
+    "good", "great", "excellent", "best", "love", "happy", "wonderful",
+    "positive", "success", "improved",
+)
+NEGATIVE_WORDS = (
+    "bad", "poor", "terrible", "worst", "hate", "sad", "awful",
+    "negative", "failure", "decline",
+)
+
+
+def sentiment_score_col(c: Column | str) -> Column:
+    """Lexicon sentiment in [-1, 1]: (pos - neg) / (pos + neg) token
+    hits, 0.0 when no lexicon token occurs. Lower-cased whitespace
+    tokens; pure filter/size expressions — map-only, no UDF.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+
+    def score(arr: Column) -> Column:
+        p = F.size(F.filter(arr, lambda t: t.isin(*POSITIVE_WORDS)))
+        n = F.size(F.filter(arr, lambda t: t.isin(*NEGATIVE_WORDS)))
+        return F.when(p + n == 0, F.lit(0.0)).otherwise(
+            (p - n).cast("double") / (p + n).cast("double")
+        )
+
+    # bind once: p and n each traverse the token array, which must not
+    # re-split/re-lower the text per use (operators/dedup._bind)
+    from ..operators.dedup import _bind
+
+    return _bind(toks, score)
+
+
+def oracle_sentiment(expr: str) -> str:
+    """DuckDB SQL mirroring :func:`sentiment_score_col`."""
+    pos = "(" + ",".join(f"'{w}'" for w in POSITIVE_WORDS) + ")"
+    neg = "(" + ",".join(f"'{w}'" for w in NEGATIVE_WORDS) + ")"
+    toks = f"regexp_split_to_array(lower(trim({expr})), '\\s+')"
+    p = f"len(list_filter({toks}, t -> t IN {pos}))"
+    n = f"len(list_filter({toks}, t -> t IN {neg}))"
+    return (
+        f"CASE WHEN ({p}) + ({n}) = 0 THEN 0.0 "
+        f"ELSE CAST(({p}) - ({n}) AS DOUBLE) / CAST(({p}) + ({n}) AS DOUBLE) END"
+    )
+
+
 def quality_score_col(c: Column | str) -> Column:
     """Heuristic doc-quality score in [0,1] from cheap text statistics.
 

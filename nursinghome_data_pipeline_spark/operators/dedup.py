@@ -136,15 +136,22 @@ def minhash_signature_col(
     """
     consts = _perm_constants(n_hashes)
     sh = shingle_hash_col(text, shingle_k)
-    return _bind(
-        sh,
-        lambda arr: F.array(
-            *[
-                F.array_min(F.transform(arr, lambda h, c=c: h.bitwiseXOR(F.lit(c))))
-                for c in consts
-            ]
-        ),
-    )
+
+    # NOTE: the XOR constant must be captured via a closure factory, NOT
+    # a `lambda h, c=c:` default argument — pyspark counts lambda
+    # parameters to pick the HOF signature, and a defaulted second
+    # parameter silently turns the lambda into the (element, index)
+    # form, replacing the constant with the element index (caught by
+    # tests/test_dedup_properties.py's Python-reference differential).
+    def mins(arr: Column) -> Column:
+        def one(c: int) -> Column:
+            return F.array_min(
+                F.transform(arr, lambda h: h.bitwiseXOR(F.lit(c)))
+            )
+
+        return F.array(*[one(c) for c in consts])
+
+    return _bind(sh, mins)
 
 
 def _intra_bucket_pairs(

@@ -30,6 +30,7 @@ from .functions.exprs import oracle_q_avg, oracle_q_sum, q_avg, q_sum, q_sum_ter
 from .functions.text import (
     normalize_quarter_col,
     oracle_quality_score,
+    oracle_sentiment,
     oracle_token_count,
     quality_score_col,
     token_count_col,
@@ -1325,6 +1326,88 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     return embedding_near_duplicate_pairs(
         embeddings, dim=64, threshold=0.9, n_planes=6
+    )
+
+
+@_register(
+    "sentiment_docs",
+    f"SELECT doc_id, {oracle_sentiment('text')} AS sentiment FROM documents",
+    "Lexicon-based sentiment scoring (north-star text analysis; see "
+    "PAPERS.md sentiment-on-Spark): (pos-neg)/(pos+neg) lexicon hits "
+    "per doc, pure filter/size expressions over lambda-bound tokens — "
+    "map-only at any scale.",
+)
+def sentiment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import sentiment_score_col
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id", sentiment_score_col("text").alias("sentiment")
+    )
+
+
+@_register(
+    "cleaning_pipeline_lineitem",
+    f"""
+    WITH blanked AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_quantity = 0 OR l_extendedprice = 0
+                  THEN NULL ELSE l_quantity END AS quantity,
+             CASE WHEN l_quantity = 0 OR l_extendedprice = 0
+                  THEN NULL ELSE l_extendedprice END AS price,
+             l_discount, l_tax
+      FROM lineitem
+    ), kept AS (
+      SELECT *, (COALESCE(l_discount, 0) + COALESCE(l_tax, 0)) AS charges
+      FROM blanked
+      WHERE quantity IS NOT NULL AND price IS NOT NULL
+    )
+    SELECT l_orderkey,
+           {oracle_q_sum('price')} AS total_price,
+           {oracle_q_sum('quantity')} AS total_qty,
+           CASE WHEN ({oracle_q_sum('quantity')}) = 0 THEN NULL
+                ELSE ({oracle_q_sum('price')}) / ({oracle_q_sum('quantity')})
+           END AS price_per_unit,
+           {oracle_q_sum('charges')} AS total_charges
+    FROM kept GROUP BY l_orderkey
+    """,
+    "The staffing-metrics cleaning semantics (calculate_metrics.py:"
+    "92-152) as a graded query on lineitem: cross-column zero blanking "
+    "(P9 — any critical zero nulls ALL critical columns in that row), "
+    "dropna on the blanked set (P10/P14), pandas-style skipna "
+    "horizontal sum via COALESCE (P11), zero-denominator NULLIF (P12), "
+    "ratio derivation (P13). One shuffle (the group-by); every "
+    "expression null-safe under ANSI.",
+)
+def cleaning_pipeline_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    zero = (F.col("l_quantity") == 0) | (F.col("l_extendedprice") == 0)
+    blanked = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(zero, None).otherwise(F.col("l_quantity")).alias("quantity"),
+        F.when(zero, None).otherwise(F.col("l_extendedprice")).alias("price"),
+        "l_discount",
+        "l_tax",
+    )
+    kept = blanked.na.drop(subset=["quantity", "price"]).withColumn(
+        "charges",
+        F.coalesce(F.col("l_discount"), F.lit(0))
+        + F.coalesce(F.col("l_tax"), F.lit(0)),
+    )
+    agg = kept.groupBy("l_orderkey").agg(
+        q_sum("price", "total_price"),
+        q_sum("quantity", "total_qty"),
+        q_sum("charges", "total_charges"),
+    )
+    return agg.select(
+        "l_orderkey",
+        "total_price",
+        "total_qty",
+        F.when(F.col("total_qty") == 0, None)
+        .otherwise(F.col("total_price") / F.col("total_qty"))
+        .alias("price_per_unit"),
+        "total_charges",
     )
 
 
