@@ -32,6 +32,10 @@ BENCH_QUERIES = [
     "exact_dedup_docs",
     "doc_quality_scores",
     "minhash_signatures_docs",
+    "near_duplicate_pairs_docs",
+    "simhash_near_dup_pairs",
+    "sentiment_docs",
+    "session_window_stats",
     "knn_cosine_topk",
     "centroid_by_label",
 ]

@@ -314,21 +314,38 @@ def simhash_col(text: Column | str) -> Column:
                 )
             return out
 
-        def bit_counter(b: int):
-            return lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(
-                F.lit(1)
-            ).cast("int")
+        # >255-token fallback: ONE fold keeping a 64-counter int array
+        # (zip_with). Slower per token than SWAR but expression-tree
+        # small — 64 separate scalar folds here would dominate codegen
+        # compile time for the whole operator.
+        counts = F.aggregate(
+            arr,
+            F.array_repeat(F.lit(0), SIMHASH_BITS),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.array(
+                    *[
+                        F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("int")
+                        for b in range(SIMHASH_BITS)
+                    ]
+                ),
+                lambda x, y: x + y,
+            ),
+        )
 
-        fallback = F.lit(0).cast("long")
-        for b, m in enumerate(masks):
-            cnt = F.aggregate(arr, F.lit(0), bit_counter(b))
-            fallback = fallback.bitwiseOR(
-                F.when(cnt * 2 > n, F.lit(m).cast("long")).otherwise(
-                    F.lit(0).cast("long")
+        def slow_unpack(ca: Column) -> Column:
+            out = F.lit(0).cast("long")
+            for b, m in enumerate(masks):
+                out = out.bitwiseOR(
+                    F.when(F.get(ca, b) * 2 > n, F.lit(m).cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    )
                 )
-            )
+            return out
 
-        return F.when(n <= 255, _bind(packed, unpack)).otherwise(fallback)
+        return F.when(n <= 255, _bind(packed, unpack)).otherwise(
+            _bind(counts, slow_unpack)
+        )
 
     return _bind(th, pack)
 

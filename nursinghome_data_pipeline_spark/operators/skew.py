@@ -110,6 +110,33 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    ts_col: str,
+    granularity: str = "month",
+) -> None:
+    """Persist partitioned by a derived coarse time key (the 100 TB
+    layout for the fact tables — see SCALE.md "Scan layer").
+
+    Queries filtering on ``ts_col`` prune whole partitions: Catalyst
+    rewrites the filter against the derived ``p_<granularity>`` column
+    when it appears in the predicate, and min/max row-group stats
+    handle the rest. Partition count stays bounded (one per period),
+    so no small-file explosion.
+    """
+    part = F.date_trunc(granularity, F.col(ts_col)).cast("date").alias(
+        f"p_{granularity}"
+    )
+    (
+        df.withColumn(f"p_{granularity}", part)
+        .write.mode("overwrite")
+        .partitionBy(f"p_{granularity}")
+        .parquet(path)
+    )
+
+
 def has_exchange(df: DataFrame) -> bool:
     """True if the executed plan contains a shuffle Exchange (test/
     diagnostics helper for asserting co-located execution)."""

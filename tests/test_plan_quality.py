@@ -1,0 +1,79 @@
+"""Plan-quality gates: the scale-sensitive plan properties documented
+in SCALE.md are asserted here so a regression (lost pushdown, dropped
+broadcast, missing partial aggregation, broken partition pruning) fails
+CI instead of surfacing as a 100x slowdown at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nursinghome_data_pipeline_spark import registry
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    plan = _formatted_plan(registry.queries()["pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_in_read_schema(spark, sf_dir):
+    df = registry.queries()["orders_status_summary"](spark, sf_dir)
+    plan = _formatted_plan(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # the scan must not read order comment/clerk columns it never uses
+    assert "o_comment" not in read_schema and "o_clerk" not in read_schema
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = _formatted_plan(registry.queries()["revenue_by_region"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan  # dims must never sort-merge here
+
+
+def test_topk_per_group_prunes_before_shuffle(spark, sf_dir):
+    plan = _formatted_plan(registry.queries()["topk_per_group_orders"](spark, sf_dir))
+    # partial WindowGroupLimit before the exchange + final after
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir):
+    plan = _formatted_plan(registry.queries()["orders_status_summary"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_fingerprint_queries_are_shuffle_free(spark, sf_dir):
+    from nursinghome_data_pipeline_spark.operators.skew import has_exchange
+
+    for name in ["minhash_signatures_docs", "simhash_docs", "doc_quality_scores"]:
+        df = registry.queries()[name](spark, sf_dir)
+        assert not has_exchange(df), f"{name} must be map-only"
+
+
+def test_time_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    from nursinghome_data_pipeline_spark.operators.skew import (
+        write_time_partitioned,
+    )
+    from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    out = str(tmp_path / "events_part")
+    write_time_partitioned(events, out, ts_col="ts", granularity="day")
+    part = spark.read.parquet(out)
+    days = sorted(r.p_day for r in part.select("p_day").distinct().collect())
+    assert len(days) > 1
+    pruned = part.where(F.col("p_day") == days[0])
+    plan = _formatted_plan(pruned)
+    # partition filter present; full row count preserved across partitions
+    assert "p_day" in plan and "PartitionFilters" in plan
+    assert part.count() == events.count()
