@@ -404,6 +404,74 @@ def simhash_near_duplicate_pairs(
     )
 
 
+def jaccard_pair_join(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard >= threshold (no LSH approximation).
+
+    Inverted-index algorithm (the scalable exact plan — never a cross
+    join): explode each document's distinct shingle set into postings,
+    self-join postings on the shingle, count shared shingles per pair,
+    and derive Jaccard by inclusion-exclusion
+    ``|A∩B| / (|A| + |B| - |A∩B|)``.
+
+    Two lossless prunes keep the pair blow-up bounded:
+
+    - size-ratio: ``J >= t`` implies ``min(|A|,|B|) >= t * max(|A|,|B|)``,
+      applied inside the join condition so mismatched-length pairs never
+      reach the aggregation;
+    - the posting join emits a pair once per SHARED shingle only — pairs
+      with empty intersection (the overwhelming majority) are never
+      materialized at all, unlike a cross join.
+
+    Scale: shuffle keys are shingle hashes (uniform); a stop-shingle
+    appearing in f fraction of docs contributes O((fn)^2) pair rows —
+    run :func:`exact_dedup_fingerprints` first and consider dropping
+    top-frequency shingles for adversarial corpora. Complements
+    :func:`near_duplicate_pairs` (LSH), which trades exactness for a
+    near-linear candidate set; this one is the auditable ground truth.
+    """
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(_shingles(text_col, shingle_k)).alias("sh"),
+    ).select(id_col, "sh", F.size("sh").alias("sz"))
+    post = sets.select(id_col, "sz", F.explode("sh").alias("shingle"))
+    a, b = post.alias("a"), post.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.greatest(F.col("a.sz"), F.col("b.sz")) * F.lit(threshold)
+            ),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    return inter.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        union_sz.alias("n_union"),
+        (F.col("n_common").cast("double") / union_sz.cast("double")).alias(
+            "jaccard"
+        ),
+    ).where(F.col("jaccard") >= threshold)
+
+
 def near_duplicate_pairs(
     df: DataFrame,
     *,

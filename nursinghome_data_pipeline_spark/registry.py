@@ -505,6 +505,48 @@ def running_total_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "window_rank_battery",
+    """
+    SELECT o_orderkey, o_custkey,
+           dense_rank() OVER w AS drank,
+           percent_rank() OVER w AS prank,
+           cume_dist() OVER w AS cdist,
+           ntile(4) OVER w AS quartile,
+           lead(o_orderdate, 1) OVER w AS next_order_date,
+           first_value(o_orderstatus) OVER w AS first_status,
+           count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+             AS n_within_1000
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "Analytic-window battery (§2.10 gap): dense_rank / percent_rank / "
+    "cume_dist / ntile / lead / first_value over a unique-ordered "
+    "partition, plus a value-RANGE frame count. percent_rank and "
+    "cume_dist divide exact ints — bit-stable across engines. One "
+    "window spec is shared so Spark plans a single sort per partition "
+    "spec (two Window nodes, two sorts total).",
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_orderdate", 1).over(w).alias("next_order_date"),
+        F.first("o_orderstatus").over(w).alias("first_status"),
+        F.expr(
+            "count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice"
+            " RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)"
+        ).alias("n_within_1000"),
+    )
+
+
+@_register(
     "top_customers",
     """
     SELECT c_custkey, c_name, c_acctbal FROM customer
@@ -1149,6 +1191,42 @@ def near_duplicate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicate_pairs(documents, threshold=0.8)
 
 
+@_register(
+    "ngram_jaccard_pairs_docs",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS n_common,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, n_common, n_union,
+           CAST(n_common AS DOUBLE) / n_union AS jaccard
+    FROM p
+    WHERE CAST(n_common AS DOUBLE) / n_union >= 0.5
+    """,
+    "EXACT all-pairs n-gram Jaccard dedup (inverted-index join with "
+    "lossless size-ratio pruning — never a cross join). The auditable "
+    "ground truth complementing the LSH approximation; the DuckDB "
+    "oracle cross-joins at sf0.01 scale, the Spark plan stays "
+    "near-linear via postings.",
+)
+def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_pair_join
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return jaccard_pair_join(documents, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline extensions, round 2: language-ID, fingerprints,
 # tokenization, sessionization
@@ -1666,6 +1744,41 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_memory(agg, "nh_stream_hourly_events", output_mode="complete")
     return spark.table("nh_stream_hourly_events")
+
+
+@_register(
+    "streaming_dedup_events",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "Streaming exact dedup with bounded state: file-source readStream "
+    "over events, dropDuplicatesWithinWatermark on (user_id, "
+    "event_type). The watermark delay (90 days) exceeds the dataset "
+    "span, so on bounded input the result equals batch DISTINCT — "
+    "hash-checked against that oracle; at scale the same query holds "
+    "state only for the re-delivery window instead of forever.",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType
+
+    from .sources.tpch import table_path
+    from .streaming.ingest_stream import run_stream_to_memory, streaming_dedup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = streaming_dedup(
+        stream, keys=["user_id", "event_type"], watermark="90 days"
+    ).select("user_id", "event_type")
+    run_stream_to_memory(deduped, "nh_stream_dedup_events", output_mode="append")
+    return spark.table("nh_stream_dedup_events")
 
 
 # ---------------------------------------------------------------------------

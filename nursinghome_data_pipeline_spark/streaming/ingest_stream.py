@@ -69,6 +69,30 @@ def windowed_event_aggregates(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "90 days",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state
+    (``dropDuplicatesWithinWatermark``).
+
+    The training-pipeline ingest guard: drop re-delivered documents/
+    events whose duplicate arrives within ``watermark`` of the
+    original. State is evicted once the event-time watermark passes,
+    so state size is bounded by the key arrival rate × delay — unlike
+    plain ``dropDuplicates`` on a stream, whose state grows forever.
+
+    A duplicate arriving LATER than the watermark delay re-emits (its
+    state was evicted) — choose the delay ≥ the real re-delivery bound.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, query_name: str, *, output_mode: str = "append"
 ) -> None:

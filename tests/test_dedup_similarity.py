@@ -60,6 +60,30 @@ def test_lsh_candidates_and_verify(docs):
     assert all(3 not in pair and 4 not in pair for pair in verified)
 
 
+def test_exact_jaccard_pair_join(docs):
+    from nursinghome_data_pipeline_spark.operators.dedup import (
+        jaccard_pair_join,
+        near_duplicate_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pair_join(docs, threshold=0.5).collect()
+    }
+    assert exact[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in exact and (1, 2) in exact
+    assert all(3 not in p and 4 not in p for p in exact)
+    # LSH is a lossy candidate filter: its verified output must be a
+    # subset of the exact join, with identical jaccard values
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_duplicate_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert exact[pair] == pytest.approx(j)
+
+
 def test_knn_brute_force_self_similarity(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     query = emb.where(F.col("vec_id") == 7).select(

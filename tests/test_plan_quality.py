@@ -60,6 +60,16 @@ def test_fingerprint_queries_are_shuffle_free(spark, sf_dir):
         assert not has_exchange(df), f"{name} must be map-only"
 
 
+def test_exact_jaccard_join_never_cartesian(spark, sf_dir):
+    plan = _formatted_plan(
+        registry.queries()["ngram_jaccard_pairs_docs"](spark, sf_dir)
+    )
+    # the exact all-pairs join must run as an equi-join on the shingle
+    # posting list, never a cross product over documents
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_time_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     from nursinghome_data_pipeline_spark.operators.skew import (
         write_time_partitioned,
