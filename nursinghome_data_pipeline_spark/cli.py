@@ -147,6 +147,24 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_explain(args: argparse.Namespace) -> int:
+    import json
+
+    from .plans import formatted_plan, plan_report
+    from .registry import queries
+
+    q = queries()
+    if args.name not in q:
+        print(f"unknown query {args.name!r}", file=sys.stderr)
+        return 2
+    spark = _session(args)
+    df = q[args.name](spark, args.sf_dir)
+    if args.full:
+        print(formatted_plan(df))
+    print(json.dumps(plan_report(df), indent=2))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="nursinghome_data_pipeline_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -192,6 +210,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--rows", type=int, default=20)
     _add_session_args(p)
     p.set_defaults(fn=_cmd_query)
+
+    p = sub.add_parser(
+        "explain",
+        help="plan-quality report for a named query (pushdown, joins, shuffles)",
+    )
+    p.add_argument("name")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--full", action="store_true", help="also print EXPLAIN FORMATTED")
+    _add_session_args(p)
+    p.set_defaults(fn=_cmd_explain)
 
     args = parser.parse_args(argv)
     return args.fn(args)

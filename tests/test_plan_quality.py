@@ -8,18 +8,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from nursinghome_data_pipeline_spark import registry
-
-
-def _formatted_plan(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
-
-
-def _executed_plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from nursinghome_data_pipeline_spark.plans import (
+    formatted_plan as _formatted_plan,
+    join_strategies,
+    plan_report,
+)
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
@@ -36,9 +29,16 @@ def test_column_pruning_in_read_schema(spark, sf_dir):
 
 
 def test_star_join_broadcasts_dimensions(spark, sf_dir):
-    plan = _formatted_plan(registry.queries()["revenue_by_region"](spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan  # dims must never sort-merge here
+    joins = join_strategies(registry.queries()["revenue_by_region"](spark, sf_dir))
+    assert joins.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in joins  # dims must never sort-merge here
+
+
+def test_plan_report_summary(spark, sf_dir):
+    rep = plan_report(registry.queries()["pricing_summary"](spark, sf_dir))
+    assert rep["pushed_filters"], "scan must receive pushed filters"
+    assert rep["n_codegen_stages"] >= 1
+    assert rep["n_exchanges"] == 1  # one shuffle: the final aggregation
 
 
 def test_topk_per_group_prunes_before_shuffle(spark, sf_dir):
