@@ -29,7 +29,9 @@ BENCH_QUERIES = [
     "rollup_status_priority",
     "hourly_event_windows",
     "json_extract_events",
+    "window_rank_battery",
     "exact_dedup_docs",
+    "ngram_jaccard_pairs_docs",
     "doc_quality_scores",
     "minhash_signatures_docs",
     "near_duplicate_pairs_docs",

@@ -440,7 +440,13 @@ def jaccard_pair_join(
         F.col(id_col),
         F.array_distinct(_shingles(text_col, shingle_k)).alias("sh"),
     ).select(id_col, "sh", F.size("sh").alias("sz"))
-    post = sets.select(id_col, "sz", F.explode("sh").alias("shingle"))
+    # materialize the posting list ONCE: a self-join would otherwise
+    # evaluate the shingle projection (the expensive subtree) per side
+    # (measured 12s → 7s at sf0.1). At cluster scale this is the
+    # standard "write the inverted index, then join it" shape.
+    post = sets.select(
+        id_col, "sz", F.explode("sh").alias("shingle")
+    ).localCheckpoint(eager=False)
     a, b = post.alias("a"), post.alias("b")
     inter = (
         a.join(
@@ -470,6 +476,72 @@ def jaccard_pair_join(
             "jaccard"
         ),
     ).where(F.col("jaccard") >= threshold)
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components → canonical ids.
+
+    Pair generation (:func:`jaccard_pair_join`,
+    :func:`near_duplicate_pairs`) yields edges; dedup RESOLUTION needs
+    the transitive closure: if A≈B and B≈C, keep one of {A,B,C}. Each
+    node gets ``component_id`` = the minimum reachable id (its cluster's
+    canonical document); singletons map to themselves.
+
+    Iterative min-label propagation: every round each node takes the
+    min of its own label and its neighbors' labels (one equi-join + one
+    groupBy-min per round, both shuffling on uniform ids). Near-dup
+    graphs are unions of near-cliques, so convergence takes
+    O(cluster diameter) ≈ 2-3 rounds, not O(graph size).
+    ``localCheckpoint`` truncates lineage each round — without it the
+    plan doubles per iteration and planning time explodes by round 10.
+
+    Scale: for adversarial long-chain graphs the alternating
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce") bounds rounds at O(log n); near-dup
+    workloads don't need it.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("component_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = e.join(
+            labels.select(
+                F.col("node").alias("src"), F.col("component_id")
+            ),
+            "src",
+        ).select(F.col("dst").alias("node"), "component_id")
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component_id") != F.col("o.component_id"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    return labels.select(F.col("node").alias(id_col), "component_id")
 
 
 def near_duplicate_pairs(

@@ -1236,6 +1236,52 @@ _STOPWORDS = "('the','and','of','to','a','in','is','it','for','on')"
 
 
 @_register(
+    "dedup_components_docs",
+    r"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS component_id
+    FROM reach GROUP BY node
+    """,
+    "Dedup RESOLUTION: exact-Jaccard near-dup pairs clustered into "
+    "connected components; every document maps to its cluster's "
+    "canonical (minimum) doc_id, singletons to themselves. Spark runs "
+    "iterative min-label propagation (operators/dedup."
+    "connected_components) — a genuinely non-SQL-expressible loop "
+    "checked against DuckDB's recursive-CTE transitive closure.",
+)
+def dedup_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components, jaccard_pair_join
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pair_join(documents, threshold=0.5)
+    return connected_components(documents, pairs)
+
+
+@_register(
     "lang_id_docs",
     f"""
     SELECT doc_id, lang AS labeled_lang,

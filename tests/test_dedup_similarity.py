@@ -84,6 +84,24 @@ def test_exact_jaccard_pair_join(docs):
         assert exact[pair] == pytest.approx(j)
 
 
+def test_connected_components_transitive_chain(spark):
+    from nursinghome_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 0-1-2 plus pair 5-6: transitivity must group {0,1,2} even
+    # though (0,2) is not an edge; 3,4 stay singletons
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    comp = {
+        r.doc_id: r.component_id
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5}
+
+
 def test_knn_brute_force_self_similarity(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     query = emb.where(F.col("vec_id") == 7).select(
