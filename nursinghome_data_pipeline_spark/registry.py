@@ -1792,6 +1792,94 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("nh_stream_hourly_events")
 
 
+def _oracle_corpus_build() -> str:
+    from .functions.text import oracle_quality_score, oracle_token_count
+
+    q = oracle_quality_score("text")
+    return rf"""
+    WITH RECURSIVE fil AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               len(string_split(lower(trim(text)), ' ')) AS n_tok,
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                               t -> t IN {_STOPWORDS})) AS n_stop
+        FROM documents)
+      WHERE n_tok > 0 AND CAST(n_stop AS DOUBLE) / n_tok >= 0.08
+        AND {q} >= 0.6
+    ),
+    canon AS (SELECT min(doc_id) AS doc_id FROM fil GROUP BY md5(text)),
+    surv AS (SELECT f.doc_id, f.text FROM fil f JOIN canon c ON f.doc_id = c.doc_id),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM surv)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM surv
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component_id
+             FROM reach GROUP BY node)
+    SELECT v.doc_id,
+           {oracle_token_count('v.text')} AS n_tokens,
+           {oracle_quality_score('v.text')} AS q_score
+    FROM surv v JOIN comp ON v.doc_id = comp.doc_id
+    WHERE comp.component_id = v.doc_id
+    """
+
+
+@_register(
+    "corpus_build_docs",
+    _oracle_corpus_build(),
+    "END-TO-END training-corpus build: language filter (stopword-ratio "
+    "en) -> quality-score filter -> exact dedup (md5 fingerprint, min "
+    "id canonical) -> exact-Jaccard near-dup clustering -> keep each "
+    "cluster's canonical doc, emit token counts + quality. The full "
+    "LLM-data-pipeline composition, value-checked against one DuckDB "
+    "recursive-CTE oracle.",
+)
+def corpus_build_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_score_col, token_count_col
+    from .operators.dedup import connected_components, jaccard_pair_join
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    stop = [s.strip("'") for s in _STOPWORDS.strip("()").split(",")]
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    is_en = (n_tok > 0) & (n_stop.cast("double") / n_tok >= 0.08)
+    filtered = documents.where(is_en & (quality_score_col("text") >= 0.6))
+    canon = filtered.groupBy(F.md5(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = filtered.join(canon.select("doc_id"), "doc_id", "left_semi")
+    pairs = jaccard_pair_join(survivors, threshold=0.5)
+    comps = connected_components(survivors, pairs)
+    kept = survivors.join(
+        comps.where(F.col("doc_id") == F.col("component_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return kept.select(
+        "doc_id",
+        token_count_col("text").alias("n_tokens"),
+        quality_score_col("text").alias("q_score"),
+    )
+
+
 @_register(
     "streaming_dedup_events",
     """
