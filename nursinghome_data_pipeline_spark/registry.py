@@ -1881,6 +1881,49 @@ def corpus_build_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_enriched_events",
+    f"""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n_events,
+           {oracle_q_sum('e.value')} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+    "Stream-static enrichment join: file-source readStream over events "
+    "joined to the static customer dimension (broadcast — the dim is "
+    "re-read per micro-batch, never shuffled), aggregated per "
+    "(mktsegment, event_type) in complete mode. Hash-checked against "
+    "the batch join twin.",
+)
+def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType
+
+    from .sources.tpch import table_path
+    from .streaming.ingest_stream import run_stream_to_memory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    (customer,) = _t(spark, sf_dir, "customer")
+    enriched = stream.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        stream["user_id"] == F.col("c_custkey"),
+    )
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), q_sum("value", "sum_value")
+    )
+    run_stream_to_memory(agg, "nh_stream_enriched_events", output_mode="complete")
+    return spark.table("nh_stream_enriched_events")
+
+
+@_register(
     "streaming_dedup_events",
     """
     SELECT DISTINCT user_id, event_type FROM events
