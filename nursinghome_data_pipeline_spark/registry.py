@@ -1896,21 +1896,9 @@ def corpus_build_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the batch join twin.",
 )
 def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.types import LongType
-
-    from .sources.tpch import table_path
     from .streaming.ingest_stream import run_stream_to_memory
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = table_path(sf_dir, "events")
-    schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf_dir)
     (customer,) = _t(spark, sf_dir, "customer")
     enriched = stream.join(
         F.broadcast(customer.select("c_custkey", "c_mktsegment")),
@@ -1936,14 +1924,26 @@ def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "state only for the re-delivery window instead of forever.",
 )
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ingest_stream import run_stream_to_memory, streaming_dedup
+
+    stream = _events_stream(spark, sf_dir)
+    deduped = streaming_dedup(
+        stream, keys=["user_id", "event_type"], watermark="90 days"
+    ).select("user_id", "event_type")
+    run_stream_to_memory(deduped, "nh_stream_dedup_events", output_mode="append")
+    return spark.table("nh_stream_dedup_events")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events table with the same
+    nanos-timestamp normalization as the batch loader
+    (``sources/tpch.py:load_tables``)."""
     from pyspark.sql.types import LongType
 
     from .sources.tpch import table_path
-    from .streaming.ingest_stream import run_stream_to_memory, streaming_dedup
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = table_path(sf_dir, "events")
-    schema = spark.read.parquet(path).schema
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1951,11 +1951,169 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(schema["ts"].dataType, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    deduped = streaming_dedup(
-        stream, keys=["user_id", "event_type"], watermark="90 days"
-    ).select("user_id", "event_type")
-    run_stream_to_memory(deduped, "nh_stream_dedup_events", output_mode="append")
-    return spark.table("nh_stream_dedup_events")
+    return stream
+
+
+@_register(
+    "streaming_click_purchase_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_to_purchase
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    "Watermarked stream-stream inner join (SURVEY §2.8 engine-native "
+    "extension): a click stream joined to a purchase stream on user_id "
+    "with an event-time range bound (purchase within 1h of the click). "
+    "Both sides carry watermarks, so join state is evicted once event "
+    "time passes click_ts + 1h + delay — bounded state at any stream "
+    "length, unlike an unbounded stream join. Hash-checked against the "
+    "batch self-join twin (conversion attribution, the streaming "
+    "analogue of the as-of/range joins in the batch surface).",
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ingest_stream import run_stream_to_memory
+
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("secs_to_purchase"),
+    )
+    run_stream_to_memory(joined, "nh_stream_click_purchase", output_mode="append")
+    return spark.table("nh_stream_click_purchase")
+
+
+# ---------------------------------------------------------------------------
+# Exact-percentile / histogram / unpivot battery (§2.10 gap-fill)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "percentile_battery_lineitem",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS qty_q1,
+           quantile_cont(l_quantity, 0.5)  AS qty_median,
+           quantile_cont(l_quantity, 0.75) AS qty_q3,
+           quantile_cont(l_quantity, 0.99) AS qty_p99,
+           quantile_cont(l_extendedprice, 0.5) AS price_median
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Exact grouped percentiles (§2.10 gap: the scale-out version of the "
+    "reference's profiling aggregates, load_nursing_home_data.py:20-36). "
+    "Spark's exact `percentile` and DuckDB's `quantile_cont` share the "
+    "a+(b-a)*f interpolation on doubles, so results are bit-stable. "
+    "Exact percentiles shuffle full values per group; at 100 TB swap to "
+    "`percentile_approx` (KLL-style mergeable sketch, map-side partial) "
+    "— covered rows-only by approx_profile_events.",
+)
+def percentile_battery_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("qty_q1"),
+        F.expr("percentile(l_quantity, 0.5)").alias("qty_median"),
+        F.expr("percentile(l_quantity, 0.75)").alias("qty_q3"),
+        F.expr("percentile(l_quantity, 0.99)").alias("qty_p99"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("price_median"),
+    )
+
+
+@_register(
+    "histogram_order_totalprice",
+    f"""
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           {oracle_q_sum('o_totalprice')} AS sum_price
+    FROM orders GROUP BY 1
+    """,
+    "Fixed-width histogram binning (§2.10 gap — distribution profiling "
+    "for DQ dashboards, the scale path for streamlit_app.py:34-37's "
+    "numeric summaries). floor-division bucketing is a pure projection, "
+    "so the plan is scan → partial agg → |buckets|-row shuffle: "
+    "histogram cost is one pass at any scale.",
+)
+def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            q_sum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+@_register(
+    "unpivot_lineitem_measures",
+    f"""
+    SELECT l_returnflag, measure, {oracle_q_sum('val')} AS total, COUNT(*) AS n
+    FROM (
+        SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    ) GROUP BY l_returnflag, measure
+    """,
+    "Unpivot / melt (wide→long reshape, §2.10 gap): the inverse of the "
+    "reference's pivot (metrics_dashboard.py:34-39), used to turn "
+    "per-measure columns into a long profiling table (the reshape "
+    "inside load_nursing_home_data.py:20-36's completeness profile). "
+    "Spark's native `unpivot` expands rows map-side (no shuffle, no "
+    "UNION re-scan of the fact table — one scan vs the oracle's four); "
+    "the only shuffle is the |groups×measures|-row aggregate.",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.unpivot(
+            ids=["l_returnflag"],
+            values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+        .groupBy("l_returnflag", "measure")
+        .agg(q_sum("val", "total"), F.count(F.lit(1)).alias("n"))
+    )
 
 
 # ---------------------------------------------------------------------------
