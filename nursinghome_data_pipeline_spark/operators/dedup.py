@@ -262,92 +262,67 @@ def ngram_jaccard_col(a: Column | str, b: Column | str, *, shingle_k: int = 3) -
 SIMHASH_BITS = 64
 
 
-def simhash_col(text: Column | str) -> Column:
+def simhash_col(text: str) -> Column:
     """64-bit SimHash of the whitespace-token multiset.
 
     Classic scheme: each token hash votes ±1 per bit position; the
     fingerprint sets bits with positive vote sums. Built as a single
-    ``aggregate`` fold keeping a 64-counter array, then packed into one
-    long with shift/OR — all JVM expressions, map-only at any scale.
+    ``aggregate`` fold over the token-hash array, packed into one long
+    with shift/OR — all JVM expressions, map-only at any scale.
     Near-duplicate docs differ in a few bits (use ``hamming_distance_col``).
+
+    ±1 voting means bit b is set iff 2*count_set(b) > n_tokens, so only
+    the 64 per-bit set-counts are needed. SWAR packing: fold j (0..7)
+    accumulates ``(h >> j) & 0x0101..01`` — byte k of accumulator j
+    counts bit 8k+j — 8 scalar folds of 2 ops/token instead of 64.
+    Byte counters hold ≤255, so docs longer than 255 tokens take a
+    per-bit fallback fold keeping a 64-counter array (CASE WHEN
+    evaluates lazily — one path per row).
+
+    The whole expression is generated as ONE SQL string handed to
+    ``F.expr`` rather than composed from ~10⁴ Column-API calls: the
+    Column tree for the 64-way unpack costs ~3 s of driver-side py4j
+    round-trips per plan build; one string parse is ~0.1 s (measured at
+    sf0.1). Takes a column *name* (spliced into generated SQL).
     """
-    c = F.col(text) if isinstance(text, str) else text
-    th = F.transform(F.split(F.trim(c), r"\s+"), lambda s: F.xxhash64(s))
-    # bit masks as int64 literals (bit 63 is the sign bit → negative)
-    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(SIMHASH_BITS)]
-    #: SWAR byte-lane mask: one set bit per byte of a long
-    SWAR_MASK = 0x0101010101010101
+    # bit masks as int64 literals (bit 63 is the sign bit → negative;
+    # -2^63 won't parse as a single SQL literal, so it's built by
+    # subtraction)
+    def mask(b: int) -> str:
+        return f"{1 << b}L" if b < 63 else "(-9223372036854775807L - 1L)"
 
-    # ±1 voting means bit b is set iff 2*count_set(b) > n_tokens, so
-    # only the 64 per-bit set-counts are needed. SWAR packing: fold j
-    # (0..7) accumulates (h >> j) & 0x0101...01 — byte k of accumulator
-    # j counts bit 8k+j — 8 scalar folds of 2 ops/token instead of 64
-    # (measured 2.0s → 0.35s on 5k docs). Byte counters hold ≤255, so
-    # docs longer than 255 tokens take the per-bit scalar-fold fallback
-    # (CaseWhen evaluates lazily — one path per row).
-    def pack(arr: Column) -> Column:
-        n = F.size(arr)
-
-        def swar_fold(j: int):
-            return lambda acc, h: acc + F.shiftrightunsigned(h, j).bitwiseAND(
-                F.lit(SWAR_MASK)
-            )
-
-        packed = F.array(
-            *[
-                F.aggregate(arr, F.lit(0).cast("long"), swar_fold(j))
-                for j in range(8)
-            ]
+    swar_mask = 0x0101010101010101
+    th = f"transform(split(trim(`{text}`), '\\\\s+'), s -> xxhash64(s))"
+    packed = (
+        "array("
+        + ", ".join(
+            f"aggregate(th, 0L, (acc, h) -> acc + (shiftrightunsigned(h, {j}) & {swar_mask}L))"
+            for j in range(8)
         )
-
-        def unpack(pa: Column) -> Column:
-            out = F.lit(0).cast("long")
-            for b, m in enumerate(masks):
-                j, k = b % 8, b // 8
-                cnt = F.shiftrightunsigned(F.get(pa, j), 8 * k).bitwiseAND(
-                    F.lit(0xFF)
-                )
-                out = out.bitwiseOR(
-                    F.when(cnt * 2 > n, F.lit(m).cast("long")).otherwise(
-                        F.lit(0).cast("long")
-                    )
-                )
-            return out
-
-        # >255-token fallback: ONE fold keeping a 64-counter int array
-        # (zip_with). Slower per token than SWAR but expression-tree
-        # small — 64 separate scalar folds here would dominate codegen
-        # compile time for the whole operator.
-        counts = F.aggregate(
-            arr,
-            F.array_repeat(F.lit(0), SIMHASH_BITS),
-            lambda acc, h: F.zip_with(
-                acc,
-                F.array(
-                    *[
-                        F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("int")
-                        for b in range(SIMHASH_BITS)
-                    ]
-                ),
-                lambda x, y: x + y,
-            ),
-        )
-
-        def slow_unpack(ca: Column) -> Column:
-            out = F.lit(0).cast("long")
-            for b, m in enumerate(masks):
-                out = out.bitwiseOR(
-                    F.when(F.get(ca, b) * 2 > n, F.lit(m).cast("long")).otherwise(
-                        F.lit(0).cast("long")
-                    )
-                )
-            return out
-
-        return F.when(n <= 255, _bind(packed, unpack)).otherwise(
-            _bind(counts, slow_unpack)
-        )
-
-    return _bind(th, pack)
+        + ")"
+    )
+    unpack = " | ".join(
+        f"if(((shiftrightunsigned(get(pa, {b % 8}), {8 * (b // 8)}) & 255) * 2)"
+        f" > size(th), {mask(b)}, 0L)"
+        for b in range(SIMHASH_BITS)
+    )
+    fast = f"get(transform(array({packed}), pa -> ({unpack})), 0)"
+    # >255-token fallback: ONE fold keeping a 64-counter int array
+    # (zip_with) — slower per token than SWAR but branch-local.
+    bit_extracts = ", ".join(
+        f"cast((shiftrightunsigned(h, {b}) & 1) as int)" for b in range(SIMHASH_BITS)
+    )
+    counts = (
+        f"aggregate(th, array_repeat(0, {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, array({bit_extracts}), (x, y) -> x + y))"
+    )
+    slow_unpack = " | ".join(
+        f"if((get(ca, {b}) * 2) > size(th), {mask(b)}, 0L)"
+        for b in range(SIMHASH_BITS)
+    )
+    slow = f"get(transform(array({counts}), ca -> ({slow_unpack})), 0)"
+    body = f"CASE WHEN size(th) <= 255 THEN {fast} ELSE {slow} END"
+    return F.expr(f"get(transform(array({th}), th -> {body}), 0)")
 
 
 def hamming_distance_col(a: Column | str, b: Column | str) -> Column:
