@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "session_window_stats",
     "knn_cosine_topk",
     "centroid_by_label",
+    "chunk_documents_overlap",
+    "token_heavy_hitters",
+    "shipping_priority_topk",
+    "returned_item_report",
+    "large_volume_customers",
 ]
 
 

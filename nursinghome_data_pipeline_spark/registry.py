@@ -2117,6 +2117,436 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-preparation battery (north star: training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+#: overlapping-chunk parameters (tokens per chunk / stride between starts)
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+#: Knuth multiplicative constant — deterministic arithmetic "hash" that
+#: both engines compute identically on BIGINT (no engine hash functions,
+#: which differ between Spark and DuckDB).
+MIX_PRIME = 2654435761
+
+
+@_register(
+    "chunk_documents_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+    )
+    SELECT doc_id,
+           CAST(s AS BIGINT) // {CHUNK_STRIDE} AS chunk_id,
+           array_to_string(tk[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text,
+           CAST(least(len(tk) - s, {CHUNK_SIZE}) AS BIGINT) AS n_tokens
+    FROM toks,
+         unnest(generate_series(0, CAST(greatest(len(tk) - 1, 0) AS BIGINT),
+                                {CHUNK_STRIDE})) AS g(s)
+    """,
+    "Overlapping token-window chunking (LLM context packing): split each "
+    "document into 32-token chunks with stride 24 (8-token overlap). "
+    "Pure map-side generate: tokenize once, explode a lazily-built "
+    "start-offset sequence, slice the token array per offset — no "
+    "shuffle, no UDF, linear in corpus size, embarrassingly parallel at "
+    "100 TB. Chunk ids are derived from offsets, so output is "
+    "deterministic under any partitioning.",
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    tk = F.split(F.trim(F.col("text")), " ")
+    return (
+        docs.select("doc_id", tk.alias("tk"))
+        .select(
+            "doc_id",
+            "tk",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("tk") - 1, F.lit(0)),
+                    F.lit(CHUNK_STRIDE),
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.floor(F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(F.col("tk"), F.col("s") + 1, F.lit(CHUNK_SIZE))
+            ).alias("chunk_text"),
+            F.least(F.size("tk") - F.col("s"), F.lit(CHUNK_SIZE))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+@_register(
+    "repetition_ratio_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(tk) - 1),
+                            i -> tk[i] || ' ' || tk[i + 1]) AS bigrams
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           CASE WHEN len(bigrams) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                           / len(bigrams)
+           END AS rep_ratio
+    FROM bg
+    """,
+    "Gopher-style repetition quality signal: fraction of duplicate "
+    "token bigrams per document (high ratio = boilerplate/spam, filter "
+    "before training). All array expressions (transform over an index "
+    "sequence + array_distinct) — map-only, JVM codegen, no shuffle. "
+    "The Spark side guards size<=1 explicitly because Spark's sequence() "
+    "generates DESCENDING ranges when start > stop (DuckDB returns "
+    "empty) — a cross-engine trap pinned by this oracle.",
+)
+def repetition_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    tk = F.split(F.trim(F.col("text")), " ")
+    bigrams = F.when(
+        F.size("tk") > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("tk"), i),
+                F.lit(" "),
+                F.element_at(F.col("tk"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", tk.alias("tk"))
+        .select("doc_id", bigrams.alias("bigrams"))
+        .select(
+            "doc_id",
+            F.size("bigrams").cast("long").alias("n_bigrams"),
+            F.when(F.size("bigrams") == 0, F.lit(0.0))
+            .otherwise(
+                F.lit(1.0)
+                - F.size(F.array_distinct("bigrams")).cast("double")
+                / F.size("bigrams")
+            )
+            .alias("rep_ratio"),
+        )
+    )
+
+
+@_register(
+    "token_heavy_hitters",
+    """
+    SELECT tok, n FROM (
+      SELECT tok, COUNT(*) AS n,
+             row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ) WHERE rn <= 20
+    """,
+    "Exact corpus-level heavy hitters: top-20 most frequent tokens "
+    "(vocabulary head — stopword discovery / tokenizer sanity at corpus "
+    "scale). explode → partial-aggregated count → global top-k via "
+    "TakeOrderedAndProject (each partition keeps its local top-20; the "
+    "driver merges k*partitions rows — no global sort, no single-node "
+    "window). Tie-broken on token so the selected SET is deterministic.",
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+_EMAIL_RE = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@_register(
+    "pii_redact_docs",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+    "PII redaction (training-data scrubbing): count and mask email/"
+    "phone patterns via regexp_extract_all + regexp_replace. The test "
+    "corpus has no organic PII, so the query splices a deterministic "
+    "synthetic contact string per row first — the oracle then verifies "
+    "both engines find and mask identical spans. Patterns restricted to "
+    "syntax where Java regex and RE2 agree (no lookaround/backrefs). "
+    "Map-only at any scale; DuckDB needs the 'g' flag where Spark "
+    "replaces all matches by default — pinned here.",
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select("doc_id", aug.alias("t")).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+@_register(
+    "stratified_sample_docs",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (doc_id * {MIX_PRIME}) % 1000 <
+          CASE WHEN lang = 'en' THEN 100 ELSE 400 END
+    """,
+    "Stratified deterministic sampling: downsample the over-represented "
+    "language (en → 10%) while keeping 40% of the rest — the standard "
+    "corpus-rebalancing step before training. The sampling decision is "
+    "a pure arithmetic hash on the stable key (Knuth multiplicative, "
+    "mod 1000), NOT rand() or an engine hash — reproducible across "
+    "engines, runs, and partitionings, and pushed down to the scan as "
+    "an ordinary filter. At 100 TB this is a full-scan map-only filter "
+    "with no shuffle and no RNG-seed coordination across executors.",
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(MIX_PRIME)) % 1000
+    rate = F.when(F.col("lang") == "en", 100).otherwise(400)
+    return docs.where(bucket < rate).select("doc_id", "lang", "source")
+
+
+@_register(
+    "dataset_mix_sources",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN (doc_id * {MIX_PRIME}) % 10 <
+                         CAST(substr(source, 4) AS INTEGER) % 5 + 1
+                    THEN 1 ELSE 0 END) AS n_kept
+    FROM documents
+    GROUP BY source
+    """,
+    "Weighted dataset mixing report: each source gets a sampling weight "
+    "(1/10 … 5/10, derived here from the source id; in production from "
+    "a mixing config), and the report shows planned kept-vs-total per "
+    "source — the dry-run audit before materializing a training mix. "
+    "Same arithmetic-hash determinism as stratified_sample_docs; one "
+    "partial-aggregated groupBy over |sources| groups.",
+)
+def dataset_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    tier = F.substring("source", 4, 10).cast("int") % 5 + 1
+    kept = (F.col("doc_id") * F.lit(MIX_PRIME)) % 10 < tier
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style star-join battery (classic analytics shapes, §2.10 breadth)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "shipping_priority_topk",
+    f"""
+    SELECT l_orderkey,
+           {oracle_q_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "TPC-H Q3 shape (shipping priority): segment-filtered customer dim "
+    "broadcast into orders, shuffle-join to lineitem on the order key, "
+    "grouped revenue, global top-10 via TakeOrderedAndProject. Both "
+    "date filters push to the parquet scans; the customer filter "
+    "shrinks the broadcast side before the join. Revenue is quantized "
+    "and tie-broken on l_orderkey so the top-k SET is deterministic "
+    "cross-engine.",
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    return (
+        F.broadcast(
+            customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+        )
+        .join(
+            orders.where(F.col("o_orderdate") < cutoff),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            lineitem.where(F.col("l_shipdate") > cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            q_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "returned_item_report",
+    f"""
+    SELECT c_custkey, c_name,
+           {oracle_q_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "TPC-H Q10 shape (returned-item reporting): half-year order window, "
+    "returned lineitems only, revenue per customer enriched with the "
+    "nation dim. nation (25 rows) broadcasts; the orders window filter "
+    "pushes down before the fact join. Quantized revenue + custkey "
+    "tie-break keeps the top-20 deterministic.",
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem, nation = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-07-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        customer.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            lineitem.where(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            q_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "promo_revenue",
+    f"""
+    SELECT 100.0 * ({oracle_q_sum(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+    )}) / ({oracle_q_sum('l_extendedprice * (1 - l_discount)')}) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '2000-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '2000-10-01 00:00:00'
+    """,
+    "TPC-H Q14 shape (promotion effect): one-month lineitem slice "
+    "broadcast-joined to the part dim, conditional revenue share as a "
+    "single scalar. Both quantized sums come out of ONE aggregate pass; "
+    "the division of two bit-identical doubles is bit-identical. The "
+    "ship-date range prunes the fact scan; part broadcasts.",
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit("2000-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-10-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            q_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)).alias(
+                "promo"
+            ),
+            q_sum(rev).alias("total"),
+        )
+        .select((F.lit(100.0) * F.col("promo") / F.col("total")).alias("promo_pct"))
+    )
+
+
+@_register(
+    "large_volume_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    ) lq
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    "TPC-H Q18 shape (large-volume customers): aggregate-then-join — "
+    "the HAVING filter collapses lineitem to a tiny keyset BEFORE "
+    "joining orders/customer, so the expensive fact table is reduced by "
+    "partial aggregation first (the aggregate's shuffle key is also the "
+    "join key, so AQE can reuse the exchange). l_quantity values are "
+    "small integers stored as double — the sum is exact, no "
+    "quantization needed.",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    lq = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        lq.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
 
