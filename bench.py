@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "shipping_priority_topk",
     "returned_item_report",
     "large_volume_customers",
+    "tfidf_topk_docs",
+    "merge_upsert_customers",
 ]
 
 

@@ -26,7 +26,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions.exprs import oracle_q_avg, oracle_q_sum, q_avg, q_sum, q_sum_term
+from .functions.exprs import (
+    Q_BITS,
+    oracle_q_avg,
+    oracle_q_sum,
+    q_avg,
+    q_sum,
+    q_sum_term,
+)
 from .functions.text import (
     normalize_quarter_col,
     oracle_quality_score,
@@ -368,24 +375,38 @@ def quarter_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r_name
     """,
     "N-way chained inner equi-join (J1, calculate_metrics.py:56-68) as a "
-    "star join. Tiny dims (region/nation) get explicit broadcast hints; "
+    "star join. Lineitem is pre-aggregated to per-order quantized "
+    "partial sums BEFORE any join: partial aggregation collapses the "
+    "fact ~4:1 map-side, the one big shuffle carries (orderkey, "
+    "decimal) pairs instead of full lineitem rows, and the oracle's "
+    "COUNT(DISTINCT o_orderkey) becomes a plain COUNT(*) (no Expand "
+    "pass) because per-order rows are already distinct. Quantized "
+    "per-row terms are floored to exact decimals, so regrouping the "
+    "addition per order then per region is bit-identical to the flat "
+    "sum. Tiny dims (region/nation) get explicit broadcast hints; "
     "customer is left to AQE, which broadcasts it while it fits and "
-    "falls back to shuffle join at scale. Only the orders⋈lineitem edge "
-    "shuffles on a 1000-executor cluster.",
+    "falls back to shuffle join at scale.",
 )
 def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     region, nation, customer, orders, lineitem = _t(
         spark, sf_dir, "region", "nation", "customer", "orders", "lineitem"
     )
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            q_sum_term(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("qrev")
+    )
     return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-            q_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            (F.sum("qrev").cast("double") / F.lit(float(1 << Q_BITS))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
@@ -2543,6 +2564,199 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         lq.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+@_register(
+    "merge_upsert_customers",
+    """
+    WITH updates AS (
+      SELECT c_custkey + 1000000000 AS u_custkey, c_name AS u_name,
+             c_acctbal + 100.0 AS u_acctbal
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal + 100.0
+      FROM customer WHERE c_custkey % 5 = 1
+    )
+    SELECT COALESCE(u_custkey, c_custkey) AS custkey,
+           COALESCE(u_name, c_name) AS name,
+           COALESCE(u_acctbal, c_acctbal) AS acctbal,
+           CASE WHEN c_custkey IS NULL THEN 'insert'
+                WHEN u_custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS merge_action
+    FROM customer FULL OUTER JOIN updates ON c_custkey = u_custkey
+    """,
+    "MERGE / upsert semantics (the scale path for the reference's "
+    "idempotent skip-existing sink, upload_to_s3.py:86-93, and the "
+    "if_exists='replace' staging writes): target FULL OUTER JOIN "
+    "updates on the key, COALESCE picks the newer value, and a "
+    "merge_action column audits insert/update/keep — the same plan a "
+    "Delta/Iceberg MERGE compiles to. The update set here is derived "
+    "deterministically from the target (a fifth updated in place, a "
+    "fifth re-keyed as inserts) so the oracle is self-contained. At "
+    "scale the join shuffles both sides on the merge key; AQE handles "
+    "skew, and writing the result partitioned by key range gives "
+    "copy-on-write file replacement.",
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    inserts = customer.where(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 1000000000).alias("u_custkey"),
+        F.col("c_name").alias("u_name"),
+        (F.col("c_acctbal") + 100.0).alias("u_acctbal"),
+    )
+    updates = customer.where(F.col("c_custkey") % 5 == 1).select(
+        F.col("c_custkey").alias("u_custkey"),
+        F.col("c_name").alias("u_name"),
+        (F.col("c_acctbal") + 100.0).alias("u_acctbal"),
+    )
+    src = inserts.unionByName(updates)
+    return (
+        customer.join(src, F.col("c_custkey") == F.col("u_custkey"), "full_outer")
+        .select(
+            F.coalesce("u_custkey", "c_custkey").alias("custkey"),
+            F.coalesce("u_name", "c_name").alias("name"),
+            F.coalesce("u_acctbal", "c_acctbal").alias("acctbal"),
+            F.when(F.col("c_custkey").isNull(), "insert")
+            .when(F.col("u_custkey").isNull(), "keep")
+            .otherwise("update")
+            .alias("merge_action"),
+        )
+    )
+
+
+@_register(
+    "scd2_customer_order_history",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER w AS effective_to,
+           CAST(lead(o_orderdate) OVER w IS NULL AS INTEGER) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "SCD type-2 validity intervals (temporal-table coverage, §2.10 "
+    "window gap): each change event's effective range is "
+    "[its date, next event's date) via lead() per key, open-ended + "
+    "is_current on the latest. One shuffle on the entity key; the "
+    "within-key sort is local to each partition, so the pattern holds "
+    "at any number of keys (state per key is bounded by its own "
+    "history). Tie-broken on orderkey for same-date events so the "
+    "chain is deterministic.",
+)
+def scd2_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    eff_to = F.lead("o_orderdate").over(w)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("effective_from"),
+        eff_to.alias("effective_to"),
+        eff_to.isNull().cast("int").alias("is_current"),
+    )
+
+
+@_register(
+    "inverted_index_tokens",
+    """
+    WITH tf AS (
+      SELECT tok, doc_id FROM (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+      ) GROUP BY tok, doc_id
+    )
+    SELECT tok,
+           COUNT(*) AS doc_freq,
+           array_to_string(list_sort(list(doc_id))[1:10], ',') AS posting_head
+    FROM tf GROUP BY tok
+    """,
+    "Inverted-index construction (retrieval / dedup-lookup side "
+    "structure): token → document frequency + the first 10 postings. "
+    "explode → distinct (map-side combined) → per-token aggregation; "
+    "posting lists are truncated to a bounded head so no single hot "
+    "token (stopword) can blow up a reducer — the full-list variant "
+    "would need the same salting as operators/skew.py. Postings "
+    "serialize as a sorted CSV string (the oracle harness compares "
+    "scalars, and string form pins exact order).",
+)
+def inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"), "doc_id"
+        )
+        .groupBy("tok", "doc_id")
+        .agg(F.lit(1))
+    )
+    return tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.concat_ws(
+            ",",
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).cast(
+                "array<string>"
+            ),
+        ).alias("posting_head"),
+    )
+
+
+@_register(
+    "tfidf_topk_docs",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+    ), dfq AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, tok, score FROM (
+      SELECT tf.doc_id, tf.tok,
+             CAST(tf.tf AS DOUBLE) * ((n.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE)
+                        * ((n.n - dfq.df + 0.5) / (dfq.df + 0.5)) DESC,
+                        tf.tok
+             ) AS rn
+      FROM tf JOIN dfq USING (tok) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+    "TF-IDF keyword extraction, top-3 terms per document. The idf is "
+    "the RATIONAL BM25-style form (N - df + 0.5)/(df + 0.5) — "
+    "deliberately log-free: ln() is transcendental and engines may "
+    "differ in the last ulp, which would break exact cross-engine "
+    "comparison; the rational form is pure double arithmetic in fixed "
+    "operation order, bit-identical everywhere, and ranks terms "
+    "monotonically identically to the log form. tf and df come from "
+    "two partial-aggregated groupBys; the df join shuffles on token "
+    "(AQE broadcasts while vocab fits); top-3 per doc uses a rank "
+    "window that WindowGroupLimit prunes per partition.",
+)
+def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    score = (
+        F.col("tf").cast("double")
+        * ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    ).alias("score")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        tf.join(dfq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", score)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "tok", "score")
     )
 
 
