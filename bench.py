@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "large_volume_customers",
     "tfidf_topk_docs",
     "merge_upsert_customers",
+    "weekly_retention_cohorts",
+    "funnel_signup_click_purchase",
 ]
 
 

@@ -2761,6 +2761,150 @@ def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series analytics battery over events (gap-fill, cohorts, funnel)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "hourly_events_gapfill",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-30 23:00:00',
+                                    INTERVAL 1 HOUR)) AS hour_ts
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS c
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT t.event_type, s.hour_ts, COALESCE(h.c, 0) AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN hourly h ON h.event_type = t.event_type AND h.hour_ts = s.hour_ts
+    """,
+    "Time-series gap filling (resample-to-dense): hourly event counts "
+    "INCLUDING empty hours, from a generated hour spine cross-joined "
+    "with the type domain and left-joined to the sparse aggregate. The "
+    "spine is |hours|x|types| rows — tiny and broadcastable regardless "
+    "of fact size — so the expensive side is only the one partial-"
+    "aggregated groupBy of events. Dense output is what downstream "
+    "anomaly detection / charting needs; missing hours as zeros, not "
+    "absent rows.",
+)
+def hourly_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    spine = spark.sql(
+        "SELECT explode(sequence(timestamp'2024-01-01 00:00:00', "
+        "timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hour_ts"
+    )
+    types = events.select("event_type").distinct()
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(hourly, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type", "hour_ts", F.coalesce("c", F.lit(0)).alias("n_events")
+        )
+    )
+
+
+@_register(
+    "weekly_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, date_trunc('week', ts)) // 7
+                AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY cohort_week, week_offset
+    """,
+    "Cohort retention: users grouped by first-seen week, activity "
+    "counted per week offset — the standard retention triangle. Two "
+    "shuffles on user_id (first-seen aggregate, then the enrich join; "
+    "AQE reuses/broadcasts the first-seen side while it fits) plus one "
+    "on the small (cohort, offset) key. Week truncation is Monday-"
+    "based in both Spark and DuckDB — pinned by this oracle.",
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        events.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@_register(
+    "funnel_signup_click_purchase",
+    """
+    WITH u AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(ts) AS c FROM events e JOIN u ON e.user_id = u.user_id
+      WHERE event_type = 'click' AND ts > s GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(ts) AS p FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE event_type = 'purchase' AND ts > c GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(s) FROM u) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase
+    """,
+    "Ordered funnel analysis: users who signed up, then clicked AFTER "
+    "the signup, then purchased AFTER that click — strict event-order "
+    "matching via cascaded conditional-min aggregates, not just "
+    "presence counts. Each stage is a groupBy on user_id; AQE "
+    "broadcasts the shrinking stage keysets into the next join, so "
+    "cost decays down the funnel. (A single-shuffle variant would "
+    "sessionize per user with one groupBy + array sort — used by "
+    "streaming/sessionize.py; this form stays pure-SQL for the "
+    "oracle.)",
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s")
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(u, "user_id")
+        .where(F.col("ts") > F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    return (
+        u.agg(F.count("s").alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+# ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
 

@@ -87,3 +87,41 @@ def test_time_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # partition filter present; full row count preserved across partitions
     assert "p_day" in plan and "PartitionFilters" in plan
     assert part.count() == events.count()
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    from nursinghome_data_pipeline_spark.operators.skew import has_exchange
+
+    df = registry.queries()["chunk_documents_overlap"](spark, sf_dir)
+    assert not has_exchange(df), "chunking must not shuffle"
+
+
+def test_heavy_hitters_uses_take_ordered(spark, sf_dir):
+    plan = _formatted_plan(registry.queries()["token_heavy_hitters"](spark, sf_dir))
+    # global top-k must merge per-partition heads, never globally sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_topk_prunes_window_groups(spark, sf_dir):
+    plan = _formatted_plan(registry.queries()["tfidf_topk_docs"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_region_revenue_preaggregates_without_expand(spark, sf_dir):
+    plan = _formatted_plan(registry.queries()["revenue_by_region"](spark, sf_dir))
+    # distinct-order counting must come from the per-order pre-aggregate,
+    # not a countDistinct Expand over joined lineitem rows
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+
+
+def test_merge_upsert_never_nested_loop(spark, sf_dir):
+    plan = _formatted_plan(registry.queries()["merge_upsert_customers"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sampling_filter_is_pushed_into_scan_stage(spark, sf_dir):
+    rep = plan_report(registry.queries()["stratified_sample_docs"](spark, sf_dir))
+    # arithmetic-hash sampling compiles to a plain filter: map-only plan
+    assert rep["n_exchanges"] == 0
