@@ -248,3 +248,44 @@ def knn_lsh(
         .select(id_col, _cosine(vec_col, "query_embedding").alias("cosine_sim"))
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def whiten_by_label(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding whitening via grouped ``applyInPandas``.
+
+    Each label's vectors are mean-centered and scaled to unit per-
+    dimension std (population; zero-variance dims pass through
+    centered). This is the engine's canonical GROUPED Arrow-UDF shape —
+    the path for per-group numerics Spark expressions can't reach
+    (here: a vectorized two-moment pass; same plumbing serves per-group
+    PCA/regression). Rows are sorted by id inside each pandas group
+    before accumulation so the float result is deterministic under any
+    partitioning; groups are independent, so the single shuffle on the
+    label key is the whole distribution cost, and executor memory
+    bounds the LARGEST group, not the table.
+    """
+    import numpy as np
+
+    out_schema = df.select(id_col, label_col, vec_col).schema
+
+    def whiten(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        mean = mat.mean(axis=0)
+        std = mat.std(axis=0)
+        std[std == 0.0] = 1.0
+        white = (mat - mean) / std
+        pdf[vec_col] = [row.astype(np.float32).tolist() for row in white]
+        return pdf
+
+    return (
+        df.select(id_col, label_col, vec_col)
+        .groupBy(label_col)
+        .applyInPandas(whiten, schema=out_schema)
+    )

@@ -2904,6 +2904,51 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "whitened_embeddings_by_label",
+    None,  # grouped Arrow UDF float output — not SQL-expressible bit-stably
+    "Per-label embedding whitening (operators/similarity.whiten_by_label): "
+    "grouped applyInPandas, one shuffle on the label key, mean-center + "
+    "unit-std per dimension inside each group. Rows sorted by id within "
+    "each pandas group make the float results partition-invariant "
+    "(pinned by tests/test_embeddings_and_pydatasource.py, which also "
+    "checks the per-dim moments). Rows-only here because per-group "
+    "numpy summation order cannot be mirrored in SQL bit-for-bit.",
+)
+def whitened_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import whiten_by_label
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return whiten_by_label(emb)
+
+
+@_register(
+    "synthetic_docs_quality",
+    None,  # source generates data in-executor; no parquet twin to oracle
+    "Custom Python Data Source (sources/pydatasource.py, Spark 4 "
+    "pyspark.sql.datasource API): deterministic in-executor corpus "
+    "generation — rows are a pure function of doc_id, so any partition "
+    "count / retry / executor layout yields identical data (partition-"
+    "invariance pinned by test). Feeds the standard text operators; "
+    "this query scores 1000 generated docs. The scale-testing path "
+    "beyond the shipped sf0.1 fixtures: a 10^12-row corpus costs no "
+    "driver memory and no storage.",
+)
+def synthetic_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.pydatasource import register as register_source
+
+    register_source(spark)
+    docs = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 1000)
+        .option("partitions", 8)
+        .load()
+    )
+    return docs.select(
+        "doc_id", "lang", quality_score_col("text").alias("quality")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
