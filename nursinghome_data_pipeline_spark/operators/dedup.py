@@ -386,6 +386,7 @@ def jaccard_pair_join(
     text_col: str = "text",
     threshold: float = 0.5,
     shingle_k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard >= threshold (no LSH approximation).
 
@@ -405,11 +406,20 @@ def jaccard_pair_join(
       materialized at all, unlike a cross join.
 
     Scale: shuffle keys are shingle hashes (uniform); a stop-shingle
-    appearing in f fraction of docs contributes O((fn)^2) pair rows —
-    run :func:`exact_dedup_fingerprints` first and consider dropping
-    top-frequency shingles for adversarial corpora. Complements
-    :func:`near_duplicate_pairs` (LSH), which trades exactness for a
-    near-linear candidate set; this one is the auditable ground truth.
+    appearing in f fraction of docs contributes O((fn)^2) pair rows.
+    ``max_df`` bounds this: postings whose shingle occurs in more than
+    ``max_df`` documents are dropped before the join (one extra
+    groupBy over posting keys + a broadcast anti-join of the tiny stop
+    list), capping any shingle's pair contribution at O(max_df²).
+    The prune is ONE-SIDED: set sizes (``sz``) stay exact full-set
+    sizes while the counted intersection can only shrink, so the
+    computed Jaccard is a lower bound — no false positives, but a pair
+    whose overlap is mostly stop shingles can fall below threshold
+    (recall loss quantified in tests/test_dedup_similarity.py). Run
+    :func:`exact_dedup_fingerprints` first for mass-duplicated
+    payloads. Complements :func:`near_duplicate_pairs` (LSH), which
+    trades exactness for a near-linear candidate set; this one
+    (``max_df=None``) is the auditable ground truth.
     """
     sets = df.select(
         F.col(id_col),
@@ -422,6 +432,14 @@ def jaccard_pair_join(
     post = sets.select(
         id_col, "sz", F.explode("sh").alias("shingle")
     ).localCheckpoint(eager=False)
+    if max_df is not None:
+        stop = (
+            post.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        post = post.join(F.broadcast(stop), "shingle", "left_anti")
     a, b = post.alias("a"), post.alias("b")
     inter = (
         a.join(

@@ -27,12 +27,34 @@ from pyspark.sql import functions as F
 _SALT = "__salt"
 
 
+def _salt_col(df: DataFrame, salt_cols: list[str] | None, n_salts: int) -> Column:
+    """Deterministic salt in [0, n_salts) from REAL row columns.
+
+    Never ``monotonically_increasing_id()`` / ``rand()``: both are
+    recompute-nondeterministic — if a shuffle-map task is retried
+    (executor loss, stage retry) after some reducers already fetched its
+    output, rows land in different salt buckets on the re-run and the
+    two-phase aggregate can double-count or drop them (the classic
+    SPARK-23207 repartition-nondeterminism hazard). Hashing actual row
+    values reproduces the same bucket on every recomputation.
+
+    Defaults to hashing ALL columns; pass ``salt_cols`` (e.g. a unique
+    id) to pin the distribution source explicitly. Fully duplicate rows
+    share a salt — irrelevant for spreading a hot KEY, whose rows differ
+    off-key; a corpus of byte-identical rows should be exact-deduped
+    first anyway.
+    """
+    cols = salt_cols if salt_cols else df.columns
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
     aggs: dict[str, tuple[str, Column]],
     *,
     n_salts: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
@@ -43,10 +65,9 @@ def salted_aggregate(
     shuffle layout changes: the first exchange hashes (keys, salt), so
     a hot key occupies ``n_salts`` reducers instead of one; the second
     exchange moves only ``n_salts`` pre-aggregated rows per group.
+    The salt is a deterministic row-value hash (see :func:`_salt_col`).
     """
-    salted = df.withColumn(
-        _SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
-    )
+    salted = df.withColumn(_SALT, _salt_col(df, salt_cols, n_salts))
     partial = salted.groupBy(*keys, _SALT).agg(
         *[
             getattr(F, fn)(expr).alias(out)
@@ -69,19 +90,20 @@ def salted_join(
     *,
     n_salts: int = 16,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the large side, replicate the small.
 
-    The large side gets a uniform random-but-deterministic salt in
-    [0, n_salts); the small side is exploded ``n_salts``× so every
-    (key, salt) bucket finds its match. Shuffle volume for the small
-    side grows n_salts×, but the large side's hot key now spreads over
-    ``n_salts`` reducers. Use when AQE's runtime skew splitting isn't
-    available (e.g. the join feeds a co-partitioned downstream op).
+    The large side gets a deterministic row-value-hash salt in
+    [0, n_salts) (see :func:`_salt_col` for why never
+    ``monotonically_increasing_id``); the small side is exploded
+    ``n_salts``× so every (key, salt) bucket finds its match. Shuffle
+    volume for the small side grows n_salts×, but the large side's hot
+    key now spreads over ``n_salts`` reducers. Use when AQE's runtime
+    skew splitting isn't available (e.g. the join feeds a
+    co-partitioned downstream op).
     """
-    keyed = large.withColumn(
-        _SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
-    )
+    keyed = large.withColumn(_SALT, _salt_col(large, salt_cols, n_salts))
     replicated = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -120,13 +120,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
            {oracle_q_sum('o_totalprice')} AS total_price,
-           SUM(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large,
+           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 END) AS BIGINT) AS n_large,
            {oracle_q_avg('o_totalprice')} AS avg_price
     FROM orders GROUP BY o_orderstatus
     """,
     "Shape-parity with v_penalties_by_state (build.py:98-107): COUNT(*), "
-    "SUM, conditional count via no-ELSE CASE (NULL when no match — "
-    "identical in Spark and DuckDB), and mean.",
+    "SUM, conditional count via no-ELSE CASE, and mean. The oracle's "
+    "conditional count is CAST to BIGINT: DuckDB SUM over INTEGER yields "
+    "HUGEINT (float64 via pandas) while Spark sum(when(cond,1)) is bigint; "
+    "without the cast the driver's value-hash diverges on dtype alone.",
 )
 def orders_status_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
@@ -738,9 +740,15 @@ def lang_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
+    # The signature stays array<bigint> internally (operators/dedup
+    # consumes the Column API); the registry boundary serializes it to a
+    # single string because the driver's rows-only hasher canonicalizes
+    # via pandas sort_values, which cannot hash Python lists.
     return documents.select(
         "doc_id",
-        minhash_signature_col("text", n_hashes=16).alias("signature"),
+        F.array_join(
+            minhash_signature_col("text", n_hashes=16).cast("array<string>"), ","
+        ).alias("signature"),
     )
 
 
@@ -1193,23 +1201,53 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
+    # percentile_approx returns array<double>; flatten to scalar columns
+    # so the driver's rows-only hasher (pandas sort + hash) can handle it.
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99])
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_quantiles"),
+        F.round(q.getItem(0), 6).alias("value_p50"),
+        F.round(q.getItem(1), 6).alias("value_p95"),
+        F.round(q.getItem(2), 6).alias("value_p99"),
     )
 
 
 @_register(
     "near_duplicate_pairs_docs",
-    None,  # xxhash64-based LSH is Spark-specific → rows-only check
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS n_common,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(n_common AS DOUBLE) / n_union AS jaccard
+    FROM p
+    WHERE CAST(n_common AS DOUBLE) / n_union >= 0.8
+    """,
     "End-to-end near-dup dedup on documents: MinHash → LSH band join → "
-    "exact n-gram Jaccard verification (operators/dedup).",
+    "exact n-gram Jaccard verification (operators/dedup). Oracle is the "
+    "EXACT all-pairs Jaccard at the same threshold: the verify step "
+    "guarantees no false positives, and 8 bands × 2 rows drives LSH "
+    "recall at J=0.8 to 1-(1-J²)⁸ ≈ 0.9997 (≈1 for the near-identical "
+    "duplicates the corpus contains), so on the fixed testdata the LSH "
+    "output equals the exact pair set — a true end-to-end check, not "
+    "rows-only.",
 )
 def near_duplicate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import near_duplicate_pairs
 
     (documents,) = _t(spark, sf_dir, "documents")
-    return near_duplicate_pairs(documents, threshold=0.8)
+    return near_duplicate_pairs(documents, threshold=0.8, n_hashes=16, bands=8)
 
 
 @_register(
@@ -1415,9 +1453,9 @@ def bpe_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+                  AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
@@ -2372,9 +2410,9 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT source,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN (doc_id * {MIX_PRIME}) % 10 <
-                         CAST(substr(source, 4) AS INTEGER) % 5 + 1
-                    THEN 1 ELSE 0 END) AS n_kept
+           CAST(SUM(CASE WHEN (doc_id * {MIX_PRIME}) % 10 <
+                          CAST(substr(source, 4) AS INTEGER) % 5 + 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents
     GROUP BY source
     """,
@@ -2919,7 +2957,20 @@ def whitened_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import whiten_by_label
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    return whiten_by_label(emb)
+    out = whiten_by_label(emb)
+    # Registry boundary: the whitened vector stays array<double> for the
+    # operator API, but the driver's rows-only hasher needs hashable
+    # scalars — emit rounded summary stats of each whitened vector.
+    v = F.col("embedding")
+    return out.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("l2_norm"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 4).alias("comp_sum"),
+        F.round(v.getItem(0), 4).alias("comp_0"),
+    )
 
 
 @_register(

@@ -90,18 +90,98 @@ def manifest_lines(manifest: DataFrame) -> DataFrame:
     )
 
 
+COPY_RESULT_SCHEMA = (
+    MANIFEST_SCHEMA + ", dest_path string, copied boolean, verify_sha256 string"
+)
+
+
+def _local_path(p: str) -> str:
+    """Strip the ``file:`` scheme the binaryFile source prefixes."""
+    if p.startswith("file://"):
+        return p[len("file://"):]
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    return p
+
+
+def copy_files(
+    plan: DataFrame,
+    base_dir: str,
+    dest_root: str,
+    *,
+    verify: bool = True,
+) -> DataFrame:
+    """K7 byte-copy executor (upload_to_s3.py:119-203's actual upload).
+
+    Copies each planned file to ``dest_root`` preserving its path
+    relative to ``base_dir``, ON THE EXECUTORS (``mapInPandas`` over the
+    plan rows — each task copies its partition's files, so throughput
+    scales with the cluster exactly like the reference's thread pool,
+    but without a driver bottleneck). Local-FS here; an object-store
+    deployment swaps ``shutil`` for an S3A/Hadoop-FS client in this one
+    function — the decision layer above is storage-agnostic.
+
+    Writes are tmp-file + atomic ``os.replace`` so a killed task never
+    leaves a torn destination file; ``verify=True`` re-hashes the
+    DESTINATION bytes and marks ``copied`` false on mismatch (the
+    reference's end-to-end integrity check). Only rows with
+    ``copied=true`` may enter the manifest — see :func:`sync`.
+    """
+    import hashlib
+    import shutil
+
+    def do_copy(pdfs):
+        for pdf in pdfs:
+            dests, ok, vsha = [], [], []
+            for p, sha in zip(pdf["path"], pdf["sha256"]):
+                src = _local_path(p)
+                dst = os.path.join(dest_root, os.path.relpath(src, base_dir))
+                try:
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    tmp = f"{dst}.__inflight"
+                    shutil.copyfile(src, tmp)
+                    os.replace(tmp, dst)
+                    if verify:
+                        with open(dst, "rb") as fh:
+                            h = hashlib.sha256(fh.read()).hexdigest()
+                        vsha.append(h)
+                        ok.append(h == sha)
+                    else:
+                        vsha.append(None)
+                        ok.append(True)
+                except OSError:
+                    vsha.append(None)
+                    ok.append(False)
+                dests.append(dst)
+            pdf = pdf.copy()
+            pdf["dest_path"] = dests
+            pdf["copied"] = ok
+            pdf["verify_sha256"] = vsha
+            yield pdf
+
+    return plan.mapInPandas(do_copy, schema=COPY_RESULT_SCHEMA)
+
+
 def sync(
     spark: SparkSession,
     base_dir: str,
     *,
     manifest_table: str | None = None,
+    dest_dir: str | None = None,
     dry_run: bool = False,
+    verify: bool = True,
     **collect_kwargs,
 ) -> DataFrame:
-    """End-to-end: list → checksum → skip-existing → record manifest.
+    """End-to-end: list → checksum → skip-existing → copy → manifest.
 
     ``dry_run=True`` (K10) returns the plan without writing anything.
-    Returns the DataFrame of files that would be / were newly recorded.
+    With ``dest_dir`` the payload bytes are physically copied
+    (:func:`copy_files`) and ONLY files whose copy succeeded (and, with
+    ``verify``, whose destination re-checksum matches) are recorded —
+    a failed copy stays out of the manifest, so the K8 anti-join
+    retries it on the next run instead of permanently skipping a file
+    that was never transferred. Returns the DataFrame of files that
+    would be / were newly recorded.
     """
     paths = collect_files(base_dir, **collect_kwargs)
     fresh = checksum_files(spark, paths)
@@ -112,5 +192,10 @@ def sync(
     todo = plan_sync(fresh, existing)
     if dry_run or manifest_table is None:
         return todo
+    if dest_dir is not None:
+        done = copy_files(todo, base_dir, dest_dir, verify=verify)
+        todo = done.where(F.col("copied")).select(
+            "path", "size_bytes", "mtime", "sha256"
+        )
     todo.write.mode("append").format("parquet").saveAsTable(manifest_table)
     return spark.table(manifest_table)

@@ -116,6 +116,7 @@ def streaming_upsert_sink(
     *,
     keys: list[str],
     checkpoint_dir: str,
+    seq_col: str | None = None,
 ) -> "object":
     """Exactly-once streaming MERGE into a parquet target via
     ``foreachBatch``.
@@ -124,6 +125,15 @@ def streaming_upsert_sink(
     batch may itself re-deliver), then (2) merged into the target with
     the same full-outer/COALESCE plan as the batch MERGE
     (registry.merge_upsert_customers), written copy-on-write.
+
+    Intra-batch winner selection is DETERMINISTIC: ``row_number`` over
+    ``Window.partitionBy(keys).orderBy(desc(seq_col))`` — never
+    ``dropDuplicates``, which keeps a partition-order-dependent row, so
+    a micro-batch carrying two updates to one key could let the stale
+    value win nondeterministically. Pass ``seq_col`` (an event sequence
+    / timestamp column); without one, ALL non-key columns sort
+    descending — arbitrary but reproducible. Ties on ``seq_col`` break
+    on the remaining columns, again for reproducibility.
 
     Exactly-once: Spark's foreachBatch gives at-least-once delivery
     with a stable ``batch_id`` — the sink records committed batch ids
@@ -153,7 +163,19 @@ def streaming_upsert_sink(
             }
             if batch_id in committed:
                 return  # re-delivered batch: idempotent skip
-        latest = batch.dropDuplicates(keys)
+        from pyspark.sql.window import Window
+
+        non_keys = [c for c in batch.columns if c not in keys]
+        order = [F.desc(seq_col)] if seq_col else []
+        order += [F.desc(c) for c in non_keys if c != seq_col]
+        # keys-only schema: every row per key is identical — any order
+        order = order or [F.col(keys[0])]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         data_dir = os.path.join(target_dir, "data")
         if os.path.exists(data_dir):
             tgt = spark.read.parquet(data_dir)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from nursinghome_data_pipeline_spark.sources.tpch import TABLES, table_path
@@ -37,9 +38,48 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _kind(dtype) -> str:
+    """Collapse a dtype to the class the driver's value-hash distinguishes.
+
+    The driver hashes the canonicalized pandas frame without coercing
+    dtypes, so int64 2977 vs float64 2977.0 hash differently even though
+    the values compare equal (round-1 `orders_status_summary` failure).
+    """
+    k = dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "datetime"
+    if k == "b":
+        return "bool"
+    return "object"
+
+
+def unhashable_cells(df: pd.DataFrame) -> list[str]:
+    """Columns whose cells the driver's rows-only hasher cannot hash.
+
+    Lists / ndarrays / dicts in object columns break pandas sort_values
+    (round-1 `minhash_signatures_docs` / `approx_profile_events` errors).
+    """
+    bad = []
+    for c in df.columns:
+        if df[c].dtype.kind == "O":
+            head = df[c].dropna().head(50)
+            if any(isinstance(v, (list, dict, set, np.ndarray)) for v in head):
+                bad.append(c)
+    return bad
+
+
 def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
-    got = _normalize(spark_df.toPandas())
+    got_raw = spark_df.toPandas()
+    for side, df in (("spark", got_raw), ("oracle", oracle_df)):
+        bad = unhashable_cells(df)
+        if bad:
+            return [f"{side} output has unhashable cells in {bad} — driver hasher would error"]
+    got = _normalize(got_raw)
     exp = _normalize(oracle_df)
     problems: list[str] = []
     if list(got.columns) != list(exp.columns):
@@ -47,6 +87,15 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
         return problems
     if len(got) != len(exp):
         problems.append(f"row count differs: spark={len(got)} oracle={len(exp)}")
+        return problems
+    for c in got.columns:
+        ka, kb = _kind(got[c].dtype), _kind(exp[c].dtype)
+        if ka != kb:
+            problems.append(
+                f"col {c}: dtype-class drift spark={got[c].dtype}({ka}) "
+                f"oracle={exp[c].dtype}({kb}) — driver value-hash would diverge"
+            )
+    if problems:
         return problems
     for c in got.columns:
         a, b = got[c], exp[c]

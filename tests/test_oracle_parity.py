@@ -7,7 +7,7 @@ import pytest
 
 from nursinghome_data_pipeline_spark import registry
 
-from .oracle_harness import compare, duckdb_connection
+from .oracle_harness import compare, duckdb_connection, unhashable_cells
 
 SPECS = [s for s in registry.specs() if s.oracle is not None]
 ROWS_ONLY = [s for s in registry.specs() if s.oracle is None]
@@ -30,6 +30,11 @@ def test_query_matches_oracle(spark, sf_dir, duck, spec):
 
 @pytest.mark.parametrize("spec", ROWS_ONLY, ids=[s.name for s in ROWS_ONLY])
 def test_rows_only_query_runs(spark, sf_dir, spec):
+    """Rows-only queries still pass through the driver's canonicalizer
+    (sort + hash), so their outputs must be hashable scalars too."""
     df = spec.fn(spark, sf_dir)
-    assert df.count() >= 0
+    pdf = df.toPandas()
+    assert len(pdf) >= 0
     assert len(df.columns) > 0
+    bad = unhashable_cells(pdf)
+    assert not bad, f"{spec.name}: unhashable cells in {bad} — driver rows-only hasher would error"

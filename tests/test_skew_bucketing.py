@@ -39,6 +39,36 @@ def test_salted_aggregate_matches_plain(spark):
     assert sorted(plain.collect()) == sorted(salted.collect())
 
 
+def test_salt_is_deterministic_under_recomputation(spark):
+    """The salt must reproduce identical bucket assignments when the
+    plan is recomputed from scratch (task retry / stage retry model) —
+    a monotonically_increasing_id- or rand-derived salt would not."""
+    from nursinghome_data_pipeline_spark.operators.skew import _SALT, _salt_col
+
+    df = _skewed_df(spark)
+    a = df.withColumn(_SALT, _salt_col(df, None, 8)).collect()
+    # force an independent end-to-end recomputation with different
+    # upstream partitioning — deterministic salts must not care
+    b = (
+        df.repartition(13)
+        .withColumn(_SALT, _salt_col(df, None, 8))
+        .collect()
+    )
+    key = lambda r: (r["k"], r["v"], r[_SALT])
+    assert sorted(a, key=key) == sorted(b, key=key)
+    # and salts actually spread the hot key over multiple buckets
+    hot_salts = {r[_SALT] for r in a if r["k"] == "HOT"}
+    assert len(hot_salts) > 1
+
+
+def test_salted_aggregate_stable_across_runs(spark):
+    df = _skewed_df(spark)
+    aggs = {"s": ("sum", F.col("v")), "n": ("count", F.lit(1))}
+    r1 = sorted(salted_aggregate(df, ["k"], aggs, n_salts=8).collect())
+    r2 = sorted(salted_aggregate(df.repartition(7), ["k"], aggs, n_salts=8).collect())
+    assert r1 == r2
+
+
 def test_salted_join_matches_plain(spark):
     large = _skewed_df(spark)
     small = spark.createDataFrame(

@@ -79,6 +79,34 @@ def test_output_schema(result):
     ]
 
 
+def test_empty_merge_detected_without_extra_jobs(spark, tmp_path):
+    """Empty-merge detection rides the single executed plan (observe/
+    CollectMetrics), so building the merged frame launches ZERO Spark
+    jobs — the old per-fold isEmpty() probes each re-executed the join
+    prefix (O(N²) across N files)."""
+    from nursinghome_data_pipeline_spark.pipelines.staffing_metrics import (
+        StaffingMetricsReport,
+        load_staffing_data,
+    )
+
+    (tmp_path / "pbj_daily.csv").write_text(DAILY)
+    # quarters that never match the daily file → empty inner join
+    (tmp_path / "pbj_ctr_emp.csv").write_text(
+        CTR_EMP.replace("2024Q1", "1999Q1")
+        .replace("2024 Q1", "1999 Q1")
+        .replace("2024Q2", "1999Q2")
+        .replace("garbage", "1999Q3")
+    )
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None))
+    report = StaffingMetricsReport()
+    merged = load_staffing_data(spark, str(tmp_path), report)
+    assert len(tracker.getJobIdsForGroup(None)) == jobs_before  # lazy
+    merged.count()  # the ONE action
+    report.finalize()
+    assert report.empty_merges == [("pbj_ctr_emp.csv", "pbj_daily.csv")]
+
+
 def test_missing_required_column_fails(spark, tmp_path):
     (tmp_path / "only_base.csv").write_text(DAILY)
     with pytest.raises(ValueError, match="Missing required columns"):

@@ -38,16 +38,28 @@ def test_streaming_upsert_merges_microbatches(spark, tmp_path):
 
     _write_batch(spark, landing, [(1, "a", 1), (2, "b", 1)], 0)
     q = streaming_upsert_sink(
-        open_stream(), target, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt")
+        open_stream(),
+        target,
+        keys=["k"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        seq_col="seq",
     )
     try:
         q.processAllAvailable()
         assert _read_target(spark, target) == {1: "a", 2: "b"}
 
-        # second micro-batch: update k=2, insert k=3
-        _write_batch(spark, landing, [(2, "B", 2), (3, "c", 2)], 1)
+        # second micro-batch: update k=2, insert k=3 — AND an
+        # intra-batch duplicate for k=3 where the higher seq must win
+        # regardless of row/partition order (deterministic winner, not
+        # dropDuplicates-arbitrary)
+        _write_batch(
+            spark,
+            landing,
+            [(2, "B", 2), (3, "stale", 2), (3, "c", 3), (4, "d", 2), (4, "D", 3)],
+            1,
+        )
         q.processAllAvailable()
-        assert _read_target(spark, target) == {1: "a", 2: "B", 3: "c"}
+        assert _read_target(spark, target) == {1: "a", 2: "B", 3: "c", 4: "D"}
     finally:
         q.stop()
 
@@ -60,10 +72,14 @@ def test_streaming_upsert_merges_microbatches(spark, tmp_path):
     # which is already committed — the manifest dedupe makes the merge
     # a no-op instead of clobbering the target with stale rows
     q2 = streaming_upsert_sink(
-        open_stream(), target, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt2")
+        open_stream(),
+        target,
+        keys=["k"],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        seq_col="seq",
     )
     try:
         q2.processAllAvailable()
     finally:
         q2.stop()
-    assert _read_target(spark, target) == {1: "a", 2: "B", 3: "c"}
+    assert _read_target(spark, target) == {1: "a", 2: "B", 3: "c", 4: "D"}
