@@ -387,6 +387,7 @@ def jaccard_pair_join(
     threshold: float = 0.5,
     shingle_k: int = 3,
     max_df: int | None = None,
+    carry_hashes: bool = True,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard >= threshold (no LSH approximation).
 
@@ -420,10 +421,25 @@ def jaccard_pair_join(
     payloads. Complements :func:`near_duplicate_pairs` (LSH), which
     trades exactness for a near-linear candidate set; this one
     (``max_df=None``) is the auditable ground truth.
+
+    ``carry_hashes=True`` (default) posts 64-bit shingle HASHES
+    (:func:`shingle_hash_col` — no shingle strings are ever built)
+    instead of shingle strings: the posting shuffle narrows ~3-4×
+    (8-byte longs vs multi-word strings) and the join compares longs.
+    Identical results unless two distinct shingles collide in 64 bits
+    (~2⁻⁶⁴ per pair — it would take ~10¹⁰ distinct shingles in ONE
+    corpus for a 50% chance of any collision anywhere); hash-checked
+    against the string-shingle DuckDB oracle. Set False for the
+    string-exact audit path.
     """
+    shingle_expr = (
+        shingle_hash_col(text_col, shingle_k)
+        if carry_hashes
+        else _shingles(text_col, shingle_k)
+    )
     sets = df.select(
         F.col(id_col),
-        F.array_distinct(_shingles(text_col, shingle_k)).alias("sh"),
+        F.array_distinct(shingle_expr).alias("sh"),
     ).select(id_col, "sh", F.size("sh").alias("sz"))
     # materialize the posting list ONCE: a self-join would otherwise
     # evaluate the shingle projection (the expensive subtree) per side

@@ -2,12 +2,21 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; all Spark-side mechanics — schema, partition sizing,
-Arrow batch shape, Pandas-UDF signatures — are real and tested. The
-actual codec work (image decode, audio resample, frame extraction)
-needs media libraries that are NOT in this environment, so the decode
-kernels are stubbed: ``decode_stub=True`` (default) computes a
-deterministic fake feature from the bytes; ``decode_stub=False`` raises
-``NotImplementedError`` at the point a real codec would run.
+Arrow batch shape, Pandas-UDF signatures — are real and tested.
+
+Decode depth is tiered:
+
+- **Header decode is REAL**: :func:`parse_image_header` reads
+  container bytes (PNG IHDR, GIF screen descriptor, JPEG SOF scan,
+  BMP info header) with the stdlib only — no codec library —  and
+  :func:`image_metadata` / ``extract_features(decode_stub=False)``
+  run it distributed. :func:`encode_png` writes real zlib-compressed
+  PNGs, so tests and oracle queries round-trip genuine bytes.
+- **Pixel/sample decode stays stubbed**: full raster decode, audio
+  resample, video frame extraction need media libraries NOT in this
+  environment; ``decode_stub=True`` (default) computes a
+  deterministic fake from the bytes, and the pixel-level paths raise
+  ``NotImplementedError`` where the codec would run.
 
 Scale notes: media blobs make rows wide — ``media_repartition`` sizes
 partitions by *bytes*, not rows, so Arrow batches stay within executor
@@ -58,6 +67,104 @@ def media_repartition(df: DataFrame, *, target_bytes: int = 128 << 20) -> DataFr
     return df.repartition(n)
 
 
+def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """REAL image container decode — (format, width, height) from raw
+    bytes, stdlib-only.
+
+    Formats: PNG (IHDR chunk), GIF87a/89a (logical screen descriptor),
+    JPEG (walk markers to the first SOF0-SOF15 frame header), BMP
+    (BITMAPINFOHEADER). Returns (None, None, None) for anything else —
+    callers decide whether unknown payloads are errors.
+    """
+    import struct
+
+    if not payload or len(payload) < 10:
+        return (None, None, None)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("png", w, h)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", w, h)
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return ("bmp", w, abs(h))
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI; scan marker segments
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            # SOF0-SOF15 except DHT(C4)/DAC(CC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+    return (None, None, None)
+
+
+def encode_png(width: int, height: int, *, seed: int = 0) -> bytes:
+    """Minimal REAL PNG writer (stdlib zlib+struct): 8-bit grayscale,
+    deterministic pixel pattern from ``seed``. Produces spec-valid
+    files any PNG reader accepts — the fixture side of the round-trip
+    tests for :func:`parse_image_header`."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raster = b"".join(
+        b"\x00" + bytes((seed + x + y * width) % 256 for x in range(width))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
+def image_metadata(df: DataFrame) -> DataFrame:
+    """Distributed REAL header decode: (media_id, format, width,
+    height) parsed from payload bytes via ``mapInPandas`` — same Arrow
+    batch shape as :func:`extract_features`, but nothing is stubbed."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("format", T.StringType(), True),
+            T.StructField("width", T.LongType(), True),
+            T.StructField("height", T.LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_image_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [p[0] for p in parsed],
+                    "width": [p[1] for p in parsed],
+                    "height": [p[2] for p in parsed],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def _fake_feature(payload: bytes | None) -> list[float]:
     """Deterministic stand-in for a real decoder: FEATURE_DIM floats
     derived from a sha256 of the bytes."""
@@ -70,9 +177,15 @@ def _fake_feature(payload: bytes | None) -> list[float]:
 def extract_features(df: DataFrame, *, decode_stub: bool = True) -> DataFrame:
     """Per-payload feature vectors via ``mapInPandas`` (Arrow-batched).
 
-    Output: (media_id, mime, feature array<double>). With a real codec
-    library installed, replace ``_fake_feature`` with the decode +
-    model forward pass — the Spark plumbing is unchanged.
+    Output: (media_id, mime, feature array<double>).
+
+    ``decode_stub=True``: sha256-derived fake feature (no decode).
+    ``decode_stub=False``: REAL decode via :func:`parse_image_header` —
+    the feature is [width, height, aspect, payload_kb, is_png, is_gif,
+    is_jpeg, is_bmp]; unrecognized payloads raise
+    ``NotImplementedError`` (pixel-level codecs are absent in this
+    environment — a model forward pass would slot in here with the
+    Spark plumbing unchanged).
     """
     out_schema = T.StructType(
         [
@@ -82,18 +195,33 @@ def extract_features(df: DataFrame, *, decode_stub: bool = True) -> DataFrame:
         ]
     )
 
+    def real_feature(payload: bytes | None) -> list[float]:
+        fmt, w, h = parse_image_header(payload)
+        if fmt is None:
+            raise NotImplementedError(
+                "payload is not a PNG/GIF/JPEG/BMP container; pixel-level "
+                "codecs are not present in this environment"
+            )
+        return [
+            float(w),
+            float(h),
+            float(w) / float(h) if h else 0.0,
+            len(payload or b"") / 1024.0,
+            1.0 if fmt == "png" else 0.0,
+            1.0 if fmt == "gif" else 0.0,
+            1.0 if fmt == "jpeg" else 0.0,
+            1.0 if fmt == "bmp" else 0.0,
+        ]
+
+    fn = _fake_feature if decode_stub else real_feature
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decoding requires codec libraries not present "
-                    "in this environment; use decode_stub=True"
-                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime": [m.get("mime") if m else None for m in pdf["meta"]],
-                    "feature": [_fake_feature(p) for p in pdf["payload"]],
+                    "feature": [fn(p) for p in pdf["payload"]],
                 }
             )
 

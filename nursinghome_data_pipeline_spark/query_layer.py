@@ -10,9 +10,13 @@ The interactive pattern (re-run aggregates per widget change) is where
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
+
+log = logging.getLogger(__name__)
 
 
 def distinct_values(df: DataFrame, column: str) -> list:
@@ -40,13 +44,41 @@ def quarter_facility_pivot(
     columns: str = "PROVNUM",
     value: str = "total_nurse_hours",
     column_values: list | None = None,
+    max_columns: int = 1000,
 ) -> DataFrame:
     """A5: pivot_table(index, columns, values, aggfunc=sum), sorted
-    (metrics_dashboard.py:34-39). Pass ``column_values`` when known to
-    skip the distinct-values pass (required practice at scale)."""
-    g = df.groupBy(index)
-    p = g.pivot(columns, column_values) if column_values else g.pivot(columns)
-    return p.sum(value).orderBy(index)
+    (metrics_dashboard.py:34-39).
+
+    Pass ``column_values`` when known — it skips a distinct-values job
+    AND bounds the output schema (required practice at scale: a pivot
+    column per facility across a 100 TB corpus is a million-column
+    plan). Without it, the dynamic path warns, computes the sorted
+    distinct domain itself, and REFUSES beyond ``max_columns`` rather
+    than silently building an unplannable wide schema."""
+    if column_values is None:
+        log.warning(
+            "quarter_facility_pivot: no column_values passed — running a "
+            "distinct-values job over %r (capped at %d). Pass the known "
+            "domain explicitly in production.",
+            columns,
+            max_columns,
+        )
+        vals = [
+            r[0]
+            for r in df.select(columns)
+            .na.drop()
+            .distinct()
+            .limit(max_columns + 1)
+            .collect()
+        ]
+        if len(vals) > max_columns:
+            raise ValueError(
+                f"pivot domain of {columns!r} exceeds max_columns="
+                f"{max_columns}; pass column_values (or raise the cap) "
+                "to make the wide plan an explicit decision"
+            )
+        column_values = sorted(vals)
+    return df.groupBy(index).pivot(columns, column_values).sum(value).orderBy(index)
 
 
 def numeric_columns(df: DataFrame) -> list[str]:

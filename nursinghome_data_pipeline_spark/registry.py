@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1643,6 +1644,47 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "mime", F.posexplode("feature").alias("dim", "feature_val")
     )
+
+
+@_register(
+    "image_header_decode",
+    """
+    SELECT doc_id AS media_id,
+           'png' AS format,
+           doc_id % 31 + 1 AS width,
+           (doc_id * 7) % 29 + 1 AS height
+    FROM documents
+    """,
+    "REAL image decode (no codec library): executors ENCODE a spec- "
+    "valid zlib-compressed grayscale PNG per document "
+    "(operators/multimodal.encode_png, dims derived from doc_id), then "
+    "PARSE the container bytes back (parse_image_header reads the IHDR "
+    "chunk) via distributed mapInPandas (image_metadata). The oracle "
+    "recomputes the expected dimensions arithmetically — a hash-checked "
+    "byte-level round-trip through genuine PNG structure, upgrading the "
+    "multimodal decode step from stub to real header decoding.",
+)
+def image_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import encode_png, image_metadata
+
+    (documents,) = _t(spark, sf_dir, "documents")
+
+    def make_payloads(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        encode_png(int(d % 31 + 1), int((d * 7) % 29 + 1), seed=int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = documents.select("doc_id").mapInPandas(
+        make_payloads, schema="media_id long, payload binary"
+    )
+    return image_metadata(media)
 
 
 @_register(

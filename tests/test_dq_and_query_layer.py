@@ -82,6 +82,24 @@ def test_quarter_facility_pivot(metrics_df):
     assert rows[1].P2 is None  # facility absent in Q2 → NULL cell
 
 
+def test_pivot_dynamic_path_warns_and_caps(metrics_df, caplog):
+    import logging
+
+    import pytest as _pytest
+
+    with caplog.at_level(logging.WARNING, logger="nursinghome_data_pipeline_spark.query_layer"):
+        ql.quarter_facility_pivot(metrics_df)  # dynamic-distinct path
+    assert any("column_values" in r.message for r in caplog.records)
+    # beyond the cap: refuse instead of building an unplannable schema
+    with _pytest.raises(ValueError, match="max_columns"):
+        ql.quarter_facility_pivot(metrics_df, max_columns=2)
+    # explicit domain: no warning, no distinct job, stable columns
+    caplog.clear()
+    piv = ql.quarter_facility_pivot(metrics_df, column_values=["P1", "P2", "P3"])
+    assert piv.columns == ["CY_Qtr", "P1", "P2", "P3"]
+    assert not caplog.records
+
+
 def test_numeric_means_and_columns(metrics_df):
     assert ql.numeric_columns(metrics_df) == ["ratio", "total_nurse_hours"]
     m = ql.numeric_means(metrics_df).first()

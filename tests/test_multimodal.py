@@ -1,5 +1,5 @@
-"""Multimodal plumbing tests: schema, Arrow batch shape, stub decode
-behavior, byte-based repartitioning."""
+"""Multimodal plumbing tests: schema, Arrow batch shape, real header
+decode, stub decode behavior, byte-based repartitioning."""
 
 from __future__ import annotations
 
@@ -8,10 +8,74 @@ import pytest
 from nursinghome_data_pipeline_spark.operators.multimodal import (
     FEATURE_DIM,
     MEDIA_SCHEMA,
+    encode_png,
     extract_features,
+    image_metadata,
     media_repartition,
+    parse_image_header,
     sample_frames,
 )
+
+# hand-built minimal real containers (header-complete, tiny bodies)
+GIF_7X5 = b"GIF89a" + (7).to_bytes(2, "little") + (5).to_bytes(2, "little") + b"\x00\x00\x00;"
+BMP_9X4 = (
+    b"BM" + (70).to_bytes(4, "little") + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+    + (40).to_bytes(4, "little") + (9).to_bytes(4, "little", signed=True)
+    + (4).to_bytes(4, "little", signed=True) + bytes(28)
+)
+# JPEG: SOI, APP0 stub, SOF0 with height=3 width=11, EOI
+JPEG_11X3 = (
+    b"\xff\xd8"
+    + b"\xff\xe0" + (4).to_bytes(2, "big") + b"JF"
+    + b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+    + (3).to_bytes(2, "big") + (11).to_bytes(2, "big") + b"\x01" + bytes(3)
+    + b"\xff\xd9"
+)
+
+
+def test_parse_image_header_real_containers():
+    assert parse_image_header(encode_png(13, 8)) == ("png", 13, 8)
+    assert parse_image_header(GIF_7X5) == ("gif", 7, 5)
+    assert parse_image_header(BMP_9X4) == ("bmp", 9, 4)
+    assert parse_image_header(JPEG_11X3) == ("jpeg", 11, 3)
+    assert parse_image_header(b"not an image at all") == (None, None, None)
+    assert parse_image_header(None) == (None, None, None)
+
+
+def test_encode_png_is_spec_valid():
+    """The fixture encoder must emit bytes a REAL png reader accepts —
+    decompress the IDAT and check the raster shape, verify CRCs."""
+    import struct
+    import zlib
+
+    raw = encode_png(5, 3, seed=7)
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, chunks = 8, {}
+    while pos < len(raw):
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        tag = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", raw[pos + 8 + length : pos + 12 + length])
+        assert crc == zlib.crc32(tag + body) & 0xFFFFFFFF
+        chunks[tag] = body
+        pos += 12 + length
+    raster = zlib.decompress(chunks[b"IDAT"])
+    assert len(raster) == 3 * (1 + 5)  # height × (filter byte + width)
+
+
+def test_image_metadata_distributed_round_trip(spark):
+    rows = [
+        (1, encode_png(32, 16)),
+        (2, GIF_7X5),
+        (3, JPEG_11X3),
+        (4, b"garbage"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: (r.format, r.width, r.height) for r in image_metadata(df).collect()}
+    assert out[1] == ("png", 32, 16)
+    assert out[2] == ("gif", 7, 5)
+    assert out[3] == ("jpeg", 11, 3)
+    assert out[4] == (None, None, None)
 
 
 @pytest.fixture(scope="module")
@@ -35,9 +99,23 @@ def test_extract_features_stub(media):
     assert again[1].feature == feats[1].feature
 
 
-def test_extract_features_real_decode_raises(media):
+def test_extract_features_real_decode_raises_on_non_image(media):
+    """Pixel-level decode of non-container payloads still needs absent
+    codec libraries → the real path refuses rather than faking."""
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         extract_features(media, decode_stub=False).collect()
+
+
+def test_extract_features_real_decode_on_png(spark):
+    df = spark.createDataFrame(
+        [(1, encode_png(20, 10), ("image/png", 20, 10, None))], MEDIA_SCHEMA
+    )
+    (row,) = extract_features(df, decode_stub=False).collect()
+    w, h, aspect, kb, is_png, is_gif, is_jpeg, is_bmp = row.feature
+    assert (w, h) == (20.0, 10.0)
+    assert aspect == pytest.approx(2.0)
+    assert kb > 0
+    assert (is_png, is_gif, is_jpeg, is_bmp) == (1.0, 0.0, 0.0, 0.0)
 
 
 def test_sample_frames(media):
