@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "merge_upsert_customers",
     "weekly_retention_cohorts",
     "funnel_signup_click_purchase",
+    "image_header_decode",
+    "decontaminate_docs",
+    "pack_sequences_docs",
 ]
 
 

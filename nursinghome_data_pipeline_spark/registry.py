@@ -2475,6 +2475,82 @@ def dataset_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "decontaminate_docs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 4, 1) + 1),
+                 i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ),
+    bench AS (SELECT sh FROM sh WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM sh c, bench b
+      WHERE c.doc_id % 97 <> 0 AND len(list_intersect(c.sh, b.sh)) > 0
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    "Benchmark decontamination (operators/corpus.decontaminate): drop "
+    "corpus docs sharing any 5-gram with a held-out eval set (docs with "
+    "doc_id % 97 = 0 stand in for the benchmark; production uses real "
+    "eval files and 13-grams). Spark plan: map-only 64-bit shingle "
+    "hashes both sides, benchmark shingle set broadcast, LEFT SEMI "
+    "probe + LEFT ANTI removal — the corpus is never shuffled. Oracle "
+    "recomputes overlap with exact string shingles; hash-vs-string "
+    "equality holds absent 64-bit collisions.",
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import decontaminate
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, shingle_k=5).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@_register(
+    "pack_sequences_docs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, doc_id % 2 AS shard,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, source, shard, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (PARTITION BY source, shard
+                           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - n_tokens) / 128.0) AS BIGINT)
+               AS bin_id
+      FROM t
+    )
+    SELECT source, shard, bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM b GROUP BY source, shard, bin_id
+    """,
+    "Sequence packing (operators/corpus.pack_sequences): documents fill "
+    "128-token context-window bins in id order, one deterministic bin "
+    "stream per (source, shard) — the concat-and-chunk layout training "
+    "loaders consume. One window cumsum + one groupBy, both on the "
+    "(source, shard) key; n_shards=2 here exercises the sharded path "
+    "that keeps packing parallel at cluster scale.",
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import pack_sequences
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget_tokens=128, n_shards=2)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style star-join battery (classic analytics shapes, §2.10 breadth)
 # ---------------------------------------------------------------------------
