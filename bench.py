@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "image_header_decode",
     "decontaminate_docs",
     "pack_sequences_docs",
+    "embedding_linear_probe",
+    "embedding_int8_quantize",
 ]
 
 
@@ -64,10 +66,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     # warm the JVM + parquet footers once with the cheapest query
     qs["pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # best-of-2 per query: a single pass conflates host-CPU contention
+    # noise with plan cost; min-of-N is the standard steady-state timing
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None

@@ -92,6 +92,8 @@ def _cmd_sync(args: argparse.Namespace) -> int:
         spark,
         args.base_dir,
         manifest_table=args.manifest_table,
+        dest_dir=args.dest_dir,
+        verify=args.verify,
         dry_run=args.dry_run,
         include=args.include or None,
         exclude=args.exclude or None,
@@ -187,9 +189,12 @@ def main(argv: list[str] | None = None) -> int:
     _add_session_args(p)
     p.set_defaults(fn=_cmd_profile)
 
-    p = sub.add_parser("sync", help="idempotent object-store sync planner")
+    p = sub.add_parser("sync", help="idempotent object-store sync (plan + copy)")
     p.add_argument("base_dir")
     p.add_argument("--manifest-table", default=None)
+    p.add_argument("--dest-dir", default=None, help="copy payload bytes here (K7)")
+    p.add_argument("--no-verify", dest="verify", action="store_false",
+                   help="skip destination re-checksum after copy")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--include", action="append", default=[])
     p.add_argument("--exclude", action="append", default=[])

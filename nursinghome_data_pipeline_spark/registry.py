@@ -1194,6 +1194,166 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "value_moments_by_type",
+    f"""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             {oracle_q_sum('value')} AS s1,
+             {oracle_q_sum('value * value')} AS s2,
+             {oracle_q_sum('value * value * value')} AS s3
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           s1 / CAST(n AS DOUBLE) AS mean_val,
+           (s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+             AS var_samp,
+           sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+             AS stddev_samp,
+           (s3 / CAST(n AS DOUBLE)
+             - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+             + 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+               * (s1 / CAST(n AS DOUBLE)))
+           / (sqrt(s2 / CAST(n AS DOUBLE)
+                   - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+              * (s2 / CAST(n AS DOUBLE)
+                 - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))))
+             AS skewness
+    FROM s
+    """,
+    "Statistical-moments battery per group (mean, sample variance/"
+    "stddev, population skewness) — derived in DOUBLE from quantized "
+    "exact power sums Σx, Σx², Σx³ (functions/exprs.q_sum), with the "
+    "derivation formula written identically in both engines, so the "
+    "floating-point results are bit-equal across engines AND partition "
+    "layouts — distributed moment aggregation with exact cross-engine "
+    "checkability (native var_samp/skewness are order-dependent). One "
+    "partial-aggregated groupBy; the three power sums ride one pass.",
+)
+def value_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    base = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        q_sum(v, "s1"),
+        q_sum(v * v, "s2"),
+        q_sum(v * v * v, "s3"),
+    )
+    nd = F.col("n").cast("double")
+    s1, s2, s3 = F.col("s1"), F.col("s2"), F.col("s3")
+    mean = s1 / nd
+    var_samp = (s2 - s1 * s1 / nd) / (nd - F.lit(1.0))
+    m2 = s2 / nd - (s1 / nd) * (s1 / nd)
+    m3 = (
+        s3 / nd
+        - F.lit(3.0) * (s1 / nd) * (s2 / nd)
+        + F.lit(2.0) * (s1 / nd) * (s1 / nd) * (s1 / nd)
+    )
+    return base.select(
+        "event_type",
+        "n",
+        mean.alias("mean_val"),
+        var_samp.alias("var_samp"),
+        F.sqrt(var_samp).alias("stddev_samp"),
+        (m3 / (F.sqrt(m2) * m2)).alias("skewness"),
+    )
+
+
+#: deterministic linear-probe weights (production loads trained probe
+#: weights from a model registry; the shape of the plan is identical)
+_PROBE_W = [((i * 37 + 11) % 101 - 50) / 100.0 for i in range(64)]
+_PROBE_B = 0.05
+
+
+@_register(
+    "embedding_linear_probe",
+    f"""
+    SELECT vec_id, label,
+           {_DOT.format(a="embedding", b=f"[{', '.join(repr(w) for w in _PROBE_W)}]")}
+             + {_PROBE_B!r} AS score,
+           ({_DOT.format(a="embedding", b=f"[{', '.join(repr(w) for w in _PROBE_W)}]")}
+             + {_PROBE_B!r}) > 0.0 AS passes
+    FROM embeddings
+    """,
+    "Linear-probe quality scoring over embeddings — the classifier-"
+    "filter step of a training pipeline (score = w·x + b, keep if "
+    "positive), with the weight vector broadcast as a literal array "
+    "(production: loaded from a model registry). Pure zip_with/"
+    "aggregate sequential fold → map-only at any scale, bit-identical "
+    "to the DuckDB twin like knn_cosine_topk.",
+)
+def embedding_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vectors import dot_product_col
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in _PROBE_W])
+    score = dot_product_col(F.col("embedding"), w) + F.lit(_PROBE_B)
+    return embeddings.select(
+        "vec_id",
+        "label",
+        score.alias("score"),
+        (score > 0.0).alias("passes"),
+    )
+
+
+@_register(
+    "embedding_int8_quantize",
+    """
+    WITH m AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS n_dims, maxabs,
+           CAST(CASE WHEN maxabs = 0 THEN 0 ELSE list_sum(
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5)
+                         AS BIGINT))) END AS BIGINT) AS q_sum,
+           CAST(CASE WHEN maxabs = 0 THEN 0 ELSE list_sum(
+             list_transform(embedding,
+               x -> abs(CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5)
+                             AS BIGINT)))) END AS BIGINT) AS q_l1
+    FROM m
+    """,
+    "Symmetric int8 embedding quantization (max-abs per-vector scale, "
+    "floor(x·127/maxabs + ½)) — the storage/ANN compression step that "
+    "cuts a 100 TB float32 embedding store 4×. Map-only higher-order "
+    "expressions; the registry output is the quantized vector's "
+    "checksums (sum and L1) so the driver hashes scalars, and "
+    "floor-based rounding (not banker's round) keeps Spark and DuckDB "
+    "bit-identical.",
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    maxabs = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    emb = embeddings.select("vec_id", "label", v.alias("embedding"), maxabs.alias("maxabs"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(127.0) / F.col("maxabs") + F.lit(0.5)),
+    )
+    zero = F.col("maxabs") == 0
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("n_dims"),
+        "maxabs",
+        F.when(zero, F.lit(0))
+        .otherwise(F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x))
+        .alias("q_sum"),
+        F.when(zero, F.lit(0))
+        .otherwise(
+            F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x))
+        )
+        .alias("q_l1"),
+    )
+
+
+@_register(
     "approx_profile_events",
     None,  # approx sketches are engine-specific → rows-only check
     "Approximate profiling at scale: HLL distinct users + approximate "

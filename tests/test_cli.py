@@ -68,6 +68,23 @@ def test_sync_dry_run(tmp_path, capsys):
     assert len(out) == 1 and out[0].startswith("DRY-RUN") and "a.txt" in out[0]
 
 
+def test_sync_with_dest_copies(tmp_path, capsys):
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("hello")
+    dest = tmp_path / "dest"
+    rc = main(
+        ["sync", str(src), "--manifest-table", "cli_sync_m", "--dest-dir", str(dest)]
+    )
+    assert rc == 0
+    assert (dest / "a.txt").read_text() == "hello"
+    out = capsys.readouterr().out
+    assert "a.txt" in out and not out.startswith("DRY-RUN")
+    assert os.path.isdir(dest)
+
+
 def test_catalog_subcommand(spark, capsys):
     rc = main(["catalog"])
     assert rc == 0

@@ -55,7 +55,14 @@ def test_groupby_has_partial_aggregation(spark, sf_dir):
 def test_fingerprint_queries_are_shuffle_free(spark, sf_dir):
     from nursinghome_data_pipeline_spark.operators.skew import has_exchange
 
-    for name in ["minhash_signatures_docs", "simhash_docs", "doc_quality_scores"]:
+    for name in [
+        "minhash_signatures_docs",
+        "simhash_docs",
+        "doc_quality_scores",
+        "embedding_linear_probe",
+        "embedding_int8_quantize",
+        "image_header_decode",
+    ]:
         df = registry.queries()[name](spark, sf_dir)
         assert not has_exchange(df), f"{name} must be map-only"
 
