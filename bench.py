@@ -54,6 +54,11 @@ BENCH_QUERIES = [
     "pack_sequences_docs",
     "embedding_linear_probe",
     "embedding_int8_quantize",
+    "late_order_priority_counts",
+    "local_supplier_volume",
+    "nation_market_share",
+    "customer_order_distribution",
+    "waiting_suppliers",
 ]
 
 

@@ -23,7 +23,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -2880,6 +2880,646 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         lq.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extended TPC-H battery (Q4-Q22 shapes, adapted to the reduced star
+# schema: no partsupp, no commit/receipt dates, no shipmode/comment).
+# These widen the decision-support surface beyond the reference's own
+# aggregations (SURVEY §2.5) with the canonical warehouse join/subquery
+# shapes a 100 TB engine must plan well.
+# ---------------------------------------------------------------------------
+
+#: revenue expression shared by the battery — written once so the Spark
+#: and DuckDB sides cannot drift in operand order.
+_REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev_col() -> Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@_register(
+    "late_order_priority_counts",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "TPC-H Q4 shape (order-priority checking), lateness adapted to "
+    "l_shipdate > o_orderdate + 60 days (no commit/receipt dates in "
+    "this schema). EXISTS compiles to a LEFT SEMI join with the "
+    "non-equi lateness predicate attached to the equi join — no "
+    "row explosion for multi-lineitem orders, and the quarter filter "
+    "pushes to the orders scan before the join.",
+)
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    late = o.join(
+        lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "local_supplier_volume",
+    f"""
+    SELECT n_name, {oracle_q_sum(_REV_SQL)} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    "TPC-H Q5 shape (local supplier volume): 6-way star join where the "
+    "customer-nation = supplier-nation equality rides the supplier "
+    "join. supplier/nation/region are broadcast dims, so the only "
+    "shuffles are the orders⋈lineitem fact join and the final 5-row "
+    "aggregate; the year window pushes to the orders scan. Quantized "
+    "revenue keeps the 5-row result hash-stable cross-engine.",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem, supplier, nation, region = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    sup = (
+        supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        customer.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(q_sum(_rev_col(), "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@_register(
+    "forecast_revenue_change",
+    f"""
+    SELECT {oracle_q_sum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= CAST(0.05 AS DOUBLE)
+      AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < CAST(24 AS DOUBLE)
+    """,
+    "TPC-H Q6 shape (forecast revenue change): pure scan-side "
+    "predicates (date window + discount band + quantity cap) feeding "
+    "one global quantized sum — every filter reaches the parquet scan "
+    "as PushedFilters and the aggregate is a two-level partial/final "
+    "with a single scalar crossing the exchange.",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= F.lit(0.05).cast("double"))
+        & (F.col("l_discount") <= F.lit(0.07).cast("double"))
+        & (F.col("l_quantity") < F.lit(24).cast("double"))
+    ).agg(q_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+@_register(
+    "volume_shipping_binational",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+           {oracle_q_sum(_REV_SQL)} AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 shape (volume shipping between two nations, both "
+    "directions): the nation dim joins twice under different roles "
+    "(supplier side / customer side) with a disjunctive pair filter. "
+    "Both nation joins broadcast; the two-year ship window pushes to "
+    "the lineitem scan. Year is cast to BIGINT on both engines so the "
+    "group key dtype cannot drift.",
+)
+def volume_shipping_binational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier, lineitem, orders, customer, nation = _t(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        F.broadcast(supplier)
+        .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(q_sum(_rev_col(), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_register(
+    "nation_market_share",
+    f"""
+    WITH base AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             {_REV_SQL} AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    ), agg AS (
+      SELECT o_year,
+             {oracle_q_sum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END")}
+               AS nation_volume,
+             {oracle_q_sum('volume')} AS total_volume
+      FROM base GROUP BY o_year
+    )
+    SELECT o_year, nation_volume, total_volume,
+           nation_volume / total_volume AS mkt_share
+    FROM agg ORDER BY o_year
+    """,
+    "TPC-H Q8 shape (national market share): 8-way snowflake join "
+    "with nation in two roles, conditional volume vs total volume per "
+    "order year, share as their ratio. All dims (part filter, "
+    "supplier, nation×2, region) broadcast; the only shuffled "
+    "relations are orders and lineitem. Both numerator and denominator "
+    "are quantized sums and the division is written identically on "
+    "both engines, so the derived ratio is bit-stable.",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, lineitem, orders, customer, nation, region, supplier = _t(
+        spark, sf_dir, "part", "lineitem", "orders", "customer", "nation", "region",
+        "supplier",
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    base = (
+        F.broadcast(part.where(F.col("p_type") == "PROMO").select("p_partkey"))
+        .join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _rev_col().alias("volume"),
+            "supp_nation",
+        )
+    )
+    agg = base.groupBy("o_year").agg(
+        q_sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                F.lit(0.0)
+            ),
+            "nation_volume",
+        ),
+        q_sum(F.col("volume"), "total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+@_register(
+    "profit_by_nation_year",
+    f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           {oracle_q_sum('l_extendedprice * (1 - l_discount)'
+                         ' - 0.5 * p_retailprice * l_quantity')} AS profit
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+    ORDER BY nation, o_year DESC
+    """,
+    "TPC-H Q9 shape (product-type profit), supply cost adapted to "
+    "0.5·p_retailprice·l_quantity (no partsupp table in this schema). "
+    "The p_name LIKE filter prunes parts before the fact join and "
+    "rides a broadcast; supplier→nation also broadcasts, so only "
+    "lineitem⋈orders shuffles. Profit terms are combined in identical "
+    "operand order on both engines, then quantized.",
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, lineitem, supplier, orders, nation = _t(
+        spark, sf_dir, "part", "lineitem", "supplier", "orders", "nation"
+    )
+    profit = (
+        _rev_col() - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        F.broadcast(
+            part.where(F.col("p_name").like("%red%")).select(
+                "p_partkey", "p_retailprice"
+            )
+        )
+        .join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit.alias("p"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(q_sum(F.col("p"), "profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@_register(
+    "customer_order_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "TPC-H Q13 shape (customer order distribution): two-level "
+    "aggregation — orders per customer via a left outer join (zero-"
+    "order customers kept as count 0), then a histogram of those "
+    "counts. The first aggregate reuses the join's hash partitioning "
+    "on c_custkey (no extra exchange); the second shuffles only one "
+    "row per distinct count.",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_register(
+    "top_supplier_revenue",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {oracle_q_sum(_REV_SQL)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q15 shape (top supplier): quarter revenue per supplier, "
+    "then keep the supplier(s) equal to the global max — equality on "
+    "a double is safe here ONLY because both engines derive it from "
+    "the same quantized sum. Spark computes the max as a 1-row "
+    "broadcast joined back (no single-partition global window), the "
+    "scalable form of the scalar subquery.",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(q_sum(_rev_col(), "total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "supplier_count_by_part_attrs",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#21' AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "TPC-H Q16 shape (parts/supplier relationship), with lineitem as "
+    "the part↔supplier bridge (no partsupp table). Brand exclusion + "
+    "size IN-list prune the broadcast part dim before the fact join; "
+    "the COUNT(DISTINCT) goes through Spark's partial-distinct "
+    "aggregate rather than collecting per-group sets.",
+)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, lineitem = _t(spark, sf_dir, "part", "lineitem")
+    p = part.where(
+        (F.col("p_brand") != "Brand#21")
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        F.broadcast(p)
+        .join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@_register(
+    "small_quantity_order_revenue",
+    f"""
+    WITH pq AS (
+      SELECT l_partkey AS pq_partkey, {oracle_q_sum('l_quantity')} AS sq,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {oracle_q_sum('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq ON pq_partkey = l_partkey
+    WHERE p_brand = 'Brand#21' AND l_quantity < 0.5 * (sq / CAST(cnt AS DOUBLE))
+    """,
+    "TPC-H Q17 shape (small-quantity-order revenue): correlated "
+    "per-part average quantity rewritten as an aggregate + self-join "
+    "— the scalable decorrelation (the naive correlated subquery "
+    "re-scans lineitem per row). The per-part average is derived from "
+    "a quantized sum and count identically on both engines, so the "
+    "float threshold l_quantity < 0.5·avg cuts the same rows.",
+)
+def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    pq = lineitem.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        q_sum(F.col("l_quantity"), "sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_brand") == "Brand#21")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(pq, F.col("pq_partkey") == F.col("l_partkey"))
+        .where(
+            F.col("l_quantity")
+            < F.lit(0.5) * (F.col("sq") / F.col("cnt").cast("double"))
+        )
+        .agg((q_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@_register(
+    "bracketed_revenue",
+    f"""
+    SELECT {oracle_q_sum(_REV_SQL)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    "TPC-H Q19 shape (discounted revenue, OR-of-ANDs brackets): a "
+    "disjunction mixing part attributes and lineitem attributes. The "
+    "part-only disjuncts (brand OR brand OR brand) are implied and "
+    "prune the broadcast dim; the mixed residual evaluates post-join "
+    "inside codegen. Single quantized scalar out.",
+)
+def bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    q = F.col("l_quantity")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 35)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    pruned = part.where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#4")
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        lineitem.join(F.broadcast(pruned), F.col("p_partkey") == F.col("l_partkey"))
+        .where(bracket)
+        .agg(q_sum(_rev_col(), "revenue"))
+    )
+
+
+@_register(
+    "waiting_suppliers",
+    """
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS is_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ), os AS (
+      SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS ns,
+             COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS nls
+      FROM lo GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lo
+    JOIN os ON os.l_orderkey = lo.l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE is_late = 1 AND ns > 1 AND nls = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    "TPC-H Q21 shape (suppliers who kept orders waiting), lateness "
+    "adapted to shipdate - orderdate > 60 days. The EXISTS / NOT "
+    "EXISTS pair is rewritten as one per-order aggregate (distinct "
+    "suppliers, distinct LATE suppliers) joined back — two passes "
+    "over the order-partitioned data instead of two correlated "
+    "re-scans, the decorrelated form that scales. Both engines run "
+    "the identical aggregation formulation, so semantics can't drift.",
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, supplier = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    lo = (
+        lineitem.join(
+            orders.where(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_late"),
+        )
+    )
+    os_ = lo.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("nls"),
+    )
+    return (
+        lo.join(os_, F.col("os_orderkey") == F.col("l_orderkey"))
+        .where((F.col("is_late") == 1) & (F.col("ns") > 1) & (F.col("nls") == 1))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@_register(
+    "inactive_customer_balance",
+    f"""
+    WITH avg_pos AS (
+      SELECT {oracle_q_avg('c_acctbal')} AS av
+      FROM customer WHERE c_acctbal > 0.0
+    ), recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           {oracle_q_sum('c_acctbal')} AS totacctbal
+    FROM customer, avg_pos
+    WHERE c_acctbal > av
+      AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    "TPC-H Q22 shape (global sales opportunity): above-average-"
+    "balance customers with no RECENT orders (every customer has "
+    "some order in this data, so inactivity is 'nothing since "
+    "2001-01-01'), grouped by nation key in place of the phone "
+    "country code. The global average is a 1-row broadcast cross "
+    "join, the inactivity test a LEFT ANTI join against the "
+    "deduplicated recent-buyer keys. Quantized average and sum keep "
+    "the float threshold and totals bit-stable.",
+)
+def inactive_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    avg_pos = customer.where(F.col("c_acctbal") > 0.0).agg(
+        q_avg(F.col("c_acctbal"), "av")
+    )
+    recent = (
+        orders.where(
+            F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_pos))
+        .where(F.col("c_acctbal") > F.col("av"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"), q_sum(F.col("c_acctbal"), "totacctbal")
+        )
+        .orderBy("c_nationkey")
     )
 
 

@@ -132,3 +132,36 @@ def test_sampling_filter_is_pushed_into_scan_stage(spark, sf_dir):
     rep = plan_report(registry.queries()["stratified_sample_docs"](spark, sf_dir))
     # arithmetic-hash sampling compiles to a plain filter: map-only plan
     assert rep["n_exchanges"] == 0
+
+
+def test_tpch_battery_broadcasts_dims_no_cartesian(spark, sf_dir):
+    # extended TPC-H battery: every dim join must broadcast and no
+    # query may degrade to a cross product over fact rows (the 1-row
+    # scalar broadcasts in Q15/Q22 are BroadcastNestedLoopJoin by
+    # design and excluded here)
+    for name in [
+        "local_supplier_volume",
+        "volume_shipping_binational",
+        "nation_market_share",
+        "profit_by_nation_year",
+        "bracketed_revenue",
+        "supplier_count_by_part_attrs",
+    ]:
+        plan = _formatted_plan(registry.queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_q4_semi_join_no_row_explosion(spark, sf_dir):
+    plan = _formatted_plan(
+        registry.queries()["late_order_priority_counts"](spark, sf_dir)
+    )
+    assert "LeftSemi" in plan  # EXISTS must compile to a semi join
+
+
+def test_q15_max_is_broadcast_not_global_window(spark, sf_dir):
+    plan = _formatted_plan(registry.queries()["top_supplier_revenue"](spark, sf_dir))
+    # the scalar max must join back as a broadcast, never a
+    # single-partition global Window sort
+    assert "Window" not in plan
