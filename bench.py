@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "weekly_retention_cohorts",
     "funnel_signup_click_purchase",
     "image_header_decode",
+    "audio_header_decode",
     "decontaminate_docs",
     "pack_sequences_docs",
     "embedding_linear_probe",

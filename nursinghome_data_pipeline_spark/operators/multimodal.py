@@ -8,10 +8,13 @@ Decode depth is tiered:
 
 - **Header decode is REAL**: :func:`parse_image_header` reads
   container bytes (PNG IHDR, GIF screen descriptor, JPEG SOF scan,
-  BMP info header) with the stdlib only — no codec library —  and
-  :func:`image_metadata` / ``extract_features(decode_stub=False)``
-  run it distributed. :func:`encode_png` writes real zlib-compressed
-  PNGs, so tests and oracle queries round-trip genuine bytes.
+  BMP info header) and :func:`parse_audio_header` reads WAV RIFF
+  chunks and FLAC STREAMINFO with the stdlib only — no codec library
+  — and :func:`image_metadata` / :func:`audio_metadata` /
+  ``extract_features(decode_stub=False)`` run them distributed.
+  :func:`encode_png` / :func:`encode_wav` write real zlib-compressed
+  PNGs / PCM WAVs, so tests and oracle queries round-trip genuine
+  bytes.
 - **Pixel/sample decode stays stubbed**: full raster decode, audio
   resample, video frame extraction need media libraries NOT in this
   environment; ``decode_stub=True`` (default) computes a
@@ -162,6 +165,146 @@ def image_metadata(df: DataFrame) -> DataFrame:
                     "format": [p[0] for p in parsed],
                     "width": [p[1] for p in parsed],
                     "height": [p[2] for p in parsed],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def parse_audio_header(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None, int | None]:
+    """REAL audio container decode — (format, channels, sample_rate,
+    bits_per_sample, n_frames) from raw bytes, stdlib-only.
+
+    Formats: WAV (RIFF chunk walk: ``fmt `` + ``data``), FLAC
+    (STREAMINFO metadata block bit-unpack). Returns all-None for
+    anything else — callers decide whether unknown payloads are errors.
+    """
+    import struct
+
+    if not payload or len(payload) < 12:
+        return (None, None, None, None, None)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        channels = rate = bits = None
+        block_align = data_size = None
+        i = 12
+        while i + 8 <= len(payload):
+            tag = payload[i : i + 4]
+            (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            if tag == b"fmt " and i + 24 <= len(payload):
+                _, channels, rate, _, block_align, bits = struct.unpack(
+                    "<HHIIHH", payload[i + 8 : i + 24]
+                )
+            elif tag == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if channels and rate and block_align:
+            frames = (data_size // block_align) if data_size is not None else None
+            return ("wav", channels, rate, bits, frames)
+        return (None, None, None, None, None)
+    if payload[:4] == b"fLaC" and len(payload) >= 4 + 4 + 34:
+        # first metadata block must be STREAMINFO (34 bytes); the
+        # 8 bytes at offset 18 pack rate(20) ch-1(3) bits-1(5) total(36)
+        block_type = payload[4] & 0x7F
+        if block_type != 0:
+            return (None, None, None, None, None)
+        body = payload[8:42]
+        packed = int.from_bytes(body[10:18], "big")
+        rate = packed >> 44
+        channels = ((packed >> 41) & 0x7) + 1
+        bits = ((packed >> 36) & 0x1F) + 1
+        total = packed & ((1 << 36) - 1)
+        return ("flac", channels, rate, bits, total)
+    return (None, None, None, None, None)
+
+
+def encode_wav(
+    channels: int, sample_rate: int, n_frames: int, *, bits: int = 16, seed: int = 0
+) -> bytes:
+    """Minimal REAL PCM WAV writer (stdlib struct + numpy samples):
+    deterministic 16-bit samples from ``seed``. Produces spec-valid
+    RIFF/WAVE files any audio reader accepts — the fixture side of the
+    round-trip tests for :func:`parse_audio_header`."""
+    import struct
+
+    import numpy as np
+
+    assert bits == 16, "fixture writer emits 16-bit PCM only"
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    n = n_frames * channels
+    samples = (
+        ((seed + np.arange(n, dtype=np.int64)) * 2654435761) % 65536 - 32768
+    ).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_flac_streaminfo(
+    channels: int, sample_rate: int, total_samples: int, *, bits: int = 16
+) -> bytes:
+    """Spec-valid FLAC STREAMINFO header (container metadata only — no
+    encoded frames; FLAC audio encoding needs a codec library). Enough
+    for any FLAC reader to report stream parameters."""
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    body = (
+        (0).to_bytes(2, "big")  # min block size
+        + (0).to_bytes(2, "big")  # max block size
+        + (0).to_bytes(3, "big")  # min frame size
+        + (0).to_bytes(3, "big")  # max frame size
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16  # md5 of raw samples (unset)
+    )
+    # 0x80: last-metadata-block flag; type 0 = STREAMINFO
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def audio_metadata(df: DataFrame) -> DataFrame:
+    """Distributed REAL audio header decode: (media_id, format,
+    channels, sample_rate, bits_per_sample, duration_ms) parsed from
+    payload bytes via ``mapInPandas`` — the audio twin of
+    :func:`image_metadata`. duration_ms is integer floor millis so it
+    stays exactly checkable cross-engine."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("format", T.StringType(), True),
+            T.StructField("channels", T.LongType(), True),
+            T.StructField("sample_rate", T.LongType(), True),
+            T.StructField("bits_per_sample", T.LongType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_audio_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [p[0] for p in parsed],
+                    "channels": [p[1] for p in parsed],
+                    "sample_rate": [p[2] for p in parsed],
+                    "bits_per_sample": [p[3] for p in parsed],
+                    "duration_ms": [
+                        (p[4] * 1000) // p[2]
+                        if p[4] is not None and p[2]
+                        else None
+                        for p in parsed
+                    ],
                 }
             )
 

@@ -1848,6 +1848,60 @@ def image_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "audio_header_decode",
+    """
+    SELECT doc_id AS media_id,
+           'wav' AS format,
+           doc_id % 2 + 1 AS channels,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT)
+             AS sample_rate,
+           CAST(16 AS BIGINT) AS bits_per_sample,
+           ((doc_id * 13) % 2000 + 100) * 1000
+             // CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                     WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT)
+             AS duration_ms
+    FROM documents
+    """,
+    "REAL audio decode (no codec library): executors ENCODE a spec-"
+    "valid PCM RIFF/WAVE file per document (operators/multimodal."
+    "encode_wav, stream params derived from doc_id), then PARSE the "
+    "container bytes back (parse_audio_header walks fmt/data chunks) "
+    "via distributed mapInPandas (audio_metadata). The oracle "
+    "recomputes channels/rate/duration arithmetically — a hash-checked "
+    "byte-level round-trip through genuine WAV structure, the audio "
+    "twin of image_header_decode.",
+)
+def audio_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import audio_metadata, encode_wav
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    rates = [8000, 16000, 22050, 44100]
+
+    def make_payloads(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav(
+                            int(d % 2 + 1),
+                            rates[int(d % 4)],
+                            int((d * 13) % 2000 + 100),
+                            seed=int(d),
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = documents.select("doc_id").mapInPandas(
+        make_payloads, schema="media_id long, payload binary"
+    )
+    return audio_metadata(media)
+
+
+@_register(
     "frame_sample_plan",
     """
     SELECT doc_id AS media_id,

@@ -130,3 +130,73 @@ def test_media_repartition(media):
     out = media_repartition(media, target_bytes=10)
     assert out.count() == 3
     assert out.rdd.getNumPartitions() >= 2
+
+
+def test_parse_audio_header_wav_round_trip():
+    from nursinghome_data_pipeline_spark.operators.multimodal import (
+        encode_wav,
+        parse_audio_header,
+    )
+
+    for ch, rate, frames, seed in [
+        (1, 8000, 100, 0),
+        (2, 44100, 2099, 7),
+        (2, 22050, 555, 3),
+    ]:
+        fmt, c, r, bits, n = parse_audio_header(
+            encode_wav(ch, rate, frames, seed=seed)
+        )
+        assert (fmt, c, r, bits, n) == ("wav", ch, rate, 16, frames)
+
+
+def test_parse_audio_header_flac_streaminfo():
+    from nursinghome_data_pipeline_spark.operators.multimodal import (
+        encode_flac_streaminfo,
+        parse_audio_header,
+    )
+
+    fmt, c, r, bits, n = parse_audio_header(
+        encode_flac_streaminfo(2, 48000, 123456, bits=24)
+    )
+    assert (fmt, c, r, bits, n) == ("flac", 2, 48000, 24, 123456)
+
+
+def test_parse_audio_header_rejects_unknown():
+    from nursinghome_data_pipeline_spark.operators.multimodal import (
+        parse_audio_header,
+    )
+
+    assert parse_audio_header(b"not audio at all") == (None,) * 5
+    assert parse_audio_header(None) == (None,) * 5
+    # RIFF but not WAVE (e.g. AVI) must not parse as wav
+    assert parse_audio_header(b"RIFF\x00\x00\x00\x00AVI LIST") == (None,) * 5
+
+
+def test_wav_samples_are_decodable_by_stdlib_wave():
+    import io
+    import wave
+
+    from nursinghome_data_pipeline_spark.operators.multimodal import encode_wav
+
+    with wave.open(io.BytesIO(encode_wav(2, 16000, 321, seed=5))) as w:
+        assert w.getnchannels() == 2
+        assert w.getframerate() == 16000
+        assert w.getnframes() == 321
+        assert w.getsampwidth() == 2
+
+
+def test_audio_metadata_distributed_round_trip(spark):
+    import pandas as pd
+
+    from nursinghome_data_pipeline_spark.operators.multimodal import (
+        audio_metadata,
+        encode_wav,
+    )
+
+    rows = [(i, encode_wav(i % 2 + 1, 8000, 100 + i, seed=i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in audio_metadata(df).collect()}
+    for i in range(20):
+        r = out[i]
+        assert r.format == "wav" and r.channels == i % 2 + 1
+        assert r.duration_ms == (100 + i) * 1000 // 8000
