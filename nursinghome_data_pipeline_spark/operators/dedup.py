@@ -589,3 +589,78 @@ def near_duplicate_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_chars: int = 100,
+) -> DataFrame:
+    """Sub-document exact dedup: split each document into fixed
+    ``window_chars``-character passages, fingerprint each, and keep one
+    winner per distinct passage — the first occurrence in corpus order
+    (lowest (id, offset)).
+
+    This is the passage-granularity complement of
+    :func:`exact_dedup_fingerprints` (whole-document): boilerplate
+    repeated ACROSS otherwise-distinct documents (headers, footers,
+    license blocks) survives whole-doc dedup but is caught here.
+
+    Output: one row per document — total passages, passages retained
+    after global dedup, and the exact characters dropped.
+
+    Scale: passage explosion is map-side (sequence+transform, no
+    shuffle); the only shuffle is the groupBy on the passage hash,
+    whose keys are uniform md5 values. The winner is chosen with one
+    ``min`` over a packed (id, offset) key — deterministic under any
+    partition layout, no window sort over the corpus.
+    """
+    c = F.col(text_col)
+    n_wins = F.floor((F.length(c) - 1) / window_chars).cast("int") + 1
+    passages = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_wins - 1),
+                lambda i: F.struct(
+                    i.alias("off"),
+                    F.substring(c, F.lit(1) + i * window_chars, window_chars).alias(
+                        "passage"
+                    ),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.off").alias("off"), F.col("p.passage").alias("passage"))
+    # winner per distinct passage text = lowest (doc_id, offset); pack
+    # the pair into one long so min() is a plain partial-aggregable min
+    packed = (F.col(id_col) * F.lit(1_000_000) + F.col("off")).alias("pk")
+    winners = passages.groupBy(F.md5("passage").alias("fp")).agg(
+        F.min(packed).alias("win_pk")
+    )
+    kept = (
+        passages.join(winners, F.md5("passage") == F.col("fp"))
+        .where(F.col(id_col) * F.lit(1_000_000) + F.col("off") == F.col("win_pk"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.length("passage")).alias("chars_kept"),
+        )
+    )
+    totals = passages.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.length("passage")).alias("chars_total"),
+    )
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            "n_passages",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "chars_total",
+            (F.col("chars_total") - F.coalesce("chars_kept", F.lit(0))).alias(
+                "chars_dropped"
+            ),
+        )
+    )

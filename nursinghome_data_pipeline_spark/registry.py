@@ -1848,6 +1848,87 @@ def image_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "passage_dedup_docs",
+    """
+    WITH spans AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(floor((length(text) - 1) / 100) AS BIGINT) + 1))
+               AS off
+      FROM documents
+    ), p2 AS (
+      SELECT doc_id, off,
+             substr(text, CAST(1 + off * 100 AS INT), 100) AS passage
+      FROM spans
+    ), winners AS (
+      SELECT md5(passage) AS fp, MIN(doc_id * 1000000 + off) AS win_pk
+      FROM p2 GROUP BY md5(passage)
+    ), kept AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             CAST(SUM(length(passage)) AS BIGINT) AS chars_kept
+      FROM p2 JOIN winners
+        ON md5(passage) = fp AND doc_id * 1000000 + off = win_pk
+      GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, COUNT(*) AS n_passages,
+             CAST(SUM(length(passage)) AS BIGINT) AS chars_total
+      FROM p2 GROUP BY doc_id
+    )
+    SELECT totals.doc_id, n_passages, COALESCE(n_kept, 0) AS n_kept,
+           chars_total,
+           chars_total - COALESCE(chars_kept, 0) AS chars_dropped
+    FROM totals LEFT JOIN kept ON totals.doc_id = kept.doc_id
+    """,
+    "Sub-document (passage-level) exact dedup "
+    "(operators/dedup.passage_dedup): fixed 100-char windows, one "
+    "winner per distinct passage = lowest (doc, offset) via a packed "
+    "min — catches boilerplate repeated ACROSS distinct documents "
+    "that whole-doc dedup (exact_dedup_docs) misses. Passage "
+    "explosion is map-side; the only shuffles group on uniform md5 "
+    "keys. Winner selection is a partial-aggregable MIN, not a "
+    "corpus-wide window sort.",
+)
+def passage_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import passage_dedup
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return passage_dedup(documents, window_chars=100)
+
+
+@_register(
+    "dataset_split_docs",
+    """
+    SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1 ORDER BY split
+    """,
+    "Deterministic train/val/test split (80/10/10) by arithmetic hash "
+    "of the stable document id — the assignment of any document never "
+    "changes as the corpus grows (no rand(), no row ordering "
+    "dependence, reproducible across retries and engines). Map-side "
+    "CASE over a pushed-down 2-column scan; the shuffle carries 3 "
+    "partial rows.",
+)
+def dataset_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        documents.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@_register(
     "audio_header_decode",
     """
     SELECT doc_id AS media_id,

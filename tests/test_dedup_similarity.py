@@ -165,3 +165,33 @@ def test_knn_lsh_matches_bucketed_subset(spark, sf_dir):
     assert 1 <= len(approx) <= 5
     assert approx[0].vec_id == 7  # query shares its own bucket
     assert approx[0].cosine_sim == pytest.approx(1.0)
+
+
+def test_passage_dedup_drops_cross_doc_boilerplate(spark):
+    from nursinghome_data_pipeline_spark.operators.dedup import passage_dedup
+
+    boiler = "x" * 100  # exactly one window of repeated boilerplate
+    rows = [
+        (0, boiler + "unique-zero-" + "a" * 88),
+        (1, boiler + "unique-one-" + "b" * 89),
+        (2, "entirely distinct content " + "c" * 74),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in passage_dedup(df, window_chars=100).collect()}
+    # doc 0 keeps both passages (first occurrence of the boilerplate)
+    assert out[0].n_kept == 2 and out[0].chars_dropped == 0
+    # doc 1 loses exactly the 100-char boilerplate window
+    assert out[1].n_kept == 1 and out[1].chars_dropped == 100
+    assert out[2].n_kept == out[2].n_passages
+    # totals conserved
+    assert out[1].chars_total == len(rows[1][1])
+
+
+def test_passage_dedup_winner_is_offset_deterministic(spark):
+    from nursinghome_data_pipeline_spark.operators.dedup import passage_dedup
+
+    # same passage twice WITHIN one doc: first offset wins, second drops
+    text = ("y" * 100) * 2
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    r = passage_dedup(df, window_chars=100).collect()[0]
+    assert r.n_passages == 2 and r.n_kept == 1 and r.chars_dropped == 100
