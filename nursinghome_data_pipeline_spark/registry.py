@@ -1929,6 +1929,137 @@ def dataset_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "epoch_shuffle_docs",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             (doc_id * 2654435761 + 1 * 40503) % 1000000007 AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key, shuffle_key % 16 AS shard,
+           ROW_NUMBER() OVER (PARTITION BY shuffle_key % 16
+                              ORDER BY shuffle_key, doc_id) AS pos
+    FROM keyed
+    """,
+    "Deterministic epoch shuffle: the training-order randomization "
+    "step — every example gets a pseudorandom but REPRODUCIBLE sort "
+    "key from (id, epoch) arithmetic (epoch=1 here; production "
+    "parameterizes it), then a shard and an intra-shard position. No "
+    "RNG state to coordinate across 1000 executors, retries reproduce "
+    "the same order, and a different epoch constant reshuffles "
+    "globally. One shuffle (by shard) + per-shard local sort; shards "
+    "keep the sort parallel instead of a single global orderBy.",
+)
+def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    key = (F.col("doc_id") * F.lit(2654435761) + F.lit(1) * F.lit(40503)) % F.lit(
+        1000000007
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        documents.select("doc_id", key.alias("shuffle_key"))
+        .withColumn("shard", F.col("shuffle_key") % 16)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
+@_register(
+    "length_bucket_batches",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST({oracle_token_count('text')} AS BIGINT) AS n_tokens
+      FROM documents
+    ), placed AS (
+      SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
+             (ROW_NUMBER() OVER (PARTITION BY n_tokens // 64
+                                 ORDER BY doc_id) - 1) // 16 AS batch_idx
+      FROM toks
+    )
+    SELECT bucket, batch_idx, COUNT(*) AS n_docs,
+           MAX(n_tokens) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           COUNT(*) * MAX(n_tokens) - CAST(SUM(n_tokens) AS BIGINT)
+             AS padding_waste
+    FROM placed
+    GROUP BY bucket, batch_idx
+    ORDER BY bucket, batch_idx
+    """,
+    "Length-bucketed batching: group documents into 64-token length "
+    "buckets, assign deterministic 16-doc batches within each bucket "
+    "(row_number by stable id), and account the padding waste each "
+    "batch would incur (batch_size·max_len − Σlen) — the packing-"
+    "efficiency audit for padded-batch training. One shuffle on the "
+    "bucket key + per-bucket local sort, then a partial-aggregated "
+    "groupBy; token counts reuse the oracle-exact whitespace counter.",
+)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", token_count_col("text").cast("long").alias("n_tokens")
+    )
+    bucket = F.floor(F.col("n_tokens") / 64)
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    placed = toks.withColumn("bucket", bucket).withColumn(
+        "batch_idx", F.floor((F.row_number().over(w) - 1) / 16)
+    )
+    return (
+        placed.groupBy("bucket", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "batch_idx",
+            "n_docs",
+            "max_tokens",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens")).alias(
+                "padding_waste"
+            ),
+        )
+        .orderBy("bucket", "batch_idx")
+    )
+
+
+@_register(
+    "quality_filter_by_source",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, {oracle_quality_score('text')} AS quality
+      FROM documents
+    )
+    SELECT doc_id, source, quality, pr
+    FROM (
+      SELECT doc_id, source, quality,
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY quality) AS pr
+      FROM scored
+    )
+    WHERE pr >= 0.8
+    """,
+    "Per-source quality-percentile curation: keep each source's top "
+    "quality quintile (percent_rank >= 0.8 within source) — the "
+    "standard 'filter within domain, not globally' curation step "
+    "that stops one clean source from crowding out all others. "
+    "percent_rank is exact rational arithmetic ((rank-1)/(n-1)) over "
+    "the bit-identical quality score, so the kept SET matches across "
+    "engines. One shuffle on source + per-source local sort.",
+)
+def quality_filter_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = documents.select(
+        "doc_id", "source", quality_score_col("text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy("quality")
+    return scored.withColumn("pr", F.percent_rank().over(w)).where(
+        F.col("pr") >= 0.8
+    )
+
+
+@_register(
     "audio_header_decode",
     """
     SELECT doc_id AS media_id,
