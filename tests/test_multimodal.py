@@ -200,3 +200,26 @@ def test_audio_metadata_distributed_round_trip(spark):
         r = out[i]
         assert r.format == "wav" and r.channels == i % 2 + 1
         assert r.duration_ms == (100 + i) * 1000 // 8000
+
+
+def test_parse_headers_never_crash_on_arbitrary_bytes():
+    # parsers must be total functions over bytes: fuzz with adversarial
+    # prefixes (truncated magic numbers, huge declared chunk sizes)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nursinghome_data_pipeline_spark.operators.multimodal import (
+        parse_audio_header,
+        parse_image_header,
+    )
+
+    prefixes = [b"", b"RIFF", b"RIFF\xff\xff\xff\xffWAVE", b"fLaC",
+                b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"BM"]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.sampled_from(prefixes), st.binary(max_size=64))
+    def fuzz(prefix, tail):
+        parse_audio_header(prefix + tail)
+        parse_image_header(prefix + tail)
+
+    fuzz()
