@@ -1929,6 +1929,111 @@ def dataset_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "window_analytics_battery",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           CUME_DIST() OVER w AS cd,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "Analytic-window battery beyond ranking (window_rank_battery "
+    "covers rank/dense_rank/row_number): NTILE quartiles, CUME_DIST "
+    "(exact rational, cross-engine bit-equal), FIRST/LAST/NTH_VALUE "
+    "with explicit full-partition frames — LAST_VALUE's default "
+    "frame stops at CURRENT ROW, a classic cross-engine semantics "
+    "trap, pinned here by spelling the frame out identically on both "
+    "engines. One shuffle on the partition key; the sort key "
+    "(o_orderdate, o_orderkey) is unique per partition, so every "
+    "function is deterministic.",
+)
+def window_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+    )
+
+
+@_register(
+    "referential_integrity_check",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge, COUNT(*) AS n_orphans
+    FROM lineitem WHERE NOT EXISTS
+      (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', COUNT(*)
+    FROM lineitem WHERE NOT EXISTS
+      (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', COUNT(*)
+    FROM lineitem WHERE NOT EXISTS
+      (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', COUNT(*)
+    FROM orders WHERE NOT EXISTS
+      (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    ORDER BY fk_edge
+    """,
+    "Referential-integrity audit (DQ family, the FK complement of the "
+    "reference's duplicate-key check — build.py:18-24 dq_audit): "
+    "orphan counts per foreign-key edge via LEFT ANTI joins. True "
+    "dims (part/supplier/customer key columns) broadcast, so those "
+    "edges never shuffle fact rows; the fact-to-fact edge "
+    "(lineitem→orders) anti-joins by shuffle on the key — orders is "
+    "NOT broadcastable at scale. Four 1-row results union into one "
+    "audit frame.",
+)
+def referential_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, part, supplier, customer = _t(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "customer"
+    )
+
+    def orphans(
+        fact: DataFrame, fk: str, dim: DataFrame, pk: str, edge: str,
+        *, bcast: bool = True,
+    ):
+        keys = dim.select(pk)
+        return (
+            fact.join(
+                F.broadcast(keys) if bcast else keys,
+                F.col(fk) == F.col(pk),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(edge).alias("fk_edge"), "n_orphans")
+        )
+
+    return (
+        orphans(lineitem, "l_orderkey", orders, "o_orderkey",
+                "lineitem.l_orderkey->orders", bcast=False)
+        .unionAll(orphans(lineitem, "l_partkey", part, "p_partkey",
+                          "lineitem.l_partkey->part"))
+        .unionAll(orphans(lineitem, "l_suppkey", supplier, "s_suppkey",
+                          "lineitem.l_suppkey->supplier"))
+        .unionAll(orphans(orders, "o_custkey", customer, "c_custkey",
+                          "orders.o_custkey->customer"))
+        .orderBy("fk_edge")
+    )
+
+
+@_register(
     "epoch_shuffle_docs",
     """
     WITH keyed AS (
