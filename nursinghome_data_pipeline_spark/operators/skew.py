@@ -164,3 +164,49 @@ def has_exchange(df: DataFrame) -> bool:
     diagnostics helper for asserting co-located execution)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange" in plan
+
+
+def compact_files(
+    spark,
+    path: str,
+    *,
+    target_bytes: int = 128 << 20,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_bytes`` files. Returns the new file count.
+
+    Streaming ingest and per-partition writes leave thousands of tiny
+    files; at 100 TB that inflates NameNode/listing load and makes
+    every scan footer-bound. Compaction sizes the output by BYTES on
+    disk (matching `media_repartition`'s policy of sizing by payload,
+    not row count) and optionally sorts within files so min/max
+    row-group stats stay selective for ``sort_col`` predicates.
+
+    The rewrite goes through a temp directory + atomic-ish swap so a
+    failed compaction never leaves the table half-rewritten (the
+    parquet+rename swap is the local-FS stand-in for a transactional
+    rewrite in Delta/Iceberg).
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n = max(1, (total + target_bytes - 1) // target_bytes)
+    df = spark.read.parquet(path)
+    out = df.repartitionByRange(n, F.col(sort_col)) if sort_col else df.coalesce(n)
+    if sort_col:
+        out = out.sortWithinPartitions(sort_col)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact.old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(
+        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )

@@ -1929,6 +1929,54 @@ def dataset_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incremental_ingest_dedup",
+    """
+    WITH batch AS (
+      SELECT doc_id, text, source, n_chars FROM documents WHERE doc_id % 10 = 9
+    ), corpus AS (
+      SELECT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 9
+    ), fresh AS (
+      SELECT b.* FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = md5(b.text))
+    ), first_of AS (
+      SELECT md5(text) AS fp, MIN(doc_id) AS keep_id FROM fresh GROUP BY md5(text)
+    )
+    SELECT doc_id, source, n_chars
+    FROM fresh JOIN first_of ON md5(fresh.text) = fp AND doc_id = keep_id
+    """,
+    "Incremental corpus ingest with dedup against the EXISTING corpus "
+    "(docs with id % 10 = 9 stand in for the new batch): the batch "
+    "anti-joins the corpus fingerprint index — never the corpus text "
+    "— then keeps one winner per intra-batch duplicate (MIN id). At "
+    "scale the corpus side is the persisted fingerprint column of the "
+    "catalog (one md5 per historical doc), so ingest cost is "
+    "O(batch) + one fingerprint-keyed shuffle, not a re-scan of 100 "
+    "TB of text. Same anti-join idempotency pattern as the K8 "
+    "skip-existing sync.",
+)
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    batch = documents.where(F.col("doc_id") % 10 == 9)
+    corpus_fp = documents.where(F.col("doc_id") % 10 != 9).select(
+        F.md5("text").alias("fp")
+    )
+    fresh = batch.join(
+        corpus_fp, F.md5(F.col("text")) == F.col("fp"), "left_anti"
+    )
+    first_of = fresh.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    return (
+        fresh.join(
+            first_of,
+            (F.md5(F.col("text")) == F.col("fp"))
+            & (F.col("doc_id") == F.col("keep_id")),
+        )
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+@_register(
     "window_analytics_battery",
     """
     SELECT o_orderkey, o_custkey,

@@ -111,3 +111,44 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_compact_files_reduces_file_count_preserving_rows(spark, tmp_path):
+    from nursinghome_data_pipeline_spark.operators.skew import compact_files
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    import glob
+    import os
+
+    before = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert before >= 32
+    n_after = compact_files(spark, path, target_bytes=1 << 30)
+    assert n_after < before
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("v")).first()[0] == 10000 * 9999  # content intact
+
+
+def test_compact_files_sorted_keeps_rowgroup_stats_selective(spark, tmp_path):
+    from nursinghome_data_pipeline_spark.operators.skew import compact_files
+
+    path = str(tmp_path / "frag_sorted")
+    spark.range(0, 5000).withColumn("k", (F.col("id") * 7919) % 5000).write.mode(
+        "overwrite"
+    ).parquet(path)
+    compact_files(spark, path, target_bytes=1 << 30, sort_col="k")
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    # sorted-within-file: each partition's k values are non-decreasing
+    import pandas as pd
+
+    def check(it):
+        for pdf in it:
+            ks = pdf["k"].tolist()
+            yield pd.DataFrame({"ok": [ks == sorted(ks)]})
+
+    assert all(
+        r.ok for r in back.select("k").mapInPandas(check, "ok boolean").collect()
+    )
