@@ -4345,6 +4345,319 @@ def synthetic_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series rollup cascade + mergeable sketches (operators/rollup.py)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rollup_cascade_events",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           COUNT(*) AS n_events,
+           {oracle_q_sum('value')} AS total_value,
+           {oracle_q_sum('value')} / NULLIF(COUNT(value), 0) AS avg_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+    "Multi-resolution rollup cascade (hypertable continuous-aggregate "
+    "pattern, operators/rollup.py): minute rollup from raw events, hour "
+    "from minute, day from hour — each coarser level re-aggregates the "
+    "finer ROLLUP (O(|buckets|) rows), never the fact table. The oracle "
+    "is the DIRECT day-level aggregate over raw events: equality proves "
+    "the cascade is lossless, which holds because every aggregate is "
+    "mergeable — counts/min/max trivially, and double sums via the "
+    "exact decimal(38,0) quantized terms (functions/exprs.py), which "
+    "are associative at every level. At 100 TB this is the difference "
+    "between a daily report scanning 24 hourly rows and re-scanning "
+    "billions of events.",
+)
+def rollup_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rollup import rollup_cascade
+
+    (events,) = _t(spark, sf_dir, "events")
+    return rollup_cascade(events)
+
+
+@_register(
+    "hll_rollup_events",
+    None,  # DataSketches HLL estimates are engine-specific → rows-only
+    "Mergeable distinct-count rollup (operators/rollup.py): one HLL "
+    "sketch per (event_type, day) via hll_sketch_agg, merged per type "
+    "with hll_union_agg, then estimated. Union is register-wise max at "
+    "shared lgK, so the merged estimate EQUALS a single-pass sketch of "
+    "the raw rows (pinned by tests/test_rollup_sketches.py, with an "
+    "ε-bound vs exact COUNT DISTINCT) while the merge shuffles only "
+    "KB-sized sketches — daily → all-time distinct users at 100 TB "
+    "without ever re-shuffling user ids. Deterministic output "
+    "(DataSketches hashing is seed-fixed) but engine-specific, hence "
+    "rows-only.",
+)
+def hll_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rollup import hll_rollup
+
+    (events,) = _t(spark, sf_dir, "events")
+    return hll_rollup(
+        events, key_cols=["event_type"], distinct_col="user_id"
+    ).select("event_type", "approx_distinct", "n_buckets")
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Variant type: semi-structured JSON without a fixed schema
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "variant_json_events",
+    """
+    WITH j AS (
+      SELECT '{"meta":{"type":"' || event_type || '","vals":['
+             || CAST(user_id AS VARCHAR) || ',' || CAST(user_id * 2 AS VARCHAR)
+             || ']},"props":' || props || '}' AS doc
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        AND props IS NOT NULL
+    )
+    SELECT json_extract_string(doc, '$.meta.type') AS meta_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(TRY_CAST(json_extract(doc, '$.meta.vals[1]') AS BIGINT))
+                AS BIGINT) AS sum_val1,
+           CAST(SUM(TRY_CAST(json_extract(doc, '$.props.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(COUNT(TRY_CAST(json_extract(doc, '$.meta.absent') AS BIGINT))
+                AS BIGINT) AS n_absent
+    FROM j GROUP BY 1
+    """,
+    "Spark 4 VARIANT ingestion of nested semi-structured JSON: build a "
+    "nested document (object + array + the raw events.props payload "
+    "spliced in), parse_json once to a Variant, then extract typed "
+    "fields by path — object path, array index, nested passthrough "
+    "object, and a missing path via try_variant_get (NULL, counted 0). "
+    "Variant parses once into a binary-encoded tree; repeated path "
+    "extraction avoids re-parsing the JSON text per field, the reason "
+    "to prefer it over get_json_object when several fields are read at "
+    "100 TB. Only integers/strings are embedded (double→string "
+    "formatting differs across engines). Oracle sums CAST to BIGINT "
+    "(DuckDB HUGEINT drift, round-1 lesson).",
+)
+def variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","vals":['),
+        F.col("user_id").cast("string"),
+        F.lit(","),
+        (F.col("user_id") * 2).cast("string"),
+        F.lit(']},"props":'),
+        F.col("props"),
+        F.lit("}"),
+    )
+    v = F.parse_json(j)
+    return (
+        events.where(
+            F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("props").isNotNull()
+        )
+        .select(
+            F.variant_get(v, "$.meta.type", "string").alias("meta_type"),
+            F.variant_get(v, "$.meta.vals[1]", "bigint").alias("val1"),
+            F.variant_get(v, "$.props.k", "bigint").alias("k"),
+            F.try_variant_get(v, "$.meta.absent", "bigint").alias("absent"),
+        )
+        .groupBy("meta_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("val1").alias("sum_val1"),
+            F.sum("k").alias("sum_k"),
+            F.count("absent").alias("n_absent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality scoring (log-free rational formulation)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "unigram_lm_score_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS t FROM toks)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+           / CAST(COUNT(*) * t AS DOUBLE) AS unigram_score
+    FROM toks JOIN vocab USING (tok), tot
+    GROUP BY doc_id, t
+    """,
+    "Unigram language-model quality score — the corpus-statistics "
+    "cousin of perplexity filtering: score(d) = mean over d's tokens of "
+    "the corpus unigram probability c(tok)/T. Kept LOG-FREE so it is "
+    "exactly rational: every intermediate is an exact integer (token "
+    "counts, corpus total, their products < 2^53) and the single final "
+    "division is one IEEE op — bit-identical across engines with no "
+    "quantization needed (same trick as the rational TF-IDF). Plan: "
+    "token explode → vocab count (small, broadcast back) → per-doc "
+    "integer sums; the corpus total joins as a broadcast 1-row "
+    "aggregate. Low scores flag gibberish/rare-token documents for "
+    "curation, complementing doc_quality_scores' surface heuristics.",
+)
+def unigram_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("c").alias("_sum_c"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("_sum_c").cast("double")
+                / (F.col("n_tokens") * F.col("t")).cast("double")
+            ).alias("unigram_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python UDTF (LATERAL table function)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "udtf_tokenize_docs",
+    """
+    WITH e AS (
+      SELECT doc_id,
+             unnest(range(len(arr))) AS pos,
+             unnest(arr) AS token
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS arr
+            FROM documents WHERE doc_id % 20 = 0)
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, token,
+           CAST(length(token) AS BIGINT) AS n_chars
+    FROM e
+    """,
+    "Python UDTF in LATERAL position (Spark 4 @udtf API, functions/"
+    "udtfs.py): one-to-many row expansion from a Python generator with "
+    "Arrow-batched transfer (useArrow=True). The UDTF mirrors the "
+    "engine-wide split(trim(text),' ') tokenization so the DuckDB "
+    "zipped-unnest oracle verifies the LATERAL plumbing (positions, "
+    "per-row expansion, column passthrough) end-to-end. UDTFs are the "
+    "escape hatch for expansions needing real Python (stateful "
+    "parsers, third-party tokenizers) — for anything expression-"
+    "expressible the native explode path wins (docstring rule), which "
+    "is why the equivalent native plan exists as token_count_docs.",
+)
+def udtf_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.udtfs import TokenizeUDTF
+
+    spark.udtf.register("tokenize_ws", TokenizeUDTF)
+    (documents,) = _t(spark, sf_dir, "documents")
+    documents.where(F.col("doc_id") % 20 == 0).createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.n_chars
+        FROM __udtf_docs d, LATERAL tokenize_ws(d.text) t
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Format round-trips: JSONL and ORC sources/sinks
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_dir(kind: str, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), "spark-graft-roundtrip", f"{kind}-{tag}"
+    )
+
+
+@_register(
+    "jsonl_roundtrip_docs",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM documents GROUP BY lang, source
+    """,
+    "JSON-lines sink → source round-trip: write documents as JSONL "
+    "(Spark json sink, one object per line — the interchange format of "
+    "public text-corpus pipelines), read back with an EXPLICIT schema "
+    "in PERMISSIVE mode (schema-on-read without inference — inference "
+    "is a full extra pass at 100 TB), then aggregate. The oracle "
+    "computes the same aggregate from the original parquet: equality "
+    "proves the JSON encode/decode (quote/unicode escaping included) "
+    "is lossless. Integer checksums keep the comparison exact.",
+)
+def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = _roundtrip_dir("jsonl", sf_dir)
+    documents.select("doc_id", "text", "lang", "source").coalesce(
+        4
+    ).write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string"
+    ).json(out)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+@_register(
+    "orc_roundtrip_lineitem",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           {oracle_q_sum('l_quantity')} AS sum_qty,
+           {oracle_q_sum('l_extendedprice')} AS sum_price,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "ORC sink → source round-trip on the fact table: write a projected "
+    "lineitem to ORC, read it back, aggregate per returnflag. Proves "
+    "the second columnar format end-to-end (schema + values preserved, "
+    "including double columns via quantized sums) against the parquet "
+    "oracle. ORC, like parquet, carries min/max stripe statistics that "
+    "Spark pushes filters into — the projection here is pruned to 4 of "
+    "16 columns at the scan on both write and read.",
+)
+def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    out = _roundtrip_dir("orc", sf_dir)
+    lineitem.select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    ).write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        q_sum("l_quantity", "sum_qty"),
+        q_sum("l_extendedprice", "sum_price"),
+        F.sum("l_orderkey").alias("key_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
 
