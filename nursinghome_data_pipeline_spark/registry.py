@@ -4657,6 +4657,51 @@ def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "streaming_stateful_user_totals",
+    f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           {oracle_q_sum('value')} AS total_value
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    """,
+    "Arbitrary stateful streaming (streaming/running_totals.py): "
+    "per-user running totals held in keyed state, updated cumulative "
+    "row emitted per touched key per micro-batch (online feature-store "
+    "shape). THIS RUN IS A REAL MULTI-BATCH STREAM: events are staged "
+    "as 8 parquet files and read with maxFilesPerTrigger=2, so state "
+    "must survive ≥4 micro-batches; the latest emission per key "
+    "(max_by on the strictly-increasing count) is the final answer. "
+    "State carries the exact quantized integer value sum, so the "
+    "result is independent of batch boundaries/order and hash-matches "
+    "the batch GROUP BY oracle bit-for-bit. Runs the GroupState API "
+    "(applyInPandasWithState); the Spark 4 transformWithStateInPandas "
+    "twin of the same fold ships alongside, import-gated on protobuf "
+    "(absent in this container — see module docstring).",
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.running_totals import (
+        finalize_totals,
+        running_totals_stream,
+    )
+    from .streaming.ingest_stream import run_stream_to_memory
+
+    (events,) = _t(spark, sf_dir, "events")
+    staged = _roundtrip_dir("events-stream", sf_dir)
+    events.select("user_id", "value").repartition(8).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
+    emitted = running_totals_stream(stream)
+    run_stream_to_memory(
+        emitted, "nh_stream_stateful_totals", output_mode="update"
+    )
+    return finalize_totals(spark.table("nh_stream_stateful_totals"))
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

@@ -1,0 +1,172 @@
+"""Per-key running totals as an arbitrary stateful streaming operator.
+
+The online-feature-store shape: maintain PER-USER cumulative totals
+across micro-batches and emit the updated row for every user touched by
+a batch ("events and spend per user so far", updated as data arrives).
+
+Two implementations of the same fold:
+
+- :func:`running_totals_stream` — ``applyInPandasWithState`` (the
+  GroupState API, Spark 3.4+). The default: no extra Python
+  dependencies, used by the oracle-checked registry query
+  ``streaming_stateful_user_totals``.
+- :func:`running_totals_stream_tws` — Spark 4's
+  ``transformWithStateInPandas`` successor API (typed ValueState on the
+  RocksDB state backend, timers/TTL capable). Its Python state-server
+  protocol requires the ``protobuf`` package, which this container does
+  not ship, so the path is import-gated and covered by a skip-marked
+  test — the code is the real Spark 4 wiring, not a stub.
+
+Determinism at 100 TB: state carries the event count and the QUANTIZED
+value sum (``floor(value * 2^Q_BITS)`` summed as exact integers —
+``functions/exprs.py``), so totals are independent of row order, batch
+boundaries, partitioning, and retries; the final unscaled double is
+bit-equal to the batch aggregate (the registry oracle checks exactly
+that). State per key is two longs — 100M users ≈ a few GB in a cluster
+state backend.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.exprs import Q_BITS
+
+_STATE_SCHEMA = "n long, vq long"
+#: cumulative totals per key; value_q is the exact quantized integer sum
+OUTPUT_SCHEMA = "user_id long, n_events long, value_q long"
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _fold_batch(n: int, vq: int, pdf: pd.DataFrame) -> tuple[int, int]:
+    """Fold one pandas chunk into (count, quantized sum) — exact
+    integers, mirroring the engine-wide q_sum term bit-for-bit."""
+    q = float(1 << Q_BITS)
+    n += len(pdf)
+    for v in pdf["value"]:
+        if v is not None and not (isinstance(v, float) and math.isnan(v)):
+            # *2^Q is an exponent shift (exact); floor exact.
+            vq += int(math.floor(v * q))
+    return n, vq
+
+
+def running_totals_stream(events: DataFrame, *, key_col: str = "user_id") -> DataFrame:
+    """Stateful running totals via ``applyInPandasWithState``.
+
+    Emits one row per (touched key, micro-batch) carrying the CUMULATIVE
+    totals; ``n_events`` strictly increases per key, so the latest row
+    per key (``max_by``) is the final answer on bounded input. No
+    timeout: totals never expire (bounded keys). For TTL'd variants see
+    the sessionizer (streaming/sessionize.py), which evicts on gap.
+    """
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, vq = state.get if state.exists else (0, 0)
+        n, vq = int(n), int(vq)
+        for pdf in pdfs:
+            n, vq = _fold_batch(n, vq, pdf)
+        state.update((n, vq))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_q": [vq]}
+        )
+
+    return (
+        events.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_totals_stream_tws(
+    events: DataFrame, *, key_col: str = "user_id"
+) -> DataFrame:
+    """Same fold on Spark 4's ``transformWithStateInPandas``.
+
+    Requires the ``protobuf`` package (the TWS Python worker speaks a
+    proto-based state-server protocol) and the RocksDB state-store
+    provider (set ``spark.sql.streaming.stateStore.providerClass`` to
+    :data:`ROCKSDB_PROVIDER` before starting the query). Import-gated:
+    raises ImportError where protobuf is unavailable.
+    """
+    from google.protobuf import descriptor  # noqa: F401 — availability gate
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("vq", LongType())]
+    )
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            cur = self._totals.get()
+            n, vq = (int(cur[0]), int(cur[1])) if cur else (0, 0)
+            for pdf in rows:
+                n, vq = _fold_batch(n, vq, pdf)
+            self._totals.update((n, vq))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_q": [vq]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def finalize_totals(emitted: DataFrame) -> DataFrame:
+    """Reduce per-batch cumulative emissions to final per-user totals.
+
+    ``n_events`` grows with every emission for a key, so the row with
+    the maximum count is the last one; ``max_by`` picks its value sum
+    without assuming the value column itself is monotone (values may be
+    negative).
+    """
+    q = float(1 << Q_BITS)
+    return (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("value_q", "n_events").alias("_vq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("_vq").cast("double") / F.lit(q)).alias("total_value"),
+        )
+    )
