@@ -4703,6 +4703,205 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# Graph analytics: co-occurrence graph + exact triangle counting
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "triangle_count_events",
+    """
+    WITH n AS (
+      SELECT DISTINCT user_id AS node, event_type AS et,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             date_trunc('hour', ts) AS h
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        AND ts IS NOT NULL
+    ),
+    pairs AS (
+      SELECT DISTINCT a.node AS u, b.node AS v
+      FROM n a JOIN n b ON a.et = b.et AND a.k = b.k AND a.h = b.h
+      WHERE a.node < b.node
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+      ) GROUP BY node
+    ),
+    ok AS (SELECT node, d * 2147483648 + node AS okey FROM deg),
+    e AS (
+      SELECT CASE WHEN ou.okey < ov.okey THEN p.u ELSE p.v END AS src,
+             CASE WHEN ou.okey < ov.okey THEN p.v ELSE p.u END AS dst,
+             greatest(ou.okey, ov.okey) AS dst_k
+      FROM pairs p
+      JOIN ok ou ON ou.node = p.u
+      JOIN ok ov ON ov.node = p.v
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e1.src = e2.src AND e1.dst_k < e2.dst_k
+      JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM pairs) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+           n_triangles,
+           CAST(n_triangles * 3 AS DOUBLE)
+           / CAST(NULLIF((SELECT CAST(SUM(d * (d - 1)) / 2 AS BIGINT) FROM deg), 0)
+                  AS DOUBLE) AS clustering
+    FROM tri
+    """,
+    "Exact triangle count + global clustering coefficient over the "
+    "user co-activity graph (operators/graph.py): nodes are users, an "
+    "edge joins users active in the same (event_type, k, hour) bucket. "
+    "Edges are ORIENTED by (degree, id) before the wedge join, so each "
+    "triangle materializes once and per-vertex wedge fan-out is capped "
+    "at O(sqrt(|E|)) — the arboricity bound that keeps power-law hubs "
+    "from exploding the join at 100 TB (a degree-d hub contributes "
+    "O(d) oriented wedges, not O(d²)). Complements connected "
+    "components (dedup_components_docs) as the graph-analytics "
+    "family. Pure integer arithmetic, mirrored term-for-term by the "
+    "oracle; clustering is one final exact-integer division.",
+)
+def triangle_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import cooccurrence_edges, triangle_stats
+
+    (events,) = _t(spark, sf_dir, "events")
+    prepped = events.select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+    ).where(F.col("et").isNotNull() & F.col("ts").isNotNull())
+    edges = cooccurrence_edges(
+        prepped, node_col="user_id", bucket_cols=["et", "k", "h"]
+    )
+    return triangle_stats(edges)
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: partial-aggregate merge refresh
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "incremental_agg_refresh_events",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {oracle_q_sum('value')} AS total_value,
+           {oracle_q_sum('value')} / NULLIF(COUNT(value), 0) AS avg_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events WHERE event_id IS NOT NULL GROUP BY event_type
+    """,
+    "Incremental view maintenance: the materialized per-type aggregate "
+    "is refreshed by merging its EXISTING partial state (events with "
+    "event_id % 10 != 0, standing in for the stored rollup) with the "
+    "partial state of the NEW batch (event_id % 10 = 0) — counts sum, "
+    "quantized decimal value-sums add exactly, min/max fold. The "
+    "oracle recomputes from ALL raw events: hash-equality proves "
+    "merge-refresh == full recompute, the algebraic property that lets "
+    "a 100 TB nightly rollup absorb a delta by touching O(|delta| + "
+    "|groups|) rows instead of re-scanning the fact table. Same "
+    "mergeable-state machinery as the rollup cascade "
+    "(operators/rollup.py) and the stateful streaming totals.",
+)
+def incremental_agg_refresh_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    events = events.where(F.col("event_id").isNotNull())
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(q_sum_term("value")).alias("_vq"),
+            F.count("value").alias("_vn"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    base = partial(events.where(F.col("event_id") % 10 != 0))
+    delta = partial(events.where(F.col("event_id") % 10 == 0))
+    merged = base.unionByName(delta).groupBy("event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("_vq").alias("_vq"),
+        F.sum("_vn").alias("_vn"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    q = float(1 << Q_BITS)
+    total = F.col("_vq").cast("double") / F.lit(q)
+    return merged.select(
+        "event_type",
+        "n_events",
+        total.alias("total_value"),
+        (total / F.nullif(F.col("_vn"), F.lit(0)).cast("bigint")).alias(
+            "avg_value"
+        ),
+        "min_value",
+        "max_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering keys (multi-column data skipping)
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from .functions.zorder import oracle_morton2
+
+    z = oracle_morton2("user_id", "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)")
+    return f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(z) AS BIGINT) AS z_checksum,
+           MIN(z) AS z_min, MAX(z) AS z_max
+    FROM (
+      SELECT event_type, {z} AS z
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    ) GROUP BY event_type
+    """
+
+
+@_register(
+    "zorder_key_events",
+    _zorder_oracle(),
+    "Z-order (Morton) clustering key (functions/zorder.py): bitwise "
+    "interleave of (user_id, props.k) generated as pure integer "
+    "arithmetic — one whole-stage-codegen expression in Spark, the "
+    "IDENTICAL formula in DuckDB (term-for-term oracle on checksums/"
+    "min/max per type). Sorting a 100 TB fact table by this key before "
+    "writing clusters BOTH dimensions, so parquet min/max stats prune "
+    "files for range predicates on either column — single-column sort "
+    "prunes only itself. Pairs with operators/skew.compact_files "
+    "(sorted small-file compaction) as the layout-management story; "
+    "the differential test pins the interleave against a Python bit-"
+    "twiddling reference.",
+)
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.zorder import morton2_col
+
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    z = morton2_col(
+        "user_id", "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+    )
+    return (
+        events.where(F.col("user_id").isNotNull() & k.isNotNull())
+        .select("event_type", z.alias("z"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("z").alias("z_checksum"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
 
