@@ -60,6 +60,15 @@ BENCH_QUERIES = [
     "nation_market_share",
     "customer_order_distribution",
     "waiting_suppliers",
+    "rollup_cascade_events",
+    "unigram_lm_score_docs",
+    "variant_json_events",
+    "hll_rollup_events",
+    "triangle_count_events",
+    "incremental_agg_refresh_events",
+    "zorder_key_events",
+    "cdc_replay_customers",
+    "fuzzy_match_customers",
 ]
 
 

@@ -4902,6 +4902,113 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CDC changelog replay + blocked fuzzy matching (lakehouse / entity res)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cdc_replay_customers",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    WHERE c_custkey % 13 != 0
+    """,
+    "CDC changelog replay (lakehouse table maintenance): reconstruct "
+    "current table state from an insert/update/delete event log — "
+    "seq 1 INSERTs every customer, seq 2 UPDATEs acctbal for custkey % "
+    "7 = 0, seq 3 DELETEs custkey % 13 = 0. Replay = latest op per key "
+    "(row_number over seq DESC) then drop deletes; ONE shuffle on the "
+    "key regardless of how many ops a key has. The oracle states the "
+    "post-image directly in CASE/WHERE form — hash-equality proves the "
+    "replay semantics. At 100 TB the same plan compacts a day of CDC "
+    "events into a snapshot; pairs with merge_upsert_customers "
+    "(single-batch MERGE) and scd2_customer_order_history (keeping "
+    "history instead of replaying over it).",
+)
+def cdc_replay_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_acctbal", "c_mktsegment"]
+    inserts = customer.select(*cols).select(
+        "*", F.lit("I").alias("op"), F.lit(1).alias("seq")
+    )
+    updates = (
+        customer.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .select("*", F.lit("U").alias("op"), F.lit(2).alias("seq"))
+    )
+    deletes = (
+        customer.where(F.col("c_custkey") % 13 == 0)
+        .select(*cols)
+        .select("*", F.lit("D").alias("op"), F.lit(3).alias("seq"))
+    )
+    log = inserts.unionByName(updates).unionByName(deletes)
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("seq"))
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("op") != "D"))
+        .select(*cols)
+    )
+
+
+@_register(
+    "fuzzy_match_customers",
+    """
+    WITH blocked AS (
+      SELECT c_custkey AS id, c_name AS name,
+             substr(c_name, 1, 16) AS blk, length(c_name) AS ln
+      FROM customer WHERE c_name IS NOT NULL
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.ln = b.ln AND a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 1
+    """,
+    "Blocked fuzzy join (entity resolution): candidate pairs from an "
+    "equi-join on a blocking key (16-char name prefix + length), "
+    "verified by edit distance <= 1. The block join is the scale "
+    "armature — Levenshtein runs on sum-over-blocks C(n_b,2) pairs, "
+    "never |T|² (same inverted-index discipline as the dedup family); "
+    "recall is bounded by the blocking scheme (edits inside the prefix "
+    "are missed — standard blocked-ER tradeoff, documented rather than "
+    "hidden). Spark evaluates the BOUNDED form levenshtein(l, r, "
+    "threshold) — O(len·k) banded DP with early exit, returning -1 "
+    "past the bound — so per-pair cost scales with the threshold, not "
+    "the string length; values within the bound equal the classic DP "
+    "distance DuckDB computes, so the pair set is oracle-exact.",
+)
+def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    blocked = customer.where(F.col("c_name").isNotNull()).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.substring("c_name", 1, 16).alias("blk"),
+        F.length("c_name").alias("ln"),
+    )
+    a = blocked.alias("a")
+    b = blocked.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "blk", "ln"
+    ).alias("b")
+    dist = F.levenshtein(F.col("name"), F.col("name_b"), 1)
+    return (
+        a.join(b, on=["blk", "ln"])
+        .where((F.col("id") < F.col("id_b")) & (dist >= 0))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("id_b"),
+            dist.cast("bigint").alias("dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
 
