@@ -69,6 +69,13 @@ BENCH_QUERIES = [
     "zorder_key_events",
     "cdc_replay_customers",
     "fuzzy_match_customers",
+    "bloom_semi_join_orders",
+    "reservoir_sample_orders",
+    "bfs_reachability_events",
+    "robust_stats_orders",
+    "interpolate_event_values",
+    "oov_rate_docs",
+    "pareto_frontier_orders",
 ]
 
 

@@ -62,6 +62,51 @@ def cooccurrence_edges(
     )
 
 
+def bfs_hops(edges: DataFrame, seeds: DataFrame, *, max_hops: int) -> DataFrame:
+    """Min-hop distance from a seed set, bounded frontier expansion.
+
+    ``edges``: undirected (u, v) pairs, each once. ``seeds``: (node)
+    rows, distance 0. Returns (node, hops) for every node reachable in
+    ≤ ``max_hops`` — the iterative-join primitive under k-hop feature
+    extraction and neighborhood sampling.
+
+    Scale design: classic frontier BFS. Each round shuffles only the
+    CURRENT frontier against the edge list (join on the frontier side
+    key), unions into the visited set, and takes ``min(hops)`` — all
+    exact integer arithmetic, so the DuckDB recursive-CTE oracle
+    matches bit-for-bit. ``localCheckpoint`` truncates the lineage each
+    round (O(max_hops) plans instead of an exponentially deepening
+    one); at cluster scale the visited set would persist to
+    StorageLevel.DISK_ONLY instead. Rounds are O(max_hops) — the same
+    bound as the oracle's recursion depth — and the frontier join uses
+    the bidirectional edge list so undirected adjacency needs no
+    second join.
+    """
+    # materialize the adjacency ONCE: every round joins against it (and
+    # the union references edges twice), so without this the upstream
+    # edge-construction subtree re-executes 2x per round
+    bidir = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    visited = seeds.select(
+        F.col("node").cast("long").alias("node"), F.lit(0).alias("hops")
+    ).distinct()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(bidir, frontier["node"] == bidir["src"])
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("hops"))
+            .distinct()
+            .join(visited.select("node"), on="node", how="left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return visited.groupBy("node").agg(F.min("hops").cast("int").alias("hops"))
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """Exact triangle count + global clustering coefficient.
 

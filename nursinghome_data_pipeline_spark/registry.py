@@ -1629,7 +1629,11 @@ def bpe_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # parquet may surface ts as TIMESTAMP_NTZ; unix_micros only accepts
+    # LTZ. Under the pinned UTC session timezone the cast reads the same
+    # wall-clock instant DuckDB's epoch_us sees on a naive timestamp.
+    ltz = F.col("ts").cast("timestamp_ltz")
+    gap_us = F.unix_micros(ltz) - F.unix_micros(F.lag(ltz).over(w))
     flagged = events.withColumn(
         "new_session",
         F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
@@ -2442,27 +2446,18 @@ def salted_event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounded input.",
 )
 def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.types import LongType
-
-    from .sources.tpch import table_path
     from .streaming.ingest_stream import run_stream_to_memory
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = table_path(sf_dir, "events")
-    schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), q_sum("value", "sum_value"))
         .select(
-            F.col("w.start").alias("window_start"),
+            # back to NTZ so toPandas stays tz-naive, matching the
+            # oracle's naive date_trunc (wall-clock identical under the
+            # pinned UTC session timezone)
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -2631,7 +2626,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(schema["ts"].dataType, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    # watermarks require TIMESTAMP (LTZ); parquet may surface NTZ. The
+    # cast reads the same wall-clock instant under the UTC session tz.
+    return stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
 
 
 @_register(
@@ -5005,6 +5002,414 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_b"),
             dist.cast("bigint").alias("dist"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 widening: bloom semi-join, sampling, graph BFS, robust stats,
+# time-series interpolation, vocabulary coverage, skyline
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "bloom_semi_join_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    """,
+    "Bloom-accelerated semi-join (operators/bloom.py): orders placed by "
+    "high-balance customers. The bitmap over qualifying c_custkey is "
+    "built with one narrow (word, mask) shuffle and broadcast back as a "
+    "≤n_bits/64-row table; k=4 broadcast hash lookups prune orders that "
+    "cannot match BEFORE the exact semi-join's exchange. At 100 TB this "
+    "is the build-once/filter-many runtime-filter pattern (AQE injects "
+    "the same shape per-query; the operator makes it reusable across "
+    "scans). The final left_semi keeps the result exact — bloom false "
+    "positives die there, false negatives are impossible — so the "
+    "oracle is the plain IN-subquery.",
+)
+def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bloom import bloom_semi_join
+
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    rich = customer.where(F.col("c_acctbal") > 5000)
+    return bloom_semi_join(
+        orders, "o_custkey", rich, "c_custkey"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+@_register(
+    "reservoir_sample_orders",
+    """
+    SELECT o_orderkey, o_orderpriority
+    FROM (
+      SELECT o_orderkey, o_orderpriority,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    "Deterministic per-group reservoir: k=3 orders per priority, chosen "
+    "by ordering on md5(key) — a uniform-but-reproducible permutation "
+    "both engines compute identically (no RNG seed to coordinate across "
+    "retries/executors; same determinism argument as "
+    "stratified_sample_docs). WindowGroupLimit pushes the rank filter "
+    "into the shuffle so each partition keeps ~k rows instead of "
+    "sorting the group (same plan gate as topk_per_group_orders).",
+)
+def reservoir_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@_register(
+    "bfs_reachability_events",
+    """
+    WITH RECURSIVE n AS (
+      SELECT DISTINCT user_id AS node, event_type AS et,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             date_trunc('hour', ts) AS h
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        AND ts IS NOT NULL
+    ),
+    pairs AS (
+      SELECT DISTINCT a.node AS u, b.node AS v
+      FROM n a JOIN n b ON a.et = b.et AND a.k = b.k AND a.h = b.h
+      WHERE a.node < b.node
+    ),
+    bidir AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL SELECT v AS src, u AS dst FROM pairs
+    ),
+    r AS (
+      SELECT node, 0 AS hops
+      FROM (SELECT DISTINCT node FROM n WHERE node % 97 = 0)
+      UNION
+      SELECT b.dst AS node, r.hops + 1 AS hops
+      FROM r JOIN bidir b ON b.src = r.node
+      WHERE r.hops < 3
+    )
+    SELECT node, CAST(MIN(hops) AS INTEGER) AS hops
+    FROM r GROUP BY node
+    """,
+    "Bounded BFS (operators/graph.py:bfs_hops) over the same user "
+    "co-activity graph as triangle_count_events: min-hop distance (≤3) "
+    "from seed users (node %% 97 == 0) — the k-hop neighborhood "
+    "primitive under graph feature extraction. Frontier expansion "
+    "shuffles only the current frontier per round, anti-joins the "
+    "visited set so no node re-expands, and localCheckpoints each "
+    "frontier to keep the plan O(max_hops). Exact integer arithmetic "
+    "mirrored by the DuckDB recursive CTE (UNION-dedup bounds its "
+    "revisit blow-up).",
+)
+def bfs_reachability_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import bfs_hops, cooccurrence_edges
+
+    (events,) = _t(spark, sf_dir, "events")
+    prepped = events.select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+    ).where(F.col("et").isNotNull() & F.col("ts").isNotNull())
+    edges = cooccurrence_edges(
+        prepped, node_col="user_id", bucket_cols=["et", "k", "h"]
+    )
+    seeds = (
+        prepped.where(F.col("user_id").isNotNull())
+        .where(F.col("k").isNotNull())
+        .select(F.col("user_id").alias("node"))
+        .where(F.col("node") % 97 == 0)
+        .distinct()
+    )
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
+@_register(
+    "robust_stats_orders",
+    """
+    WITH med AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n_orders,
+             ROUND(median(o_totalprice), 4) AS median_price
+      FROM orders GROUP BY o_orderpriority
+    ),
+    status_counts AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    mode_pick AS (
+      SELECT o_orderpriority, o_orderstatus AS mode_status
+      FROM (
+        SELECT o_orderpriority, o_orderstatus,
+               ROW_NUMBER() OVER (
+                 PARTITION BY o_orderpriority
+                 ORDER BY cnt DESC, o_orderstatus
+               ) AS rn
+        FROM status_counts
+      ) WHERE rn = 1
+    )
+    SELECT med.o_orderpriority, n_orders, median_price, mode_status
+    FROM med JOIN mode_pick USING (o_orderpriority)
+    """,
+    "Robust per-group statistics: exact interpolated median (both "
+    "engines compute lower + frac*(upper-lower) on the same two "
+    "doubles, so ROUND(.,4) is drift-free) and deterministic mode "
+    "(highest count, ties broken by smallest status — Spark's native "
+    "mode() is tie-nondeterministic, so the mode is derived from an "
+    "explicit count + row_number, same text as the oracle). Exact "
+    "median needs a per-group sort; at 100 TB the documented "
+    "downgrade is percentile_approx (percentile_battery_lineitem "
+    "covers the sketch path).",
+)
+def robust_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.median("o_totalprice"), 4).alias("median_price"),
+    )
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("cnt"), "o_orderstatus"
+    )
+    mode_pick = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderpriority", F.col("o_orderstatus").alias("mode_status"))
+    )
+    return med.join(mode_pick, on="o_orderpriority")
+
+
+@_register(
+    "interpolate_event_values",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    ctx AS (
+      SELECT event_id, user_id, v,
+             epoch_us(ts) AS t,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM base
+    )
+    SELECT event_id, user_id,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt
+               THEN pv + (nv - pv) * (CAST(t - pt AS DOUBLE)
+                                      / CAST(nt - pt AS DOUBLE))
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv
+           END, 6) AS v_filled
+    FROM ctx
+    """,
+    "Time-series gap repair by linear interpolation: values planted "
+    "NULL (event_id %% 7 == 0) are rebuilt from the nearest non-null "
+    "neighbors in event-time within each user's series — the standard "
+    "sensor/metric backfill. One window partition per user (single "
+    "shuffle, sorted once, all four IGNORE NULLS frames share it); "
+    "boundary gaps fall back to one-sided fill. The interpolation "
+    "expression has identical operation order in both engines, so "
+    "IEEE doubles match bit-for-bit before the final ROUND.",
+)
+def interpolate_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    base = events.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("t"),
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    order = [F.col("t"), F.col("event_id")]
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    t_if_v = F.when(F.col("v").isNotNull(), F.col("t"))
+    pv = F.last("v", ignorenulls=True).over(wp)
+    pt = F.last(t_if_v, ignorenulls=True).over(wp)
+    nv = F.first("v", ignorenulls=True).over(wn)
+    nt = F.first(t_if_v, ignorenulls=True).over(wn)
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("t") - F.col("pt")).cast("double")
+        / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    return (
+        base.withColumn("pv", pv)
+        .withColumn("pt", pt)
+        .withColumn("nv", nv)
+        .withColumn("nt", nt)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.when(F.col("v").isNotNull(), F.col("v"))
+                .when(
+                    F.col("pv").isNotNull()
+                    & F.col("nv").isNotNull()
+                    & (F.col("nt") > F.col("pt")),
+                    interp,
+                )
+                .when(F.col("pv").isNotNull(), F.col("pv"))
+                .otherwise(F.col("nv")),
+                6,
+            ).alias("v_filled"),
+        )
+    )
+
+
+@_register(
+    "oov_rate_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS tf
+        FROM toks GROUP BY tok
+        ORDER BY tf DESC, tok
+        LIMIT 100
+      )
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    GROUP BY doc_id
+    """,
+    "Vocabulary coverage / OOV-rate profiling: build the top-100-token "
+    "vocabulary (ties broken by token text — deterministic across "
+    "engines) and score each document's out-of-vocabulary fraction — "
+    "the tokenizer-fit diagnostic run before committing a vocab to a "
+    "training corpus. The vocab is a global top-k "
+    "(TakeOrderedAndProject, no full sort) broadcast-joined to the "
+    "token stream (no shuffle of tokens); the per-doc aggregate "
+    "partial-combines map-side so the only exchange carries one row "
+    "per (task, doc). Single-space tokenization (the corpus's "
+    "canonical form, same as token_heavy_hitters): the regex split "
+    "measured 6.7x slower than the literal split for identical "
+    "output at sf0.1.",
+)
+def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.where(F.trim("text") != "").select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), "tok")
+        .limit(100)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    is_oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), on="tok", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(is_oov).alias("n_oov"),
+            F.round(
+                F.sum(is_oov).cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@_register(
+    "pareto_frontier_orders",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderdate
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderdate,
+             MIN(o_orderdate) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_prev_date
+      FROM orders
+    )
+    WHERE best_prev_date IS NULL OR best_prev_date > o_orderdate
+    ORDER BY o_orderpriority, o_totalprice
+    """,
+    "2-D skyline (Pareto frontier) per priority: orders minimizing "
+    "(price, date) — no other order is both cheaper and earlier. The "
+    "window formulation replaces the naive O(n²) dominance self-join: "
+    "sort each partition once by (price, date, key) and keep rows "
+    "whose running-min date over all lexicographically-earlier rows "
+    "is strictly later — one shuffle + one sorted pass, O(n log n), "
+    "the shape that survives 100×. Duplicate points resolve to the "
+    "lexicographically-first key, making the frontier deterministic.",
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        orders.withColumn("best_prev_date", F.min("o_orderdate").over(w))
+        .where(
+            F.col("best_prev_date").isNull()
+            | (F.col("best_prev_date") > F.col("o_orderdate"))
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            # kept as timestamp: a DATE cast would come back to pandas
+            # as python date objects (object dtype) and drift from the
+            # oracle's datetime64 under the driver's value-hash
+            "o_orderdate",
+        )
+        .orderBy("o_orderpriority", "o_totalprice")
     )
 
 

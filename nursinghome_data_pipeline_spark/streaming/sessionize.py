@@ -108,7 +108,8 @@ def batch_sessionize_twin(events: DataFrame, *, gap_minutes: int = 30) -> DataFr
 
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ltz = F.col("ts").cast("timestamp_ltz")  # NTZ-safe (UTC session tz)
+    gap = F.unix_micros(ltz) - F.unix_micros(F.lag(ltz).over(w))
     flagged = events.withColumn(
         "new_session",
         F.when(F.lag("ts").over(w).isNull() | (gap > gap_us), 1).otherwise(0),
