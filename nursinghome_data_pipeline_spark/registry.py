@@ -5413,6 +5413,212 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "windowed_dedup_events",
+    """
+    SELECT event_id, user_id, event_type,
+           date_trunc('hour', ts) AS window_start
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ) WHERE rn = 1
+    """,
+    "Windowed deduplication: keep the FIRST event per (user, type) per "
+    "tumbling hour — the batch twin of streaming "
+    "dropDuplicatesWithinWatermark, and the standard re-delivery "
+    "hygiene pass over an event-log ingest. Winner selection is "
+    "deterministic ((ts, event_id) order, never an arbitrary "
+    "dropDuplicates survivor — the same pitfall ADVICE.md flagged in "
+    "the streaming upsert). WindowGroupLimit prunes to one row per "
+    "key inside the shuffle; state is bounded by the window, so the "
+    "same query holds at any history length.",
+)
+def windowed_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type", hour).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        events.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id", "user_id", "event_type", hour.alias("window_start")
+        )
+    )
+
+
+@_register(
+    "zscore_outliers_events",
+    f"""
+    WITH s AS (
+      SELECT event_type, COUNT(value) AS n,
+             {oracle_q_sum('value')} AS s1,
+             {oracle_q_sum('value * value')} AS s2
+      FROM events GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n,
+             s1 / CAST(n AS DOUBLE) AS mu,
+             sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1.0)) AS sd
+      FROM s
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - st.mu) / st.sd, 4) AS z
+    FROM events e JOIN stats st USING (event_type)
+    WHERE st.sd > 0 AND abs((e.value - st.mu) / st.sd) > 3.0
+    """,
+    "Per-group z-score outlier detection: group mean/stddev derived "
+    "from quantized power sums (functions/exprs.q_sum — bit-equal "
+    "across engines and partition layouts, unlike native stddev whose "
+    "summation order drifts), broadcast back to the fact rows, flag "
+    "|z| > 3. Two passes over events but only the tiny per-type stats "
+    "table crosses the wire twice; the outlier filter is map-side "
+    "after a broadcast join — the standard anomaly-screen shape for "
+    "a 100 TB metric stream.",
+)
+def zscore_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    s = events.groupBy("event_type").agg(
+        F.count("value").alias("n"), q_sum(v, "s1"), q_sum(v * v, "s2")
+    )
+    nd = F.col("n").cast("double")
+    s1, s2 = F.col("s1"), F.col("s2")
+    stats = s.select(
+        "event_type",
+        (s1 / nd).alias("mu"),
+        F.sqrt((s2 - s1 * s1 / nd) / (nd - F.lit(1.0))).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        events.join(F.broadcast(stats), on="event_type")
+        .where((F.col("sd") > 0) & (F.abs(z) > 3.0))
+        .select("event_id", "event_type", F.round(z, 4).alias("z"))
+    )
+
+
+@_register(
+    "ab_assignment_report",
+    f"""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN (user_id * {MIX_PRIME}) % 100 < 50 THEN 'control'
+                  WHEN (user_id * {MIX_PRIME}) % 100 < 75 THEN 'variant_a'
+                  ELSE 'variant_b' END AS variant
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.variant,
+           COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS conversion_rate
+    FROM assigned a LEFT JOIN conv c USING (user_id)
+    GROUP BY a.variant
+    """,
+    "Deterministic A/B exposure assignment + conversion report: users "
+    "hash into 50/25/25 buckets by the same multiplicative-hash "
+    "arithmetic as stratified_sample_docs (no RNG state — assignment "
+    "is reproducible on any retry, executor, or re-run, which is the "
+    "non-negotiable property of an experiment bucketing function), "
+    "then per-variant purchase conversion. Distinct-user and converter "
+    "sets partial-aggregate before their join; the report is "
+    "|variants| rows.",
+)
+def ab_assignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    users = (
+        events.where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
+    bucket = (F.col("user_id") * F.lit(MIX_PRIME)) % 100
+    assigned = users.select(
+        "user_id",
+        F.when(bucket < 50, "control")
+        .when(bucket < 75, "variant_a")
+        .otherwise("variant_b")
+        .alias("variant"),
+    )
+    conv = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    hit = F.when(F.col("converted").isNotNull(), 1).otherwise(0)
+    return (
+        assigned.join(conv, on="user_id", how="left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(hit).alias("n_converted"),
+            F.round(
+                F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("conversion_rate"),
+        )
+    )
+
+
+@_register(
+    "event_bigram_topk",
+    """
+    SELECT prev_type, event_type AS next_type, n FROM (
+      SELECT prev_type, event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (
+               ORDER BY COUNT(*) DESC, prev_type, event_type
+             ) AS rn
+      FROM (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      )
+      WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ) WHERE rn <= 20
+    """,
+    "Sequential-pattern mining (order-1): top-20 consecutive "
+    "event-type transitions across all user journeys — the bigram "
+    "transition table under funnel discovery and Markov-chain "
+    "attribution. One window pass per user (lag), partial-aggregated "
+    "bigram counts (|types|² groups at most), global top-k via "
+    "TakeOrderedAndProject with full deterministic tie-break. "
+    "Complements funnel_signup_click_purchase (fixed pattern) with "
+    "pattern DISCOVERY.",
+)
+def event_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "prev_type", "next_type")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

@@ -56,6 +56,9 @@ def windowed_event_aggregates(
     Works identically on a batch DataFrame (watermark is a no-op) and a
     stream — tests compare the streaming result against the batch twin.
     """
+    # watermarks require TIMESTAMP (LTZ); parquet sources may surface
+    # NTZ. Applied on both batch and stream paths so the twins agree.
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), "event_type")
@@ -88,6 +91,7 @@ def streaming_dedup(
     A duplicate arriving LATER than the watermark delay re-emits (its
     state was evicted) — choose the delay ≥ the real re-delivery bound.
     """
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )

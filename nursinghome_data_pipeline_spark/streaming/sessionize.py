@@ -89,7 +89,10 @@ def sessionize_stream(
             yield out
 
     return (
-        events.withWatermark("ts", watermark)
+        # NTZ-safe: watermarks require TIMESTAMP (LTZ); wall-clock
+        # preserved under the pinned UTC session timezone
+        events.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fold,
@@ -107,9 +110,11 @@ def batch_sessionize_twin(events: DataFrame, *, gap_minutes: int = 30) -> DataFr
     from pyspark.sql.window import Window
 
     gap_us = gap_minutes * 60 * 1_000_000
+    # NTZ-safe cast applied to the COLUMN (not just the gap expression)
+    # so session_start comes back LTZ, matching the streaming output
+    events = events.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     w = Window.partitionBy("user_id").orderBy("ts")
-    ltz = F.col("ts").cast("timestamp_ltz")  # NTZ-safe (UTC session tz)
-    gap = F.unix_micros(ltz) - F.unix_micros(F.lag(ltz).over(w))
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     flagged = events.withColumn(
         "new_session",
         F.when(F.lag("ts").over(w).isNull() | (gap > gap_us), 1).otherwise(0),
