@@ -115,6 +115,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     n_triangles, clustering (= 3*triangles / wedges, NULL when the
     graph has no wedge).
     """
+    # the edge list feeds degree counting, orientation, and the edge
+    # count — materialize once instead of re-running its (possibly
+    # expensive) construction subtree three times
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -144,6 +148,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.greatest("ku", "kv").alias("dst_k"),
         )
     )
+    # the oriented list drives both sides of the wedge join plus the
+    # closing-edge probe — three references, one materialization
+    e = e.localCheckpoint(eager=True)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri_count = (
         e1.join(

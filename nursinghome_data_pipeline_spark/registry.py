@@ -5619,6 +5619,244 @@ def event_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "lift_event_pairs",
+    """
+    WITH m AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM m),
+    c AS (SELECT event_type, COUNT(*) AS cnt FROM m GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS et_a, b.event_type AS et_b,
+             COUNT(*) AS c_ab
+      FROM m a JOIN m b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT et_a, et_b, c_ab,
+           ROUND(CAST(c_ab AS DOUBLE) * CAST(n_users AS DOUBLE)
+                 / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)), 6)
+             AS lift
+    FROM pairs
+    JOIN c ca ON ca.event_type = et_a
+    JOIN c cb ON cb.event_type = et_b
+    CROSS JOIN n
+    """,
+    "Association lift between event types over user behavior profiles "
+    "(market-basket / co-engagement analysis): lift(x,y) = "
+    "P(x,y)/(P(x)P(y)) — formulated log-free as an exact-count ratio "
+    "so both engines compute the identical double (the same reason "
+    "unigram_lm_score_docs avoids log()). Memberships dedup BEFORE the "
+    "self-join (one posting per (user, type)); the pair blow-up is "
+    "sum over users of C(k,2) with k ≤ |event types| — bounded, the "
+    "same inverted-index discipline as the dedup joins. Per-type "
+    "counts are |types| rows, broadcast back.",
+)
+def lift_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    m = (
+        events.where(F.col("user_id").isNotNull())
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    n = m.select(F.countDistinct("user_id").alias("n_users"))
+    c = m.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    b = m.select(
+        F.col("user_id"), F.col("event_type").alias("et_b")
+    )
+    pairs = (
+        m.join(b, on="user_id")
+        .where(F.col("event_type") < F.col("et_b"))
+        .groupBy(F.col("event_type").alias("et_a"), "et_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ca = c.select(F.col("event_type").alias("et_a"), F.col("cnt").alias("cnt_a"))
+    cb = c.select(F.col("event_type").alias("et_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(ca), on="et_a")
+        .join(F.broadcast(cb), on="et_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "et_a",
+            "et_b",
+            "c_ab",
+            F.round(
+                F.col("c_ab").cast("double")
+                * F.col("n_users").cast("double")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@_register(
+    "snapshot_diff_customers",
+    """
+    WITH v1 AS (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_custkey % 97 <> 0
+    ),
+    v2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal FROM customer
+      WHERE c_custkey % 50 = 0
+    )
+    SELECT CASE WHEN v1.c_custkey IS NULL THEN 'added'
+                WHEN v2.c_custkey IS NULL THEN 'removed'
+                WHEN v1.c_acctbal <> v2.c_acctbal THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n_rows
+    FROM v1 FULL OUTER JOIN v2 USING (c_custkey)
+    GROUP BY 1
+    """,
+    "Snapshot diff / table-version audit: classify every key across "
+    "two table versions as added / removed / changed / unchanged — "
+    "the verification report behind any lakehouse time-travel or "
+    "replication check (versions synthesized here with planted "
+    "deletes %97, updates %10, inserts %50). One full-outer hash join "
+    "on the key, classification map-side, |classes| output rows. "
+    "Complements cdc_replay_customers (log → snapshot) with the "
+    "inverse direction (snapshots → implied changes).",
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    v1 = customer.where(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey", "c_acctbal"
+    )
+    v2 = customer.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100.0
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    ).unionAll(
+        customer.where(F.col("c_custkey") % 50 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_acctbal"
+        )
+    )
+    j = v1.withColumnRenamed("c_acctbal", "bal1").join(
+        v2.withColumnRenamed("c_acctbal", "bal2"), on="c_custkey", how="full_outer"
+    )
+    cls = (
+        F.when(F.col("bal1").isNull(), "added")
+        .when(F.col("bal2").isNull(), "removed")
+        .when(F.col("bal1") != F.col("bal2"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(cls.alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@_register(
+    "partition_stats_events",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS part_day,
+           event_type,
+           COUNT(*) AS n_rows,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    "Partition-statistics manifest: per (day, event_type) partition — "
+    "row count, min/max of the sort key, null counts, distinct users "
+    "— the file/partition-level stats a data-skipping layer (parquet "
+    "row-group metadata, Iceberg/Delta manifests) keeps so scans can "
+    "prune without reading data. Pairs with zorder_key_events (which "
+    "optimizes layout WITHIN partitions) and "
+    "write_time_partitioned (which materializes this layout). One "
+    "partial-aggregated groupBy; distinct-count adds the only Expand.",
+)
+def partition_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.where(F.col("ts").isNotNull())
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("part_day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+                "n_null_value"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@_register(
+    "top_decile_orders",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             PERCENT_RANK() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice DESC
+             ) AS pr
+      FROM orders
+    ) WHERE pr <= 0.1
+    """,
+    "Top-FRACTION per group (top decile of order value per priority): "
+    "percent_rank keeps the highest-value 10%% regardless of group "
+    "size — the fraction-based sibling of topk_per_group_orders "
+    "(fixed k). Both engines define percent_rank as (rank-1)/(n-1) "
+    "with identical tie handling, so the selected SET is deterministic "
+    "even through ties. One hash partition + sort per group.",
+)
+def top_decile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return (
+        orders.withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") <= 0.1)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+@_register(
+    "pseudonymize_user_activity",
+    f"""
+    SELECT sha256('pepper:' || CAST(user_id AS VARCHAR)) AS user_token,
+           COUNT(*) AS n_events,
+           {oracle_q_sum('value')} AS sum_value
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1
+    """,
+    "Deterministic pseudonymization (privacy-preserving analytics): "
+    "replace user ids with a keyed sha-256 token and aggregate per "
+    "token — joins and group-bys still line up across tables (the "
+    "token is a pure function of id+pepper) while raw ids never leave "
+    "the scan. Rotating or dropping the pepper implements "
+    "crypto-shredding. Map-side hash, one partial-aggregated groupBy; "
+    "quantized value sums keep the oracle bit-exact.",
+)
+def pseudonymize_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    token = F.sha2(
+        F.concat(F.lit("pepper:"), F.col("user_id").cast("string")), 256
+    )
+    return (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy(token.alias("user_token"))
+        .agg(F.count(F.lit(1)).alias("n_events"), q_sum("value", "sum_value"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
