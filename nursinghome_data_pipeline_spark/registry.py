@@ -5857,6 +5857,205 @@ def pseudonymize_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_canonical_selection() -> str:
+    from .functions.text import oracle_quality_score
+
+    q = oracle_quality_score("d.text")
+    return rf"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(lbl) AS component_id
+      FROM reach GROUP BY node
+    ),
+    scored AS (
+      SELECT c.doc_id, c.component_id, ROUND({q}, 6) AS quality
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT component_id, doc_id AS canonical_doc_id, quality,
+           n_members
+    FROM (
+      SELECT component_id, doc_id, quality,
+             COUNT(*) OVER (PARTITION BY component_id) AS n_members,
+             ROW_NUMBER() OVER (
+               PARTITION BY component_id
+               ORDER BY quality DESC, doc_id
+             ) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """
+
+
+@_register(
+    "canonical_doc_selection",
+    _oracle_canonical_selection(),
+    "Dedup resolution POLICY: after near-dup clusters are resolved "
+    "(connected components over exact-Jaccard pairs, same machinery "
+    "as dedup_components_docs), each cluster keeps its best-quality "
+    "member (ties → smallest doc_id) — the keep-best canonicalization "
+    "every corpus pipeline runs after dedup, instead of the naive "
+    "keep-first. Quality is the pure-expression score "
+    "(functions/text.quality_score_col); winner selection is one "
+    "row_number window over components — WindowGroupLimit-pruned, "
+    "deterministic.",
+)
+def canonical_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components, jaccard_pair_join
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pair_join(documents, threshold=0.5)
+    comp = connected_components(documents, pairs)
+    scored = comp.join(documents.select("doc_id", "text"), on="doc_id").select(
+        "doc_id",
+        "component_id",
+        F.round(quality_score_col(F.col("text")), 6).alias("quality"),
+    )
+    wc = Window.partitionBy("component_id")
+    wr = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), "doc_id"
+    )
+    return (
+        scored.withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            "quality",
+            "n_members",
+        )
+    )
+
+
+@_register(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS neg_id, e.label AS neg_label,
+             {_DOT.format(a="e.embedding", b="q.qe")} /
+             (sqrt({_DOT.format(a="e.embedding", b="e.embedding")}) *
+              sqrt({_DOT.format(a="q.qe", b="q.qe")})) AS cosine_sim
+      FROM embeddings e JOIN q ON e.label <> q.q_label
+    )
+    SELECT q_id, neg_id, neg_label, ROUND(cosine_sim, 6) AS cosine_sim
+    FROM (
+      SELECT q_id, neg_id, neg_label, cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cosine_sim DESC, neg_id
+             ) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+    "Hard-negative mining for contrastive training: for each anchor "
+    "(vec_id %% 100 == 0) find the MOST similar embedding with a "
+    "DIFFERENT label — the negatives that actually move a contrastive "
+    "loss. Anchors broadcast (bounded set) against one candidate "
+    "scan; scoring reuses the bit-stable sequential dot product "
+    "(functions/vectors.py) mirrored by the oracle; per-anchor top-1 "
+    "via WindowGroupLimit. The 100 TB path swaps the full scan for "
+    "the LSH/IVF candidate generation in operators/similarity.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import _cosine
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    q = embeddings.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    scored = embeddings.join(
+        F.broadcast(q), F.col("label") != F.col("q_label")
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        _cosine("embedding", "qe").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "neg_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "q_id",
+            "neg_id",
+            "neg_label",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
+@_register(
+    "sliding_window_events",
+    f"""
+    WITH starts AS (
+      SELECT event_type, value,
+             make_timestamp((epoch_us(ts) // 1800000000 - k) * 1800000000)
+               AS window_start
+      FROM events
+      CROSS JOIN (SELECT unnest([0, 1]) AS k)
+      WHERE ts IS NOT NULL
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           {oracle_q_sum('value')} AS sum_value
+    FROM starts
+    GROUP BY 1, 2
+    """,
+    "SLIDING-window aggregation (1h window, 30min slide): each event "
+    "lands in exactly window/slide = 2 overlapping windows — Spark's "
+    "window(ts, '1 hour', '30 minutes') generates them natively "
+    "(epoch-aligned); the oracle derives the same two starts "
+    "arithmetically. Completes the window-shape family: tumbling "
+    "(hourly_event_windows), session (session_window_stats), sliding "
+    "(here). The 2x row expansion happens map-side before the "
+    "partial-aggregated groupBy, so the exchange carries aggregated "
+    "(window, type) partials only.",
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.where(F.col("ts").isNotNull())
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), q_sum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
