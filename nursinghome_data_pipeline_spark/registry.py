@@ -6056,6 +6056,147 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "null_safe_join_props",
+    """
+    WITH l AS (
+      SELECT event_id,
+             CASE WHEN event_id % 11 = 0 THEN NULL
+                  ELSE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+             END AS k
+      FROM events WHERE event_id % 2 = 0
+    ),
+    r AS (
+      SELECT event_id,
+             CASE WHEN event_id % 13 = 0 THEN NULL
+                  ELSE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+             END AS k
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT
+      (SELECT COUNT(*) FROM l JOIN r ON l.k = r.k) AS n_equi,
+      (SELECT COUNT(*) FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k)
+        AS n_null_safe
+    """,
+    "Null-safe join semantics battery (SQL <=> / IS NOT DISTINCT "
+    "FROM): the same nullable join key under the standard equi-join "
+    "(NULL matches nothing) and the null-safe variant (NULL matches "
+    "NULL) — counted side by side. The NULL-key partition is the "
+    "classic silent-row-loss trap when joining on extracted/optional "
+    "fields; the null-safe count exposes exactly how many pairs the "
+    "equi-join dropped. Both joins are plain hash joins (the null-safe "
+    "operator hashes NULL as a regular value — no skew surprise "
+    "beyond the NULL bucket itself, which salting handles at scale).",
+)
+def null_safe_join_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("bigint") % 10
+    left = events.where(F.col("event_id") % 2 == 0).select(
+        F.when(F.col("event_id") % 11 == 0, None).otherwise(k).alias("lk")
+    )
+    right = events.where(F.col("event_id") % 2 == 1).select(
+        F.when(F.col("event_id") % 13 == 0, None).otherwise(k).alias("rk")
+    )
+    n_equi = (
+        left.join(right, F.col("lk") == F.col("rk"))
+        .agg(F.count(F.lit(1)).alias("n_equi"))
+    )
+    n_safe = (
+        left.join(right, F.col("lk").eqNullSafe(F.col("rk")))
+        .agg(F.count(F.lit(1)).alias("n_null_safe"))
+    )
+    return n_equi.crossJoin(n_safe)
+
+
+@_register(
+    "streaming_sliding_events",
+    f"""
+    WITH starts AS (
+      SELECT event_type, value,
+             make_timestamp((epoch_us(ts) // 1800000000 - k) * 1800000000)
+               AS window_start
+      FROM events
+      CROSS JOIN (SELECT unnest([0, 1]) AS k)
+      WHERE ts IS NOT NULL
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           {oracle_q_sum('value')} AS sum_value
+    FROM starts
+    GROUP BY 1, 2
+    """,
+    "The sliding-window aggregate as a REAL Structured Streaming job "
+    "(file-source readStream, watermark, complete-mode memory sink "
+    "driven to completion): overlapping windows are the streaming "
+    "state-management stress case — each event updates window/slide "
+    "state entries, and the watermark must close a window only after "
+    "its LAST overlapping slide passes. Hash-checked against the same "
+    "arithmetic oracle as the batch twin (sliding_window_events): "
+    "stream == batch == oracle on bounded input.",
+)
+def streaming_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ingest_stream import run_stream_to_memory
+
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), q_sum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    run_stream_to_memory(agg, "nh_stream_sliding_events", output_mode="complete")
+    return spark.table("nh_stream_sliding_events")
+
+
+@_register(
+    "regex_battery_docs",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+           CASE WHEN len(regexp_extract_all(text, '[0-9]+')) > 0
+                THEN regexp_extract_all(text, '[0-9]+')[1] ELSE '' END
+             AS first_number,
+           regexp_matches(text, '^[A-Za-z]') AS starts_alpha,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_novowel,
+           regexp_replace(text, '\s+', '|', 'g') LIKE '%|the|%'
+             AS has_the
+    FROM documents
+    """,
+    "Regex scalar battery over document text: extract-all with count "
+    "and first match, anchor match, global replace with length, and "
+    "replace-then-LIKE — the extraction surface of a text-cleaning "
+    "stage. Patterns restricted to character classes and anchors that "
+    "Java regex (Spark) and RE2-style engines (DuckDB) interpret "
+    "identically — the same cross-engine discipline as P7's quarter "
+    "regex (SURVEY §4.3#9). All map-side, zero UDFs.",
+)
+def regex_battery_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    nums = F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"))
+    # size()/length() return int32; cast to bigint to match DuckDB's
+    # int64 under the driver's dtype-sensitive value-hash
+    return docs.select(
+        "doc_id",
+        F.size(nums).cast("bigint").alias("n_numbers"),
+        F.when(F.size(nums) > 0, F.element_at(nums, 1))
+        .otherwise("")
+        .alias("first_number"),
+        (F.regexp_extract("text", "^[A-Za-z]", 0) != "").alias("starts_alpha"),
+        F.length(F.regexp_replace("text", "[aeiou]", ""))
+        .cast("bigint")
+        .alias("n_novowel"),
+        # '|' separator: '_' would be a LIKE wildcard and blur the check
+        F.regexp_replace("text", r"\s+", "|").like("%|the|%").alias("has_the"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
