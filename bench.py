@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "interpolate_event_values",
     "oov_rate_docs",
     "pareto_frontier_orders",
+    "kmeans_lloyd_embeddings",
+    "lift_event_pairs",
+    "hard_negative_mining",
+    "sliding_window_events",
+    "canonical_doc_selection",
 ]
 
 

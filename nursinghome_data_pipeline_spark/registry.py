@@ -6197,6 +6197,89 @@ def regex_battery_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int = 4, iterations: int = 2) -> str:
+    """Unrolled Lloyd iterations as chained CTEs (DuckDB twin of
+    operators/clustering.kmeans_lloyd — same init, same distance
+    expression order, same quantized means)."""
+    from .functions.exprs import oracle_q_avg
+
+    dist = (
+        f"{_DOT.format(a='e.embedding', b='e.embedding')}"
+        f" - 2.0 * {_DOT.format(a='e.embedding', b='c.clist')}"
+        f" + {_DOT.format(a='c.clist', b='c.clist')}"
+    )
+    ctes = [
+        f"""c0 AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS clist
+      FROM embeddings WHERE vec_id IN (1, 2, 3, {k})
+    )"""
+    ]
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id ORDER BY ({dist}), c.cid) AS rn
+        FROM embeddings e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+      SELECT cid, list(mv ORDER BY dim) AS clist FROM (
+        SELECT a.cid, u.dim, {oracle_q_avg('u.val')} AS mv
+        FROM a{i} a JOIN (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS val
+          FROM embeddings
+        ) u USING (vec_id)
+        GROUP BY a.cid, u.dim
+      ) GROUP BY cid
+    )"""
+        )
+        prev = f"c{i}"
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT f.cid, f.dim, f.c_val, n.n_assigned
+    FROM (
+      SELECT cid, generate_subscripts(clist, 1) - 1 AS dim,
+             unnest(clist) AS c_val
+      FROM {prev}
+    ) f
+    JOIN (SELECT cid, COUNT(*) AS n_assigned FROM a{iterations}
+          GROUP BY cid) n USING (cid)
+    """
+
+
+@_register(
+    "kmeans_lloyd_embeddings",
+    _kmeans_oracle(k=4, iterations=2),
+    "Distributed k-means, two full Lloyd iterations "
+    "(operators/clustering.py): assignment is a k-row broadcast "
+    "cross-join + per-vector argmin window (deterministic tie-break), "
+    "update is posexplode → (cid, dim) QUANTIZED means — bit-equal "
+    "across engines and partition layouts, which is what lets an "
+    "iterative ML algorithm be hash-checked against an unrolled "
+    "recursive SQL twin at all. Centroids localCheckpoint per round "
+    "(O(1) lineage, k·dim rows). The iterative-refinement sibling of "
+    "the sample-based IVF training (knn_ivf_topk); at 100 TB only "
+    "the iteration count and a movement-delta stop change.",
+)
+def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import kmeans_lloyd
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    init = embeddings.where(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("clist"),
+    )
+    return kmeans_lloyd(embeddings, init, iterations=2)
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
