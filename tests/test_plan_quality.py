@@ -165,3 +165,64 @@ def test_q15_max_is_broadcast_not_global_window(spark, sf_dir):
     # the scalar max must join back as a broadcast, never a
     # single-partition global Window sort
     assert "Window" not in plan
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """A fact partitioned on the join key must receive a RUNTIME
+    (dynamicpruning) partition filter when joined to a filtered dim —
+    at 100 TB this is the difference between scanning one partition
+    and scanning the table when the partition predicate only exists
+    on the dimension side."""
+    from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    out = str(tmp_path / "orders_by_prio")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .where(F.col("o_orderpriority").startswith("1"))
+    )
+    joined = fact.join(dim, on="o_orderpriority").groupBy(
+        "o_orderpriority"
+    ).count()
+    plan = _formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_aqe_converts_shuffle_join_to_broadcast_at_runtime(spark, sf_dir):
+    """With static broadcast disabled, AQE must still pick a broadcast
+    join at RUNTIME once it sees the filtered side's true shuffle
+    size — the adaptivity that rescues plans whose dim-side size is
+    only knowable after filtering."""
+    from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+
+    tables = load_tables(spark, sf_dir, ["orders", "customer"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # the adaptive threshold falls back to the static one when
+        # unset, so give AQE its own budget for the runtime decision
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+        small = tables["customer"].where(F.col("c_acctbal") > 9000)
+        joined = tables["orders"].join(
+            small, F.col("o_custkey") == F.col("c_custkey")
+        )
+        # collect() executes THIS DataFrame's QueryExecution, so the
+        # AdaptiveSparkPlan below is the final (post-reoptimization) one
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final, final[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe
+            )
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
