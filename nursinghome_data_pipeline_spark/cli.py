@@ -167,6 +167,75 @@ def _cmd_explain(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_corpus_build(args: argparse.Namespace) -> int:
+    """End-to-end training-corpus materialization: quality filter →
+    exact dedup → near-dup component resolution → decontamination →
+    deterministic split → parquet partitioned by split + a JSON stage
+    manifest. The CLI twin of the ``corpus_build_docs`` registry query,
+    with the artifacts actually written."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .functions.text import quality_score_col, token_count_col
+    from .operators.corpus import decontaminate
+    from .operators.dedup import connected_components, jaccard_pair_join
+    from .sources.tpch import load_tables
+
+    spark = _session(args)
+    docs = load_tables(spark, args.sf_dir, ["documents"])["documents"]
+    stages: dict[str, int] = {"input": docs.count()}
+
+    filtered = docs.where(quality_score_col("text") >= args.min_quality)
+    stages["quality_filtered"] = filtered.count()
+
+    canon = filtered.groupBy(F.md5(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact = filtered.join(canon.select("doc_id"), "doc_id", "left_semi")
+    stages["exact_deduped"] = exact.count()
+
+    pairs = jaccard_pair_join(exact, threshold=args.jaccard_threshold)
+    comps = connected_components(exact, pairs)
+    neardeduped = exact.join(
+        comps.where(F.col("doc_id") == F.col("component_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    stages["near_deduped"] = neardeduped.count()
+
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    clean = decontaminate(neardeduped, bench, shingle_k=5)
+    stages["decontaminated"] = clean.count()
+
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    out = clean.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        token_count_col("text").alias("n_tokens"),
+        split.alias("split"),
+    )
+    out.write.mode("overwrite").partitionBy("split").parquet(args.out)
+    stages["written"] = spark.read.parquet(args.out).count()
+
+    manifest = {
+        "stages": stages,
+        "min_quality": args.min_quality,
+        "jaccard_threshold": args.jaccard_threshold,
+        "out": args.out,
+    }
+    with open(os.path.join(args.out, "_corpus_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    print(json.dumps(manifest, indent=2))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="nursinghome_data_pipeline_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -225,6 +294,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--full", action="store_true", help="also print EXPLAIN FORMATTED")
     _add_session_args(p)
     p.set_defaults(fn=_cmd_explain)
+
+    p = sub.add_parser(
+        "corpus-build",
+        help="materialize the training corpus: filter -> dedup -> "
+        "decontaminate -> split -> parquet + manifest",
+    )
+    p.add_argument("out", help="output parquet directory")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--min-quality", type=float, default=0.6)
+    p.add_argument("--jaccard-threshold", type=float, default=0.5)
+    _add_session_args(p)
+    p.set_defaults(fn=_cmd_corpus_build)
 
     args = parser.parse_args(argv)
     return args.fn(args)

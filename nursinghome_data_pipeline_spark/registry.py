@@ -6280,6 +6280,159 @@ def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(embeddings, init, iterations=2)
 
 
+_CMS_W = 1024  # count-min width (columns per hash row)
+_CMS_D = 4  # depth (independent hash rows)
+
+
+@_register(
+    "cms_heavy_hitters_events",
+    f"""
+    WITH cells AS (
+      SELECT i,
+             ('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || ':'
+                                 || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_CMS_W} AS col,
+             COUNT(*) AS cnt
+      FROM events
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+      WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_n
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+      ORDER BY exact_n DESC, user_id
+      LIMIT 20
+    )
+    SELECT e.user_id, e.exact_n, MIN(c.cnt) AS cms_estimate
+    FROM exact e
+    JOIN cells c
+      ON c.col = ('0x' || substr(md5('cms' || CAST(c.i AS VARCHAR) || ':'
+                                     || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT
+                 % {_CMS_W}
+    GROUP BY e.user_id, e.exact_n
+    """,
+    "Count-min sketch, exactly reproducible across engines: counters "
+    "are md5-derived (depth 4 x width 1024 — a FIXED-SIZE summary "
+    "regardless of key cardinality, the point of a sketch at 100 TB), "
+    "and each top-20 heavy user's estimate is the min over its 4 "
+    "cells. The oracle recomputes the identical counters, so this is "
+    "a hash-CHECKED sketch, not a tolerance test; the CMS guarantee "
+    "estimate >= exact also holds by construction. Counter build is "
+    "one partial-aggregated groupBy over d*w bounded groups; "
+    "estimates join d rows per candidate against the broadcast "
+    "sketch. Complements hll_rollup_events (distinct-count sketch) "
+    "with the frequency-estimate sketch.",
+)
+def cms_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+
+    def cms_col(i_col: Column, key_col: Column) -> Column:
+        h = F.md5(
+            F.concat(
+                F.lit("cms"),
+                i_col.cast("string"),
+                F.lit(":"),
+                key_col.cast("string"),
+            ).cast("binary")
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _CMS_W
+
+    ev = events.where(F.col("user_id").isNotNull())
+    cells = (
+        ev.crossJoin(
+            F.broadcast(
+                ev.sparkSession.range(_CMS_D).select(F.col("id").alias("i"))
+            )
+        )
+        .groupBy("i", cms_col(F.col("i"), F.col("user_id")).alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )
+    probe = exact.crossJoin(
+        F.broadcast(
+            ev.sparkSession.range(_CMS_D).select(F.col("id").alias("qi"))
+        )
+    ).select(
+        "user_id",
+        "exact_n",
+        "qi",
+        cms_col(F.col("qi"), F.col("user_id")).alias("qcol"),
+    )
+    return (
+        probe.join(
+            F.broadcast(cells),
+            (F.col("qi") == F.col("i")) & (F.col("qcol") == F.col("col")),
+        )
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+
+
+@_register(
+    "span_corruption_plan_docs",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             len(string_split(trim(text), ' ')) AS n_tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    planned AS (
+      SELECT doc_id, n_tok,
+             CAST(floor(n_tok * 0.15 / 3.0) AS BIGINT) AS n_spans
+      FROM base
+    )
+    SELECT doc_id, s AS span_idx,
+           1 + (doc_id * {MIX_PRIME} + s * 7919) % n_tok AS start_tok,
+           2 + (doc_id * {MIX_PRIME} + s * 104729) % 3 AS span_len
+    FROM planned
+    CROSS JOIN LATERAL (SELECT unnest(range(1, n_spans + 1)) AS s) u
+    WHERE n_spans > 0
+    """,
+    "Span-corruption planning (T5/UL2-style denoising objectives): "
+    "for each document, derive the number of corruption spans "
+    "(~15%% of tokens at mean span length 3) and DETERMINISTIC span "
+    "positions/lengths from multiplicative-hash arithmetic — the "
+    "same no-RNG-state discipline as the A/B bucketing and epoch "
+    "shuffles, so a training run can regenerate the identical mask "
+    "plan on any retry or re-shard. Row generation is a map-side "
+    "explode of sequence(1, n_spans); no shuffle at all.",
+)
+def span_corruption_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), " ")).cast("bigint")
+    planned = (
+        docs.where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            n_tok.alias("n_tok"),
+            F.floor(n_tok * 0.15 / 3.0).cast("bigint").alias("n_spans"),
+        )
+        .where(F.col("n_spans") > 0)
+    )
+    base = F.col("doc_id") * F.lit(MIX_PRIME)
+    return planned.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_spans"))).alias(
+            "span_idx"
+        ),
+        "n_tok",
+    ).select(
+        "doc_id",
+        "span_idx",
+        (1 + (base + F.col("span_idx") * 7919) % F.col("n_tok")).alias(
+            "start_tok"
+        ),
+        (2 + (base + F.col("span_idx") * 104729) % 3).alias("span_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

@@ -88,3 +88,37 @@ def test_sync_with_dest_copies(tmp_path, capsys):
 def test_catalog_subcommand(spark, capsys):
     rc = main(["catalog"])
     assert rc == 0
+
+
+def test_cli_corpus_build(tmp_path, capsys):
+    import json
+    import os
+
+    from nursinghome_data_pipeline_spark.cli import main
+
+    out = str(tmp_path / "corpus_out")
+    rc = main(
+        [
+            "corpus-build",
+            out,
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--shuffle-partitions",
+            "8",
+        ]
+    )
+    assert rc == 0
+    manifest = json.load(open(os.path.join(out, "_corpus_manifest.json")))
+    s = manifest["stages"]
+    # monotone shrink through the pipeline; splits actually written
+    assert (
+        s["input"]
+        >= s["quality_filtered"]
+        >= s["exact_deduped"]
+        >= s["near_deduped"]
+        >= s["decontaminated"]
+        == s["written"]
+        > 0
+    )
+    splits = {e for e in os.listdir(out) if e.startswith("split=")}
+    assert "split=train" in splits
