@@ -6433,6 +6433,137 @@ def span_corruption_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "nested_lineitems_revenue",
+    """
+    WITH nested AS (
+      SELECT l_orderkey,
+             list(l_extendedprice * (1 - l_discount)
+                  ORDER BY l_linenumber) AS line_revs,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, n_lines,
+           ROUND(list_sum(list_transform(line_revs, x -> x)), 4)
+             AS order_revenue
+    FROM nested
+    WHERE n_lines >= 5
+    """,
+    "Nested / denormalized data modeling: collapse each order's line "
+    "items into an ORDERED array (the document-style layout a "
+    "lakehouse uses to pre-join one-to-many relations and kill the "
+    "per-query join at read time), then compute order revenue with a "
+    "higher-order fold over the nested array — no re-explode, no "
+    "join. The array is ordered by l_linenumber in BOTH engines, so "
+    "the sequential fold is bit-identical before the final ROUND. "
+    "One groupBy builds the nest; everything after is map-side.",
+)
+def nested_lineitems_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nested = (
+        lineitem.select(
+            "l_orderkey", F.struct(F.col("l_linenumber"), rev.alias("rev")).alias("s")
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda s: s["rev"]
+            ).alias("line_revs"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    order_rev = F.aggregate(
+        "line_revs", F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        nested.where(F.col("n_lines") >= 5)
+        .select(
+            "l_orderkey",
+            "n_lines",
+            F.round(order_rev, 4).alias("order_revenue"),
+        )
+    )
+
+
+@_register(
+    "hierarchy_rollup_users",
+    f"""
+    WITH leaf AS (
+      SELECT user_id,
+             user_id // 10 AS parent_id,
+             user_id // 100 AS root_id,
+             COUNT(*) AS n_events,
+             {oracle_q_sum('value')} AS sum_value
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT 'leaf' AS level, user_id AS node_id,
+           n_events, sum_value
+    FROM leaf
+    UNION ALL
+    SELECT 'parent', parent_id,
+           CAST(SUM(n_events) AS BIGINT),
+           CAST(SUM(CAST(sum_value * 1048576.0 AS DECIMAL(38,0)))
+                AS DOUBLE) / 1048576.0
+    FROM leaf GROUP BY parent_id
+    UNION ALL
+    SELECT 'root', root_id,
+           CAST(SUM(n_events) AS BIGINT),
+           CAST(SUM(CAST(sum_value * 1048576.0 AS DECIMAL(38,0)))
+                AS DOUBLE) / 1048576.0
+    FROM leaf GROUP BY root_id
+    """,
+    "Hierarchical rollup (leaf → parent → root over a synthetic "
+    "10-ary user hierarchy): parents aggregate their children's "
+    "PARTIAL aggregates, not the raw rows — each level is |nodes| "
+    "rows, so the cascade reads the fact table ONCE (same mergeable-"
+    "partials discipline as rollup_cascade_events, applied to a "
+    "hierarchy dimension instead of time). The re-aggregated "
+    "quantized sums stay exact integers in DECIMAL space, so "
+    "parent/root sums are bit-equal to direct aggregation and the "
+    "oracle.",
+)
+def hierarchy_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    leaf = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy(
+            "user_id",
+            (F.col("user_id") / 10).cast("long").alias("parent_id"),
+            (F.col("user_id") / 100).cast("long").alias("root_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), q_sum("value", "sum_value"))
+    )
+    q = float(1 << 20)
+    requant = (
+        F.sum((F.col("sum_value") * q).cast("decimal(38,0)")).cast("double") / q
+    )
+    leaf_lvl = leaf.select(
+        F.lit("leaf").alias("level"),
+        F.col("user_id").alias("node_id"),
+        "n_events",
+        "sum_value",
+    )
+    parent_lvl = leaf.groupBy("parent_id").agg(
+        F.sum("n_events").alias("n_events"), requant.alias("sum_value")
+    ).select(
+        F.lit("parent").alias("level"),
+        F.col("parent_id").alias("node_id"),
+        "n_events",
+        "sum_value",
+    )
+    root_lvl = leaf.groupBy("root_id").agg(
+        F.sum("n_events").alias("n_events"), requant.alias("sum_value")
+    ).select(
+        F.lit("root").alias("level"),
+        F.col("root_id").alias("node_id"),
+        "n_events",
+        "sum_value",
+    )
+    return leaf_lvl.unionAll(parent_lvl).unionAll(root_lvl)
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
