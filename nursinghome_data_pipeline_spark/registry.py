@@ -6564,6 +6564,55 @@ def hierarchy_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leaf_lvl.unionAll(parent_lvl).unionAll(root_lvl)
 
 
+@_register(
+    "trailing_hour_avg_events",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(floor(value * 1048576.0) AS DECIMAL(38,0))) OVER w
+                AS DOUBLE) / 1048576.0
+             / CAST(COUNT(value) OVER w AS DOUBLE) AS trailing_avg
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+    "Time-based RANGE-frame window: each event's trailing one-hour "
+    "average of value within its user's series — the moving-average "
+    "shape ROWS frames cannot express when events are irregularly "
+    "spaced. The frame sum uses per-row QUANTIZED decimal terms "
+    "(functions/exprs.q_sum_term): exact integer addition is "
+    "order-independent, so whatever internal strategy each engine "
+    "uses to evaluate the sliding frame (running sum, segment tree), "
+    "the result is bit-equal — a plain double SUM here would drift. "
+    "One shuffle + one sort per user partition.",
+)
+def trailing_hour_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    q = float(1 << 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    qsum = F.sum(q_sum_term("value")).over(w).cast("double") / F.lit(q)
+    return (
+        events.where(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            (qsum / F.count("value").over(w).cast("double")).alias(
+                "trailing_avg"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
