@@ -6613,6 +6613,118 @@ def trailing_hour_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "user_event_profile_strings",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+             AS event_profile,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+    "Ordered string aggregation (LISTAGG / string_agg): each user's "
+    "sorted distinct event-type profile as one delimited string — the "
+    "compact categorical-set encoding used for segment signatures and "
+    "feature hashing. Spark side builds it as "
+    "array_join(array_sort(collect_set(...))) — collect_set is "
+    "partition-order-dependent but array_sort makes the result "
+    "deterministic, the same discipline as every winner-selection in "
+    "this registry. One partial-aggregated groupBy.",
+)
+def user_event_profile_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("event_type")), ","
+            ).alias("event_profile"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+_KMV_K = 64
+#: 2^64 as double — normalizes a uint64 hash to [0, 1)
+_KMV_SCALE = float(1 << 64)
+
+
+@_register(
+    "kmv_distinct_estimate_events",
+    f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                  ::UBIGINT AS DOUBLE) / {_KMV_SCALE!r} AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, user_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM hashed
+    )
+    SELECT event_type,
+           CAST(n_exact AS BIGINT) AS exact_distinct,
+           ROUND(CASE WHEN n_exact < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+                      ELSE ({_KMV_K} - 1.0) / h END, 4) AS kmv_estimate
+    FROM ranked
+    WHERE rn = (CASE WHEN n_exact < {_KMV_K} THEN n_exact ELSE {_KMV_K} END)
+    """,
+    "KMV (k-minimum-values) distinct-count sketch, hash-CHECKED: keep "
+    "the k=64 smallest normalized md5 hashes per group; the k-th "
+    "minimum estimates distinct count as (k-1)/h_k. Like "
+    "cms_heavy_hitters_events this is a sketch whose every "
+    "intermediate is reproduced exactly by the oracle — versus the "
+    "rows-only DataSketches HLL (hll_rollup_events), it trades "
+    "accuracy-per-byte for cross-engine checkability. The k minima "
+    "are a MERGEABLE summary (union = k smallest of the union), the "
+    "property that makes distributed sketch rollups possible; "
+    "exact_distinct rides along to show the estimation error.",
+)
+def kmv_distinct_estimate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 16),
+            16,
+            10,
+        ).cast("decimal(38,0)")
+        .cast("double")
+        / F.lit(_KMV_SCALE)
+    )
+    hashed = (
+        events.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+        .select("event_type", "user_id", h.alias("h"))
+    )
+    w = Window.partitionBy("event_type")
+    ranked = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(w.orderBy("h", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_exact"),
+    )
+    kth = F.when(F.col("n_exact") < _KMV_K, F.col("n_exact")).otherwise(
+        F.lit(_KMV_K)
+    )
+    est = F.when(
+        F.col("n_exact") < _KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(F.lit(_KMV_K - 1.0) / F.col("h"))
+    return (
+        ranked.where(F.col("rn") == kth)
+        .select(
+            "event_type",
+            F.col("n_exact").cast("bigint").alias("exact_distinct"),
+            F.round(est, 4).alias("kmv_estimate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
