@@ -517,11 +517,13 @@ def connected_components(
     Components in MapReduce") bounds rounds at O(log n); near-dup
     workloads don't need it.
     """
+    # materialize the (possibly expensive — LSH/Jaccard join) edge
+    # input ONCE before the bidirectional union references it twice
+    e0 = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(
-            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-        )
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
