@@ -6725,6 +6725,62 @@ def kmv_distinct_estimate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "consistent_sample_across_tables",
+    f"""
+    WITH sampled_users AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE user_id IS NOT NULL
+        AND (user_id * {MIX_PRIME}) % 100 < 10
+    ),
+    ev AS (
+      SELECT COUNT(*) AS n_event_rows,
+             COUNT(DISTINCT user_id) AS n_event_users
+      FROM events WHERE user_id IS NOT NULL
+        AND (user_id * {MIX_PRIME}) % 100 < 10
+    ),
+    cu AS (
+      SELECT COUNT(*) AS n_customer_rows
+      FROM customer WHERE (c_custkey * {MIX_PRIME}) % 100 < 10
+    ),
+    od AS (
+      SELECT COUNT(*) AS n_order_rows
+      FROM orders WHERE (o_custkey * {MIX_PRIME}) % 100 < 10
+    )
+    SELECT n_event_rows, n_event_users, n_customer_rows, n_order_rows
+    FROM ev CROSS JOIN cu CROSS JOIN od
+    """,
+    "ENTITY-consistent sampling across tables: the same hash predicate "
+    "on the entity key selects ~10%% of users in events, customers, "
+    "and orders SIMULTANEOUSLY — so the sampled slices still join "
+    "(every sampled user keeps ALL their rows everywhere), which "
+    "per-table row sampling destroys. This is how a 100 TB warehouse "
+    "builds a development slice that preserves referential structure: "
+    "a pure map-side filter on each table, no coordination, no "
+    "sampled-key exchange, reproducible on any retry (no RNG).",
+)
+def consistent_sample_across_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events, customer, orders = _t(spark, sf_dir, "events", "customer", "orders")
+
+    def keep(col: Column) -> Column:
+        return (col * F.lit(MIX_PRIME)) % 100 < 10
+
+    ev = (
+        events.where(F.col("user_id").isNotNull() & keep(F.col("user_id")))
+        .agg(
+            F.count(F.lit(1)).alias("n_event_rows"),
+            F.countDistinct("user_id").alias("n_event_users"),
+        )
+    )
+    cu = customer.where(keep(F.col("c_custkey"))).agg(
+        F.count(F.lit(1)).alias("n_customer_rows")
+    )
+    od = orders.where(keep(F.col("o_custkey"))).agg(
+        F.count(F.lit(1)).alias("n_order_rows")
+    )
+    return ev.crossJoin(cu).crossJoin(od)
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

@@ -226,3 +226,35 @@ def test_aqe_converts_shuffle_join_to_broadcast_at_runtime(spark, sf_dir):
             )
         else:
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    plan = _formatted_plan(
+        registry.queries()["kmeans_lloyd_embeddings"](spark, sf_dir)
+    )
+    # k centroids must broadcast to the scan side; the scan never
+    # shuffles for assignment
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lift_pairs_is_equi_join(spark, sf_dir):
+    plan = _formatted_plan(registry.queries()["lift_event_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_probe_broadcasts_sketch(spark, sf_dir):
+    plan = _formatted_plan(
+        registry.queries()["cms_heavy_hitters_events"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_nested_fold_is_map_side_after_nest(spark, sf_dir):
+    from nursinghome_data_pipeline_spark.plans import plan_report
+
+    rep = plan_report(
+        registry.queries()["nested_lineitems_revenue"](spark, sf_dir)
+    )
+    # one exchange builds the nest; the fold adds none
+    assert rep["n_exchanges"] == 1
