@@ -6781,6 +6781,97 @@ def consistent_sample_across_tables(spark: SparkSession, sf_dir: str) -> DataFra
     return ev.crossJoin(cu).crossJoin(od)
 
 
+def _oracle_dataset_card() -> str:
+    from .functions.text import oracle_quality_score
+
+    q = oracle_quality_score("text")
+    return f"""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND({oracle_q_sum(f'({q})')} / CAST(COUNT(*) AS DOUBLE), 6)
+             AS avg_quality,
+           ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS pct_en
+    FROM documents
+    """
+
+
+@_register(
+    "dataset_card_report",
+    _oracle_dataset_card(),
+    "Dataset-card metadata block: the one-row corpus summary (doc "
+    "count, language/source cardinality, total characters, mean "
+    "quality, language share) that accompanies a published training "
+    "dataset. One scan, all measures partial-aggregated together; "
+    "the mean quality rides the quantized sum so the single double "
+    "is bit-equal to the oracle.",
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            q_sum(quality_score_col("text")) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_quality"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("pct_en"),
+    )
+
+
+@_register(
+    "group_size_skew_report",
+    """
+    WITH sizes AS (
+      SELECT event_type, user_id, COUNT(*) AS n
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           COUNT(*) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           MAX(n) AS max_key_rows,
+           ROUND(CAST(MAX(n) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(n) AS DOUBLE), 4) AS skew_factor
+    FROM sizes
+    GROUP BY event_type
+    """,
+    "Key-skew diagnostic: per (event_type) shuffle key space — key "
+    "count, row count, hottest key's row count, and the skew factor "
+    "(max/mean group size) that decides whether a join/agg on this "
+    "key needs salting (operators/skew.py) or AQE skew splitting. "
+    "This is the report a 100 TB pipeline runs BEFORE choosing its "
+    "partitioning strategy; two cascaded partial-aggregated "
+    "group-bys, exact integer arithmetic until one final ratio.",
+)
+def group_size_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    sizes = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return sizes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.round(
+            F.max("n").cast("double")
+            * F.count(F.lit(1)).cast("double")
+            / F.sum("n").cast("double"),
+            4,
+        ).alias("skew_factor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
