@@ -6872,6 +6872,180 @@ def group_size_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "bag_set_ops_orders",
+    """
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+    b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
+        AS n_intersect_all,
+      (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+        AS n_except_all,
+      (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+        AS n_intersect_distinct,
+      (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+        AS n_except_distinct
+    """,
+    "BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL) beside "
+    "their distinct forms: multiplicity-preserving set algebra is a "
+    "different operator from the distinct version (Spark "
+    "intersectAll/exceptAll compile to aggregated count-matching, not "
+    "a semi/anti join) and the side-by-side counts pin exactly that "
+    "difference. Completes the §2.10 set-operation family "
+    "(union/intersect/except already covered distinct-only).",
+)
+def bag_set_ops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.where(F.col("o_totalprice") > 100000).select("o_custkey")
+    counts = [
+        a.intersectAll(b).agg(F.count(F.lit(1)).alias("n_intersect_all")),
+        a.exceptAll(b).agg(F.count(F.lit(1)).alias("n_except_all")),
+        a.intersect(b).agg(F.count(F.lit(1)).alias("n_intersect_distinct")),
+        a.exceptAll(b).distinct().agg(
+            F.count(F.lit(1)).alias("n_except_distinct")
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+@_register(
+    "geo_radius_join",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST((c_custkey * {MIX_PRIME}) % 1000 AS DOUBLE) / 10.0 AS x,
+             CAST((c_custkey * 40503) % 1000 AS DOUBLE) / 10.0 AS y
+      FROM customer WHERE c_custkey % 4 = 0
+    ),
+    cells AS (
+      SELECT id, x, y,
+             CAST(floor(x / 2.0) AS BIGINT) + dx AS cx,
+             CAST(floor(y / 2.0) AS BIGINT) + dy AS cy
+      FROM pts
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
+    ),
+    home AS (
+      SELECT id, x, y,
+             CAST(floor(x / 2.0) AS BIGINT) AS cx,
+             CAST(floor(y / 2.0) AS BIGINT) AS cy
+      FROM pts
+    )
+    SELECT h.id AS id_a, c.id AS id_b,
+           ROUND(sqrt((h.x - c.x) * (h.x - c.x)
+                      + (h.y - c.y) * (h.y - c.y)), 4) AS dist
+    FROM home h JOIN cells c ON h.cx = c.cx AND h.cy = c.cy
+    WHERE h.id < c.id
+      AND (h.x - c.x) * (h.x - c.x) + (h.y - c.y) * (h.y - c.y) <= 4.0
+    """,
+    "Spatial radius self-join via grid-cell bucketing: points (here "
+    "hash-synthesized planar coordinates) land in 2x2 cells; each "
+    "point probes its home cell against the 3x3 neighborhood "
+    "replication of the other side, so every pair within radius 2 is "
+    "found by an EQUI-join on cell ids — the 2-D analogue of the LSH "
+    "band join, and the standard shape for distributed spatial joins "
+    "(replicate one side to neighbor cells, never all-pairs). "
+    "Exact-distance verification inside the join condition kills "
+    "false candidates; identical double arithmetic both engines.",
+)
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    pts = customer.where(F.col("c_custkey") % 4 == 0).select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * MIX_PRIME) % 1000).cast("double") / 10.0).alias(
+            "x"
+        ),
+        (((F.col("c_custkey") * 40503) % 1000).cast("double") / 10.0).alias(
+            "y"
+        ),
+    )
+    offs = pts.sparkSession.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], ["dx", "dy"]
+    )
+    cells = pts.crossJoin(F.broadcast(offs)).select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        (F.floor(F.col("x") / 2.0).cast("bigint") + F.col("dx")).alias("cx"),
+        (F.floor(F.col("y") / 2.0).cast("bigint") + F.col("dy")).alias("cy"),
+    )
+    home = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.floor(F.col("x") / 2.0).cast("bigint").alias("cx"),
+        F.floor(F.col("y") / 2.0).cast("bigint").alias("cy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        home.join(cells, on=["cx", "cy"])
+        .where((F.col("id_a") < F.col("id_b")) & (d2 <= 4.0))
+        .select("id_a", "id_b", F.round(F.sqrt(d2), 4).alias("dist"))
+    )
+
+
+@_register(
+    "top_user_journeys",
+    """
+    WITH steps AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    journeys AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS journey
+      FROM steps WHERE rn <= 5
+      GROUP BY user_id
+    )
+    SELECT journey, n_users FROM (
+      SELECT journey, COUNT(*) AS n_users,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, journey) AS rk
+      FROM journeys GROUP BY journey
+    ) WHERE rk <= 20
+    """,
+    "User-journey path analysis: each user's first five events in "
+    "time order become a '>'-delimited path string; the top-20 "
+    "journey prefixes are the product-analytics view of how users "
+    "actually move (the discovery sibling of the fixed-pattern "
+    "funnel and the order-1 bigram report). The first-5 prune is "
+    "WindowGroupLimit-style cheap; journey counts partial-aggregate; "
+    "top-k via TakeOrderedAndProject with deterministic ties.",
+)
+def top_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+    )
+    journeys = steps.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("journey")
+    )
+    return (
+        journeys.groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "journey")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
