@@ -6903,9 +6903,10 @@ def bag_set_ops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.intersectAll(b).agg(F.count(F.lit(1)).alias("n_intersect_all")),
         a.exceptAll(b).agg(F.count(F.lit(1)).alias("n_except_all")),
         a.intersect(b).agg(F.count(F.lit(1)).alias("n_intersect_distinct")),
-        a.exceptAll(b).distinct().agg(
-            F.count(F.lit(1)).alias("n_except_distinct")
-        ),
+        # subtract == EXCEPT DISTINCT; exceptAll().distinct() would
+        # instead keep keys whose multiplicity in a exceeds b — a
+        # different (bag-difference) relation
+        a.subtract(b).agg(F.count(F.lit(1)).alias("n_except_distinct")),
     ]
     out = counts[0]
     for c in counts[1:]:
