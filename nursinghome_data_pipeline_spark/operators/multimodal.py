@@ -414,3 +414,114 @@ def sample_frames(
             )
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def encode_mp4(
+    width: int, height: int, timescale: int, duration_units: int
+) -> bytes:
+    """Minimal REAL ISO-BMFF (MP4) container: ftyp + moov{mvhd,
+    trak{tkhd}} — spec-valid box structure any MP4 demuxer accepts
+    for stream metadata (no media samples; encoding frames needs a
+    codec library). The video fixture twin of :func:`encode_wav`."""
+    import struct
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp41")
+    matrix = struct.pack(
+        ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">BBHIIII", 0, 0, 0, 0, 0, timescale, duration_units)
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">BBHIIII", 0, 0, 7, 0, 0, 1, 0)
+        + struct.pack(">I", duration_units)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def parse_video_header(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None, int | None]:
+    """REAL MP4 container decode — (format, width, height, timescale,
+    duration_units) from an ISO-BMFF box walk, stdlib-only. Returns
+    all-None for non-MP4 bytes."""
+    import struct
+
+    def walk(buf: bytes):
+        i = 0
+        while i + 8 <= len(buf):
+            (size,) = struct.unpack(">I", buf[i : i + 4])
+            if size < 8 or i + size > len(buf):
+                return
+            yield buf[i + 4 : i + 8], buf[i + 8 : i + size]
+            i += size
+
+    if not payload or len(payload) < 12 or payload[4:8] != b"ftyp":
+        return (None, None, None, None, None)
+    width = height = timescale = duration = None
+    for tag, body in walk(payload):
+        if tag != b"moov":
+            continue
+        for t2, b2 in walk(body):
+            if t2 == b"mvhd" and len(b2) >= 20:
+                # v0 layout: ver/flags(4) created(4) modified(4)
+                # timescale(4) duration(4)
+                timescale, duration = struct.unpack(">II", b2[12:20])
+            elif t2 == b"trak":
+                for t3, b3 in walk(b2):
+                    if t3 == b"tkhd" and len(b3) >= 84:
+                        w, h = struct.unpack(">II", b3[76:84])
+                        width, height = w >> 16, h >> 16
+    if timescale is None:
+        return (None, None, None, None, None)
+    return ("mp4", width, height, timescale, duration)
+
+
+def video_metadata(df: DataFrame) -> DataFrame:
+    """Distributed REAL MP4 header decode: (media_id, format, width,
+    height, duration_ms) via ``mapInPandas`` — the video member of the
+    image/audio/video metadata triple."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("format", T.StringType(), True),
+            T.StructField("width", T.LongType(), True),
+            T.StructField("height", T.LongType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_video_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [p[0] for p in parsed],
+                    "width": [p[1] for p in parsed],
+                    "height": [p[2] for p in parsed],
+                    "duration_ms": [
+                        (p[4] * 1000) // p[3]
+                        if p[4] is not None and p[3]
+                        else None
+                        for p in parsed
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)

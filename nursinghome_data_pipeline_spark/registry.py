@@ -7047,6 +7047,57 @@ def top_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "video_header_decode",
+    """
+    SELECT doc_id AS media_id,
+           'mp4' AS format,
+           16 * (doc_id % 20 + 4) AS width,
+           16 * (doc_id % 11 + 3) AS height,
+           ((doc_id * 37) % 48000 + 1200) * 1000
+             // CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                                     WHEN 2 THEN 12288 ELSE 24000 END
+                     AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    "REAL video container decode (no codec library): executors ENCODE "
+    "a spec-valid ISO-BMFF MP4 (ftyp + moov{mvhd, trak{tkhd}}, stream "
+    "params derived from doc_id) per document, then PARSE the bytes "
+    "back with a recursive box walk (operators/multimodal."
+    "parse_video_header) via distributed mapInPandas — completing the "
+    "image/audio/VIDEO metadata triple. The oracle recomputes "
+    "width/height/duration arithmetically: a hash-checked byte-level "
+    "round-trip through genuine MP4 box structure.",
+)
+def video_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import encode_mp4, video_metadata
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    scales = [600, 1000, 12288, 24000]
+
+    def make_payloads(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        encode_mp4(
+                            16 * (int(d) % 20 + 4),
+                            16 * (int(d) % 11 + 3),
+                            scales[int(d) % 4],
+                            (int(d) * 37) % 48000 + 1200,
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = documents.select("doc_id").mapInPandas(
+        make_payloads, schema="media_id long, payload binary"
+    )
+    return video_metadata(media)
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

@@ -223,3 +223,30 @@ def test_parse_headers_never_crash_on_arbitrary_bytes():
         parse_image_header(prefix + tail)
 
     fuzz()
+
+
+def test_mp4_roundtrip_and_garbage():
+    from nursinghome_data_pipeline_spark.operators.multimodal import (
+        encode_mp4,
+        parse_video_header,
+    )
+
+    assert parse_video_header(encode_mp4(1920, 1080, 24000, 48000)) == (
+        "mp4",
+        1920,
+        1080,
+        24000,
+        48000,
+    )
+    assert parse_video_header(b"not an mp4 at all") == (
+        None,
+        None,
+        None,
+        None,
+        None,
+    )
+    assert parse_video_header(None)[0] is None
+    # truncated box sizes must not crash or over-read
+    b = encode_mp4(64, 48, 600, 1200)
+    for cut in (3, 9, 20, len(b) - 5):
+        parse_video_header(b[:cut])
