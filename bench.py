@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "hard_negative_mining",
     "sliding_window_events",
     "canonical_doc_selection",
+    "video_header_decode",
 ]
 
 

@@ -211,16 +211,19 @@ def test_parse_headers_never_crash_on_arbitrary_bytes():
     from nursinghome_data_pipeline_spark.operators.multimodal import (
         parse_audio_header,
         parse_image_header,
+        parse_video_header,
     )
 
     prefixes = [b"", b"RIFF", b"RIFF\xff\xff\xff\xffWAVE", b"fLaC",
-                b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"BM"]
+                b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"BM",
+                b"\x00\x00\x00\x14ftyp", b"\x00\x00\x00\x08moov"]
 
     @settings(max_examples=200, deadline=None)
     @given(st.sampled_from(prefixes), st.binary(max_size=64))
     def fuzz(prefix, tail):
         parse_audio_header(prefix + tail)
         parse_image_header(prefix + tail)
+        parse_video_header(prefix + tail)
 
     fuzz()
 
