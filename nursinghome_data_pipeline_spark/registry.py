@@ -7098,6 +7098,76 @@ def video_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_metadata(media)
 
 
+@_register(
+    "linear_attribution_clicks",
+    """
+    WITH touches AS (
+      SELECT p.event_id AS purchase_id,
+             c.event_id AS click_id,
+             c.user_id,
+             p.value AS purchase_value,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS n_touches
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      WHERE p.value IS NOT NULL
+    )
+    SELECT click_id, user_id,
+           COUNT(*) AS n_purchases_touched,
+           ROUND(CAST(SUM(CAST(floor((purchase_value
+                                      / CAST(n_touches AS DOUBLE))
+                                     * 1048576.0) AS DECIMAL(38,0)))
+                      AS DOUBLE) / 1048576.0, 4) AS attributed_value
+    FROM touches
+    GROUP BY click_id, user_id
+    """,
+    "Linear multi-touch attribution: each purchase's value splits "
+    "equally across the user's clicks in the preceding hour, and each "
+    "click accumulates its attributed revenue — the composition of a "
+    "time-range self-join (the as-of/range family), a per-purchase "
+    "window count, and an exact value split. Per-click attributed "
+    "sums use QUANTIZED shares (order-independent exact integers), so "
+    "partition layout and engine frame order cannot move the rounded "
+    "result; the range join shuffles once on user_id and both window "
+    "and aggregate reuse that partitioning.",
+)
+def linear_attribution_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    p = events.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = p.join(
+        c,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).withColumn(
+        "n_touches", F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    )
+    share = F.col("purchase_value") / F.col("n_touches").cast("double")
+    return (
+        touches.groupBy("click_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases_touched"),
+            # quantized shares: a click touched by several purchases
+            # sums exact integers, so partition layout / engine frame
+            # order cannot move the rounded result
+            F.round(q_sum(share), 4).alias("attributed_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
