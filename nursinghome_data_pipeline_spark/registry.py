@@ -7168,6 +7168,47 @@ def linear_attribution_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "explode_variants_docs",
+    """
+    WITH arrs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN []
+                  ELSE string_split(trim(text), ' ')[1:3] END AS toks
+      FROM documents
+    )
+    SELECT
+      (SELECT COUNT(*) FROM arrs, unnest(toks) AS u(tok)) AS n_inner,
+      (SELECT COUNT(*)
+       FROM arrs LEFT JOIN LATERAL (SELECT unnest(toks) AS tok) u ON true)
+        AS n_outer,
+      (SELECT COUNT(*) FROM arrs WHERE len(toks) = 0) AS n_empty
+    """,
+    "explode vs explode_outer semantics battery: inner explode DROPS "
+    "rows with empty arrays (documents planted empty at doc_id %% 13 "
+    "== 0) while the outer form keeps them as a NULL element — the "
+    "silent-row-loss trap of flattening optional collections, "
+    "quantified side by side (n_outer - n_inner == n_empty). Maps to "
+    "unnest vs LEFT JOIN LATERAL unnest in the oracle.",
+)
+def explode_variants_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = F.when(
+        F.col("doc_id") % 13 == 0, F.array().cast("array<string>")
+    ).otherwise(F.slice(F.split(F.trim("text"), " "), 1, 3))
+    arrs = docs.select("doc_id", toks.alias("toks"))
+    n_inner = arrs.select(F.explode("toks")).agg(
+        F.count(F.lit(1)).alias("n_inner")
+    )
+    n_outer = arrs.select(F.explode_outer("toks")).agg(
+        F.count(F.lit(1)).alias("n_outer")
+    )
+    n_empty = arrs.where(F.size("toks") == 0).agg(
+        F.count(F.lit(1)).alias("n_empty")
+    )
+    return n_inner.crossJoin(n_outer).crossJoin(n_empty)
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
