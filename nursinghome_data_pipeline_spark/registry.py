@@ -7209,6 +7209,120 @@ def explode_variants_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_inner.crossJoin(n_outer).crossJoin(n_empty)
 
 
+@_register(
+    "percentile_disc_orders",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p90,
+           MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p99
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+    "DISCRETE percentiles (percentile_disc semantics): the selected "
+    "value is an ACTUAL element — the value at row ceil(p*n) of the "
+    "sorted group — not an interpolation, so no floating arithmetic "
+    "exists to drift and ties are broken by the key. Written as an "
+    "explicit row_number selection so both engines execute the "
+    "IDENTICAL definition (native percentile_disc implementations "
+    "vary on nearest-rank conventions). Complements the interpolated "
+    "median (robust_stats_orders) and the sketch path "
+    "(percentile_battery_lineitem).",
+)
+def percentile_disc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number()
+        .over(w.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+
+    def pick(p: float, alias: str):
+        at = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        return F.max(
+            F.when(F.col("rn") == at, F.col("o_totalprice"))
+        ).alias(alias)
+
+    return ranked.groupBy("o_orderpriority").agg(
+        pick(0.50, "p50"), pick(0.90, "p90"), pick(0.99, "p99")
+    )
+
+
+@_register(
+    "events_since_purchase",
+    """
+    WITH seg AS (
+      SELECT event_id, user_id, event_type,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS purchase_seg
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT event_id, user_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id, purchase_seg ORDER BY event_id
+           ) - 1 AS BIGINT) AS n_since_purchase
+    FROM seg WHERE event_type <> 'purchase' AND purchase_seg > 0
+    """,
+    "Segmented (resetting) window — events since the last purchase: a "
+    "running conditional sum carves each user's timeline into "
+    "purchase-anchored segments, and a row_number within (user, "
+    "segment) restarts the counter at every anchor — the streak/"
+    "recency pattern plain frames cannot express (the frame boundary "
+    "is DATA-dependent). Two window passes share one (user, time) "
+    "sort; exact integer arithmetic throughout.",
+)
+def events_since_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    wt = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = events.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .over(wt)
+        .alias("purchase_seg"),
+    )
+    wseg = Window.partitionBy("user_id", "purchase_seg").orderBy("event_id")
+    return (
+        seg.where(
+            (F.col("event_type") != "purchase") & (F.col("purchase_seg") > 0)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            (F.row_number().over(wseg) - 1).cast("bigint").alias(
+                "n_since_purchase"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
