@@ -7323,6 +7323,124 @@ def events_since_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "contingency_mktseg_nation",
+    """
+    WITH obs AS (
+      SELECT c_mktsegment AS seg, c_nationkey % 5 AS region, COUNT(*) AS o
+      FROM customer GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT seg, SUM(o) AS row_total FROM obs GROUP BY seg
+    ),
+    cols AS (
+      SELECT region, SUM(o) AS col_total FROM obs GROUP BY region
+    ),
+    tot AS (SELECT SUM(o) AS n FROM obs)
+    SELECT obs.seg, obs.region, obs.o AS observed,
+           ROUND(CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                 / CAST(n AS DOUBLE), 4) AS expected,
+           ROUND(
+             (CAST(obs.o AS DOUBLE)
+              - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             * (CAST(obs.o AS DOUBLE)
+                - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                / CAST(n AS DOUBLE)), 6) AS chi2_term
+    FROM obs
+    JOIN margins USING (seg)
+    JOIN cols USING (region)
+    CROSS JOIN tot
+    """,
+    "Contingency-table independence analysis (market segment x coarse "
+    "region): observed counts beside expected-under-independence "
+    "(row_total*col_total/N) and each cell's chi-square contribution "
+    "— the categorical-association screen run before trusting a "
+    "segmentation. All margins derive from ONE pass of cell counts "
+    "(|cells| rows re-aggregated, fact read once); the chi2 term is "
+    "written with identical operation order in both engines. DuckDB "
+    "HUGEINT margins stay inside DOUBLE casts so no dtype drift.",
+)
+def contingency_mktseg_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    obs = customer.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_nationkey") % 5).alias("region"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    margins = obs.groupBy("seg").agg(F.sum("o").alias("row_total"))
+    cols = obs.groupBy("region").agg(F.sum("o").alias("col_total"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("n").cast("double")
+    )
+    d = F.col("o").cast("double") - e
+    return (
+        obs.join(F.broadcast(margins), on="seg")
+        .join(F.broadcast(cols), on="region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "region",
+            F.col("o").alias("observed"),
+            F.round(e, 4).alias("expected"),
+            F.round(d * d / e, 6).alias("chi2_term"),
+        )
+    )
+
+
+@_register(
+    "orderkey_islands",
+    """
+    WITH keyed AS (
+      SELECT o_orderstatus, o_orderkey,
+             o_orderkey - ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ) AS grp
+      FROM orders
+    ),
+    islands AS (
+      SELECT o_orderstatus, grp,
+             COUNT(*) AS island_len,
+             MIN(o_orderkey) AS island_start
+      FROM keyed GROUP BY o_orderstatus, grp
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_islands,
+           MAX(island_len) AS max_island_len,
+           MIN(island_start) AS first_island_start
+    FROM islands
+    GROUP BY o_orderstatus
+    """,
+    "Gaps-and-islands: consecutive-key runs per status via the "
+    "value-minus-row_number constant (rows in one consecutive run "
+    "share o_orderkey - rn) — the classic sequence-segmentation "
+    "pattern under uptime/streak/continuity reporting, with no "
+    "self-join and no iteration: one window pass + two cascaded "
+    "aggregations, exact integers end to end.",
+)
+def orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    keyed = orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        (F.col("o_orderkey") - F.row_number().over(w)).alias("grp"),
+    )
+    islands = keyed.groupBy("o_orderstatus", "grp").agg(
+        F.count(F.lit(1)).alias("island_len"),
+        F.min("o_orderkey").alias("island_start"),
+    )
+    return islands.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("island_len").alias("max_island_len"),
+        F.min("island_start").alias("first_island_start"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
