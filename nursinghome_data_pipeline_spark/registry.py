@@ -7441,6 +7441,89 @@ def orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "cumulative_distinct_users",
+    """
+    WITH first_seen AS (
+      SELECT event_type, user_id,
+             MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS first_day
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY event_type, user_id
+    ),
+    per_day AS (
+      SELECT event_type, first_day AS day, COUNT(*) AS n_new
+      FROM first_seen GROUP BY event_type, first_day
+    )
+    SELECT event_type, day, n_new,
+           CAST(SUM(n_new) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_distinct_users
+    FROM per_day
+    """,
+    "Cumulative distinct users per type per day — COUNT(DISTINCT) "
+    "OVER a running window, which no engine supports directly: the "
+    "standard rewrite reduces each (type, user) to its FIRST day "
+    "(one aggregation), counts first-appearances per day, and runs a "
+    "plain cumulative sum — turning an O(days x users) distinct "
+    "recount into one pass + a tiny window. The growth-accounting "
+    "query every DAU/MAU dashboard runs at 100 TB.",
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    first_seen = (
+        events.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.min(F.date_trunc("day", F.col("ts"))).alias("first_day"))
+    )
+    per_day = first_seen.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        "event_type",
+        "day",
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_distinct_users"),
+    )
+
+
+@_register(
+    "argmax_battery_orders",
+    """
+    SELECT o_orderpriority,
+           MAX(o_totalprice) AS max_price,
+           (MAX({'v': o_totalprice, 'k': o_orderkey})).k
+             AS max_price_orderkey,
+           MIN(o_totalprice) AS min_price,
+           (MIN({'v': o_totalprice, 'k': o_orderkey})).k
+             AS min_price_orderkey
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    "Deterministic argmax/argmin: which order carries each priority's "
+    "extreme price. Native max_by/min_by is TIE-NONDETERMINISTIC in "
+    "every engine; taking MAX/MIN over a (measure, key) STRUCT makes "
+    "the comparator lexicographic, pinning ties to the largest "
+    "(argmax) / smallest (argmin) key — both engines order structs "
+    "field-by-field identically. Single partial-aggregated pass, no "
+    "window, no join-back — the cheapest argmax shape at scale.",
+)
+def argmax_battery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    s = F.struct(F.col("o_totalprice").alias("v"), F.col("o_orderkey").alias("k"))
+    return orders.groupBy("o_orderpriority").agg(
+        F.max("o_totalprice").alias("max_price"),
+        F.max(s)["k"].alias("max_price_orderkey"),
+        F.min("o_totalprice").alias("min_price"),
+        F.min(s)["k"].alias("min_price_orderkey"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
