@@ -7493,6 +7493,69 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "revenue_gini_coefficient",
+    f"""
+    WITH cust AS (
+      SELECT o_custkey, {oracle_q_sum('o_totalprice')} AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM cust
+    )
+    SELECT ROUND(
+             2.0 * (CAST(SUM(CAST(floor(CAST(i AS DOUBLE) * rev * 1048576.0)
+                                  AS DECIMAL(38,0))) AS DOUBLE) / 1048576.0)
+             / (CAST(MAX(n) AS DOUBLE)
+                * (CAST(SUM(CAST(floor(rev * 1048576.0) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1048576.0))
+             - (CAST(MAX(n) AS DOUBLE) + 1.0) / CAST(MAX(n) AS DOUBLE),
+           6) AS gini
+    FROM ranked
+    """,
+    "Revenue concentration (Gini coefficient over per-customer "
+    "revenue): the inequality metric behind 80/20 concentration "
+    "dashboards, computed from the sorted-rank identity "
+    "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n. Per-customer revenues are "
+    "quantized sums; the rank-weighted and plain totals are sums of "
+    "exact integers (order-independent), so one global double "
+    "expression produces the identical value in both engines. The "
+    "global sort is rank-only (one window over |customers| "
+    "aggregates, not raw orders).",
+)
+def revenue_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(q_sum("o_totalprice", "rev"))
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = cust.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    q = float(1 << 20)
+    iw_sum = (
+        F.sum(
+            F.floor(F.col("i").cast("double") * F.col("rev") * q).cast(
+                "decimal(38,0)"
+            )
+        ).cast("double")
+        / F.lit(q)
+    )
+    rev_sum = (
+        F.sum(F.floor(F.col("rev") * q).cast("decimal(38,0)")).cast("double")
+        / F.lit(q)
+    )
+    nd = F.max("n").cast("double")
+    return ranked.agg(
+        F.round(
+            F.lit(2.0) * iw_sum / (nd * rev_sum) - (nd + F.lit(1.0)) / nd, 6
+        ).alias("gini")
+    )
+
+
+@_register(
     "argmax_battery_orders",
     """
     SELECT o_orderpriority,
