@@ -7493,6 +7493,78 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_rate_by_source",
+    """
+    WITH fp AS (
+      SELECT source, md5(text) AS fp FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dups,
+           ROUND(CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+    FROM fp GROUP BY source
+    """,
+    "Dedup observability: per-source exact-duplicate rate from "
+    "content fingerprints — the health metric a corpus pipeline "
+    "tracks per crawl/source to catch a collapsed or replayed feed "
+    "BEFORE paying for near-dup resolution. One pass: fingerprints "
+    "are md5 map-side, the distinct count partial-aggregates per "
+    "source. Complements exact_dedup_docs (which RESOLVES) with the "
+    "monitoring view.",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("fp"))
+        .cast("bigint")
+        .alias("n_dups"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("fp")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+@_register(
+    "topk_with_ties_orders",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             RANK() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice DESC
+             ) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+    "Top-k WITH TIES (RANK, not ROW_NUMBER): every order tied at the "
+    "k-th price survives, so the result is a deterministic SET with "
+    "no arbitrary tie winner — the semantics SQL:2008 FETCH FIRST k "
+    "ROWS WITH TIES names, and the correct choice when 'top 3 "
+    "prices' means prices, not rows. Same WindowGroupLimit pruning "
+    "as the row_number form (topk_per_group_orders) — rank-based "
+    "limits push into the shuffle identically.",
+)
+def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice")
+    )
+    return (
+        orders.withColumn("rk", F.rank().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@_register(
     "revenue_gini_coefficient",
     f"""
     WITH cust AS (
