@@ -7493,6 +7493,40 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ratio_to_report_orders",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(o_totalprice /
+                 (CAST(SUM(CAST(floor(o_totalprice * 1048576.0)
+                                AS DECIMAL(38,0))) OVER
+                         (PARTITION BY o_orderpriority)
+                       AS DOUBLE) / 1048576.0), 8) AS revenue_share
+    FROM orders
+    """,
+    "Ratio-to-report: each order's share of its group's total — the "
+    "contribution window every BI layer ships (RATIO_TO_REPORT). The "
+    "group denominator is a QUANTIZED window sum (exact integers, "
+    "order-independent across partition layouts and engine frame "
+    "strategies — a plain double SUM OVER would drift); one hash "
+    "partition per group, no join-back against a separate aggregate.",
+)
+def ratio_to_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    q = float(1 << 20)
+    denom = (
+        F.sum(q_sum_term("o_totalprice"))
+        .over(Window.partitionBy("o_orderpriority"))
+        .cast("double")
+        / F.lit(q)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") / denom, 8).alias("revenue_share"),
+    )
+
+
+@_register(
     "dedup_rate_by_source",
     """
     WITH fp AS (
