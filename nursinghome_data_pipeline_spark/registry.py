@@ -7493,6 +7493,95 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "array_set_ops_parts",
+    """
+    SELECT p_partkey,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_concat(string_split(p_name, ' '), ['widget', 'brass']))),
+             '|'), '') AS union_sorted,
+           COALESCE(array_to_string(list_sort(list_filter(
+             list_distinct(string_split(p_name, ' ')),
+             t -> list_contains(['widget', 'brass', 'small'], t))), '|'), '')
+             AS intersect_sorted,
+           COALESCE(array_to_string(list_sort(list_filter(
+             list_distinct(string_split(p_name, ' ')),
+             t -> NOT list_contains(['widget', 'brass', 'small'], t))), '|'),
+             '') AS except_sorted
+    FROM part
+    """,
+    "Array set-operation battery (union / intersect / except against "
+    "a constant vocabulary): engines disagree on ELEMENT ORDER of "
+    "array_union/intersect results, so each result is canonicalized "
+    "(distinct -> sort -> join) before comparison — the same "
+    "discipline as every collect_set in this registry. All map-side "
+    "higher-order functions, zero UDFs.",
+)
+def array_set_ops_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    toks = F.array_distinct(F.split(F.col("p_name"), " "))
+    vocab = F.array(F.lit("widget"), F.lit("brass"), F.lit("small"))
+    return part.select(
+        "p_partkey",
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(
+                        F.split(F.col("p_name"), " "),
+                        F.array(F.lit("widget"), F.lit("brass")),
+                    )
+                )
+            ),
+            "|",
+        ).alias("union_sorted"),
+        F.array_join(
+            F.array_sort(F.array_intersect(toks, vocab)), "|"
+        ).alias("intersect_sorted"),
+        F.array_join(F.array_sort(F.array_except(toks, vocab)), "|").alias(
+            "except_sorted"
+        ),
+    )
+
+
+@_register(
+    "mad_orders",
+    """
+    WITH med AS (
+      SELECT o_orderpriority, median(o_totalprice) AS med_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           ROUND(MAX(med_price), 4) AS median_price,
+           ROUND(median(abs(o.o_totalprice - med_price)), 4) AS mad_price
+    FROM orders o JOIN med USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+    "Median absolute deviation — the robust dispersion measure "
+    "outliers cannot poison (unlike stddev): per-group median, "
+    "broadcast back to the rows, median of absolute deviations. Both "
+    "medians interpolate the same two doubles through the same "
+    "formula (verified by robust_stats_orders), and the deviation "
+    "expression is identical in both engines, so ROUND is drift-"
+    "free. Two grouped passes; the first's |groups|-row result "
+    "broadcasts.",
+)
+def mad_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med_price")
+    )
+    return (
+        orders.join(F.broadcast(med), on="o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.max("med_price"), 4).alias("median_price"),
+            F.round(
+                F.median(F.abs(F.col("o_totalprice") - F.col("med_price"))), 4
+            ).alias("mad_price"),
+        )
+    )
+
+
+@_register(
     "ratio_to_report_orders",
     """
     SELECT o_orderkey, o_orderpriority,
