@@ -7493,6 +7493,89 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "new_vs_returning_daily",
+    """
+    WITH marked AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CASE WHEN ts = MIN(ts) OVER (PARTITION BY user_id)
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT day,
+           CAST(SUM(is_first) AS BIGINT) AS n_new,
+           CAST(SUM(1 - is_first) AS BIGINT) AS n_returning
+    FROM marked GROUP BY day
+    """,
+    "New-vs-returning daily split: an event is 'new' iff it is its "
+    "user's first-ever event (window MIN over the user's timeline — "
+    "ties at the exact first timestamp all count as first, a "
+    "DETERMINISTIC rule unlike row_number-picks-one). One window "
+    "pass + one partial-aggregated daily rollup — the acquisition/"
+    "retention split on every growth dashboard.",
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    marked = events.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.when(F.col("ts") == F.min("ts").over(w), 1).otherwise(0).alias(
+            "is_first"
+        ),
+    )
+    return marked.groupBy("day").agg(
+        F.sum("is_first").cast("bigint").alias("n_new"),
+        F.sum(1 - F.col("is_first")).cast("bigint").alias("n_returning"),
+    )
+
+
+@_register(
+    "wow_growth_events",
+    """
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             COUNT(*) AS n_events
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT week, n_events,
+           LAG(n_events) OVER (ORDER BY week) AS prev_week,
+           ROUND((CAST(n_events AS DOUBLE)
+                  - CAST(LAG(n_events) OVER (ORDER BY week) AS DOUBLE))
+                 / CAST(LAG(n_events) OVER (ORDER BY week) AS DOUBLE), 6)
+             AS wow_change
+    FROM weekly
+    """,
+    "Week-over-week growth: weekly volume, previous week via LAG, "
+    "relative change — the period-over-period delta every operational "
+    "report leads with. The weekly rollup reduces the fact table to "
+    "|weeks| rows BEFORE the (single-partition, tiny) ordering "
+    "window; exact integers until one final ratio. First week's "
+    "change is NULL in both engines (LAG with no default).",
+)
+def wow_growth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    weekly = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("week", F.col("ts")).alias("week"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "week",
+        "n_events",
+        prev.alias("prev_week"),
+        F.round(
+            (F.col("n_events").cast("double") - prev.cast("double"))
+            / prev.cast("double"),
+            6,
+        ).alias("wow_change"),
+    )
+
+
+@_register(
     "array_set_ops_parts",
     """
     SELECT p_partkey,
