@@ -7493,6 +7493,72 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ema_user_values",
+    """
+    WITH RECURSIVE s AS (
+      SELECT user_id, value AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        AND user_id % 7 = 0
+    ),
+    r AS (
+      SELECT user_id, rn, v AS ema FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, 0.5 * s.v + 0.5 * r.ema
+      FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, rn, ROUND(ema, 6) AS ema
+    FROM r
+    """,
+    "Exponential moving average — a RECURRENCE (e_i = a*v_i + "
+    "(1-a)*e_{i-1}) no window frame can express: Spark runs it as an "
+    "Arrow-grouped stateful pass (applyInPandas, one sorted series "
+    "per user; at 100 TB users hash-partition and each group streams "
+    "through pandas once), hash-checked against DuckDB's "
+    "recursive-CTE unrolling. alpha = 0.5 keeps every step an exact "
+    "binary halving and both engines apply the IDENTICAL operation "
+    "order, so the sequences match bit-for-bit before ROUND. Sampled "
+    "to every 7th user to bound the oracle's recursion depth.",
+)
+def ema_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
+    (events,) = _t(spark, sf_dir, "events")
+    base = events.where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("user_id") % 7 == 0)
+    ).select("user_id", "ts", "event_id", "value")
+
+    def ema(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out, prev = [], None
+        for v in pdf["value"]:
+            prev = float(v) if prev is None else 0.5 * float(v) + 0.5 * prev
+            out.append(prev)
+        return _pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "rn": range(1, len(out) + 1),
+                "ema": out,
+            }
+        )
+
+    # rounding happens JVM-side: Python's round() is banker's while
+    # Spark/DuckDB ROUND are half-away — the recurrence itself is
+    # bit-identical, so only the final rounding convention matters
+    return (
+        base.groupBy("user_id")
+        .applyInPandas(ema, schema="user_id long, rn long, ema double")
+        .withColumn("ema", F.round("ema", 6))
+    )
+
+
+@_register(
     "new_vs_returning_daily",
     """
     WITH marked AS (
