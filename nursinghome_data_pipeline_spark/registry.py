@@ -7493,6 +7493,61 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "peak_concurrency_events",
+    """
+    WITH bounds AS (
+      SELECT event_type, ts AS t, 1 AS delta
+      FROM events WHERE ts IS NOT NULL
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 1 HOUR, -1
+      FROM events WHERE ts IS NOT NULL
+    ),
+    swept AS (
+      SELECT event_type,
+             SUM(delta) OVER (
+               PARTITION BY event_type
+               ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS live
+      FROM bounds
+    )
+    SELECT event_type, CAST(MAX(live) AS BIGINT) AS peak_concurrent
+    FROM swept GROUP BY event_type
+    """,
+    "Interval concurrency by sweep-line: each event occupies "
+    "[ts, ts+1h); +1/-1 boundary deltas sorted in time give a running "
+    "occupancy whose MAX is the peak concurrency — the O(n log n) "
+    "pattern for server load / room occupancy / session-overlap "
+    "questions that a naive interval self-join answers in O(n²). "
+    "Tie rule pinned in BOTH engines: at equal timestamps the -1 "
+    "sorts first (delta ascending), so an interval ending exactly "
+    "when another starts never overcounts. Exact integers end to end.",
+)
+def peak_concurrency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.where(F.col("ts").isNotNull())
+    bounds = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bounds.withColumn("live", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("live").cast("bigint").alias("peak_concurrent"))
+    )
+
+
+@_register(
     "ema_user_values",
     """
     WITH RECURSIVE s AS (
