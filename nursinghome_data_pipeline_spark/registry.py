@@ -7493,6 +7493,81 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "rolling_7d_active_users",
+    """
+    WITH daily AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             user_id
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    spine AS (SELECT DISTINCT day FROM daily)
+    SELECT s.day,
+           COUNT(DISTINCT d.user_id) AS wau
+    FROM spine s
+    JOIN daily d
+      ON d.day <= s.day AND d.day >= s.day - INTERVAL 6 DAY
+    GROUP BY s.day
+    """,
+    "Rolling 7-day active users (WAU): COUNT(DISTINCT) over a SLIDING "
+    "window, which no engine's window frame supports — rewritten as a "
+    "range join of the day spine against PRE-AGGREGATED daily "
+    "(day, user) sets, so each user-day crosses the wire once and "
+    "fans out to at most 7 spine days; raw events never re-shuffle. "
+    "The trailing-window sibling of cumulative_distinct_users "
+    "(which handles the unbounded case with a cheaper first-seen "
+    "reduction).",
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    spine = daily.select("day").distinct().select(F.col("day").alias("s_day"))
+    return (
+        spine.join(
+            daily,
+            (F.col("day") <= F.col("s_day"))
+            & (F.col("day") >= F.col("s_day") - F.expr("INTERVAL 6 DAY")),
+        )
+        .groupBy(F.col("s_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+@_register(
+    "price_month_heatmap",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS price_bucket,
+           COUNT(*) AS n_orders
+    FROM orders WHERE o_orderdate IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    "2-D binned heatmap (month x 50k-price bucket): the continuous-"
+    "by-temporal binning behind every density heatmap — equal-width "
+    "buckets from integer floor division, so bin edges are identical "
+    "in both engines (no data-dependent quantile edges to drift). "
+    "One partial-aggregated pass; |months x buckets| output cells.",
+)
+def price_month_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            F.floor(F.col("o_totalprice") / 50000.0)
+            .cast("bigint")
+            .alias("price_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_register(
     "peak_concurrency_events",
     """
     WITH bounds AS (
