@@ -7493,6 +7493,102 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pareto_8020_customers",
+    f"""
+    WITH cust AS (
+      SELECT o_custkey, {oracle_q_sum('o_totalprice')} AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS i,
+             COUNT(*) OVER () AS n,
+             CAST(SUM(CAST(floor(rev * 1048576.0) AS DECIMAL(38,0))) OVER (
+               ORDER BY rev DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) / 1048576.0 AS cum_rev,
+             CAST(SUM(CAST(floor(rev * 1048576.0) AS DECIMAL(38,0))) OVER ()
+                  AS DOUBLE) / 1048576.0 AS total_rev
+      FROM cust
+    )
+    SELECT CAST(MIN(i) AS BIGINT) AS n_customers_for_80pct,
+           ROUND(CAST(MIN(i) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6)
+             AS pct_of_customers
+    FROM ranked
+    WHERE cum_rev / total_rev >= 0.8
+    """,
+    "Pareto 80/20 concentration point: the smallest top-revenue "
+    "customer prefix covering 80%% of total revenue — the one-number "
+    "answer behind 'how concentrated is our revenue'. Running and "
+    "total sums are QUANTIZED window sums (exact integers — a plain "
+    "double running sum OVER would drift with frame evaluation "
+    "order), so the crossing rank is identical in both engines. "
+    "Complements revenue_gini_coefficient (the integral of this "
+    "curve).",
+)
+def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(q_sum("o_totalprice", "rev"))
+    q = float(1 << 20)
+    wo = Window.orderBy(F.desc("rev"), "o_custkey")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    term = F.floor(F.col("rev") * q).cast("decimal(38,0)")
+    ranked = cust.select(
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        (F.sum(term).over(wrun).cast("double") / F.lit(q)).alias("cum_rev"),
+        (
+            F.sum(term).over(Window.partitionBy()).cast("double") / F.lit(q)
+        ).alias("total_rev"),
+    )
+    return (
+        ranked.where(F.col("cum_rev") / F.col("total_rev") >= 0.8)
+        .agg(
+            F.min("i").cast("bigint").alias("n_customers_for_80pct"),
+            F.round(
+                F.min("i").cast("double") / F.max("n").cast("double"), 6
+            ).alias("pct_of_customers"),
+        )
+    )
+
+
+@_register(
+    "minmax_scaled_orders",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(CASE WHEN mx = mn THEN 0.5
+                      ELSE (o_totalprice - mn) / (mx - mn) END, 8)
+             AS price_scaled
+    FROM (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             MIN(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mn,
+             MAX(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mx
+      FROM orders
+    )
+    """,
+    "Per-group min-max feature scaling to [0, 1] — the standard ML "
+    "normalization applied groupwise (each priority scales against "
+    "its own range, the leakage-free form when groups differ in "
+    "scale). MIN/MAX window aggregates are order-independent by "
+    "nature, and the scaling expression shares one operation order "
+    "across engines; degenerate single-value groups pin to 0.5. One "
+    "window partition per group, map-side after.",
+)
+def minmax_scaled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    mn, mx = F.min("o_totalprice").over(w), F.max("o_totalprice").over(w)
+    scaled = F.when(mx == mn, 0.5).otherwise(
+        (F.col("o_totalprice") - mn) / (mx - mn)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(scaled, 8).alias("price_scaled"),
+    )
+
+
+@_register(
     "rolling_7d_active_users",
     """
     WITH daily AS (
