@@ -82,6 +82,19 @@ BENCH_QUERIES = [
     "sliding_window_events",
     "canonical_doc_selection",
     "video_header_decode",
+    # r2 verdict item #5: heavy queries that had no bench row, so a
+    # regression there was invisible to round-over-round grading
+    "passage_dedup_docs",
+    "corpus_build_docs",
+    "geo_radius_join",
+    "linear_attribution_clicks",
+    "scd2_customer_order_history",
+    "streaming_hourly_events",
+    "streaming_dedup_events",
+    "streaming_stateful_user_totals",
+    # fixed-plan queries (watch for regressions in the new shapes)
+    "rolling_7d_active_users",
+    "approx_profile_events",
 ]
 
 

@@ -466,9 +466,20 @@ def parse_video_header(
         i = 0
         while i + 8 <= len(buf):
             (size,) = struct.unpack(">I", buf[i : i + 4])
-            if size < 8 or i + size > len(buf):
+            tag = buf[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:
+                # 64-bit largesize follows the tag (big mdat boxes)
+                if i + 16 > len(buf):
+                    return
+                (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+                hdr = 16
+            elif size == 0:
+                # box extends to end of file (ISO-BMFF §4.2)
+                size = len(buf) - i
+            if size < hdr or i + size > len(buf):
                 return
-            yield buf[i + 4 : i + 8], buf[i + 8 : i + size]
+            yield tag, buf[i + hdr : i + size]
             i += size
 
     if not payload or len(payload) < 12 or payload[4:8] != b"ftyp":

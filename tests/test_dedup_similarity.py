@@ -195,3 +195,51 @@ def test_passage_dedup_winner_is_offset_deterministic(spark):
     df = spark.createDataFrame([(7, text)], "doc_id long, text string")
     r = passage_dedup(df, window_chars=100).collect()[0]
     assert r.n_passages == 2 and r.n_kept == 1 and r.chars_dropped == 100
+
+
+def test_star_cc_long_chain_bounded_rounds(spark):
+    # adversarial long chain: min-label propagation moves the label one
+    # hop per round (O(diameter) = 127 rounds here); the alternating
+    # large-star/small-star variant must solve it in O(log n) rounds
+    # (r2 verdict item #7).
+    from nursinghome_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 128
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels, rounds = connected_components_star(nodes, edges)
+    got = {r.doc_id: r.component_id for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 12, f"star CC took {rounds} rounds on a 128-chain"
+
+    # the flag on the public entry point routes to the same result
+    via_flag = {
+        r.doc_id: r.component_id
+        for r in connected_components(nodes, edges, algorithm="star").collect()
+    }
+    assert via_flag == got
+
+
+def test_star_cc_matches_label_propagation_on_clusters(spark):
+    # mixed small clusters + singletons: both algorithms must agree
+    from nursinghome_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (4, 7), (7, 9), (5, 6)],
+        "id_a long, id_b long",
+    )
+    lp = {
+        r.doc_id: r.component_id
+        for r in connected_components(nodes, edges).collect()
+    }
+    star, _ = connected_components_star(nodes, edges)
+    assert {r.doc_id: r.component_id for r in star.collect()} == lp

@@ -253,3 +253,38 @@ def test_mp4_roundtrip_and_garbage():
     b = encode_mp4(64, 48, 600, 1200)
     for cut in (3, 9, 20, len(b) - 5):
         parse_video_header(b[:cut])
+
+
+def test_mp4_largesize_and_eof_boxes():
+    # spec-valid MP4s commonly carry size==1 (64-bit largesize, e.g. a
+    # big mdat before moov) and size==0 (box extends to EOF); the walk
+    # must step over / into both instead of bailing (r2 advice item).
+    import struct
+
+    from nursinghome_data_pipeline_spark.operators.multimodal import (
+        encode_mp4,
+        parse_video_header,
+    )
+
+    normal = encode_mp4(640, 360, 1000, 5000)
+    (ftyp_size,) = struct.unpack(">I", normal[:4])
+    ftyp, moov = normal[:ftyp_size], normal[ftyp_size:]
+
+    # size==1: insert a largesize mdat between ftyp and moov
+    payload = b"\xab" * 32
+    mdat_large = (
+        struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload)) + payload
+    )
+    assert parse_video_header(ftyp + mdat_large + moov) == (
+        "mp4", 640, 360, 1000, 5000,
+    )
+
+    # size==0: rewrite the trailing moov box to extend-to-EOF
+    moov_eof = struct.pack(">I", 0) + moov[4:]
+    assert parse_video_header(ftyp + mdat_large + moov_eof) == (
+        "mp4", 640, 360, 1000, 5000,
+    )
+
+    # truncated largesize header must not crash or over-read
+    for cut in (ftyp_size + 4, ftyp_size + 12):
+        parse_video_header((ftyp + mdat_large + moov)[:cut])

@@ -49,3 +49,15 @@ def test_rows_only_query_runs(spark, sf_dir, spec):
     assert len(df.columns) > 0
     bad = unhashable_cells(pdf)
     assert not bad, f"{spec.name}: unhashable cells in {bad} — driver rows-only hasher would error"
+
+
+def test_driver_spotlight_prefix_is_fully_oracled():
+    # The driver samples a prefix of queries() in iteration order; the
+    # round-3 spotlight must be exactly the declared rotation, with an
+    # oracle for every name (a rows-only query in the window would
+    # burn a sample slot on a weaker check).
+    names = list(registry.queries())
+    assert len(names) == len(set(names))
+    assert names[:50] == registry._SPOTLIGHT_R3
+    osql = registry.oracle_sql()
+    assert all(n in osql for n in names[:50])

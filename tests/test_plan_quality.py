@@ -258,3 +258,26 @@ def test_nested_fold_is_map_side_after_nest(spark, sf_dir):
     )
     # one exchange builds the nest; the fold adds none
     assert rep["n_exchanges"] == 1
+
+
+def test_rolling_7d_joins_spine_by_hash_not_nested_loop(spark, sf_dir):
+    # r2 verdict item: the day-spine theta join compiled to a
+    # BroadcastNestedLoopJoin evaluating |spine|x|user-days| range
+    # predicates. The explode-to-covering-days rewrite must produce a
+    # hash equi-join with the ≤7x fan-out done map-side.
+    plan = _formatted_plan(
+        registry.queries()["rolling_7d_active_users"](spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hard_negative_anchor_set_is_bounded(spark, sf_dir):
+    # r2 verdict item: anchors were a constant FRACTION (vec_id % 100)
+    # → O(|T|²/100) broadcast loop. The anchor side must now carry a
+    # hard LIMIT (TakeOrderedAndProject = map-side top-k heaps), making
+    # the scored pass O(k·|T|) with k a build-time constant.
+    plan = _formatted_plan(registry.queries()["hard_negative_mining"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
