@@ -329,8 +329,14 @@ def ngram_jaccard_col(a: Column | str, b: Column | str, *, shingle_k: int = 3) -
 SIMHASH_BITS = 64
 
 
-def simhash_col(text: str) -> Column:
+def simhash_col(text: str, *, hash_family: str = "xxhash64") -> Column:
     """64-bit SimHash of the whitespace-token multiset.
+
+    ``hash_family="md5"`` swaps the xxhash64 token hash for the first
+    16 md5 hex chars (as a same-bit-pattern signed long) — the
+    cross-engine family a DuckDB oracle can reproduce bit-for-bit
+    (same tradeoff as :func:`minhash_signature_md5_col`); the cheaper
+    xxhash64 stays the production default.
 
     Classic scheme: each token hash votes ±1 per bit position; the
     fingerprint sets bits with positive vote sums. Built as a single
@@ -359,7 +365,21 @@ def simhash_col(text: str) -> Column:
         return f"{1 << b}L" if b < 63 else "(-9223372036854775807L - 1L)"
 
     swar_mask = 0x0101010101010101
-    th = f"transform(split(trim(`{text}`), '\\\\s+'), s -> xxhash64(s))"
+    if hash_family == "md5":
+        # cross-engine token hash: uint64 from the first 16 md5 hex
+        # chars, re-expressed as the same-bit-pattern SIGNED long
+        # (subtract 2^64 above 2^63-1, exact in decimal(38,0)) so the
+        # SWAR shift/mask fold below works unchanged. DuckDB mirrors
+        # with ('0x' || substr(md5(s), 1, 16))::UBIGINT.
+        th = (
+            f"transform(transform(split(trim(`{text}`), '\\\\s+'), "
+            "s -> cast(conv(substring(md5(cast(s as binary)), 1, 16), 16, 10) "
+            "as decimal(38,0))), "
+            "d -> cast(CASE WHEN d >= 9223372036854775808 "
+            "THEN d - 18446744073709551616 ELSE d END as bigint))"
+        )
+    else:
+        th = f"transform(split(trim(`{text}`), '\\\\s+'), s -> xxhash64(s))"
     packed = (
         "array("
         + ", ".join(
@@ -404,6 +424,7 @@ def simhash_near_duplicate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: 16-bit band bucketing + Hamming verify.
 
@@ -414,7 +435,9 @@ def simhash_near_duplicate_pairs(
     (candidates beyond chunk-sharing distance may be missed — standard
     recall trade-off, tunable via chunk count).
     """
-    sig = df.select(F.col(id_col), simhash_col(text_col).alias("sh"))
+    sig = df.select(
+        F.col(id_col), simhash_col(text_col, hash_family=hash_family).alias("sh")
+    )
     # bucket id packs (band, chunk): band i shifted into bits 16-17
     banded = sig.select(
         id_col,
@@ -610,6 +633,17 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component_id")
     ).localCheckpoint(eager=True)
+    # Convergence test: min-label propagation can only DECREASE labels,
+    # so sum(component_id) is strictly monotone until the fixed point —
+    # equal sums between rounds ⟺ no label changed. One scalar
+    # aggregate per round replaces the previous join + isEmpty job
+    # (decimal(38,0) so huge id sums cannot overflow under ANSI).
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("component_id").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         prop = e.join(
             labels.select(
@@ -617,21 +651,16 @@ def connected_components(
             ),
             "src",
         ).select(F.col("dst").alias("node"), "component_id")
-        new_labels = (
+        labels = (
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("component_id").alias("component_id"))
             .localCheckpoint(eager=True)
         )
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component_id") != F.col("o.component_id"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if converged:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node").alias(id_col), "component_id")
 
 

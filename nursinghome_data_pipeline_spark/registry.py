@@ -1787,17 +1787,57 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle_expr() -> str:
+    """DuckDB expression rebuilding the 64-bit SimHash from a token-hash
+    list ``h`` (UBIGINT md5-derived) and token count ``n``: bit b is set
+    iff 2·(count of set bit b) > n — summed as SIGNED mask terms so the
+    result is the same int64 Spark's SWAR fold packs."""
+    terms = []
+    for b in range(64):
+        mask = str(1 << b) if b < 63 else "(-9223372036854775807 - 1)"
+        terms.append(
+            f"(CASE WHEN 2 * list_sum(list_transform(h, "
+            f"x -> CAST((x >> {b}) & 1 AS BIGINT))) > n "
+            f"THEN {mask} ELSE 0 END)"
+        )
+    return "(" + "\n             + ".join(terms) + ")"
+
+
+_SIMHASH_ORACLE_CTE = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id, len(t) AS n,
+             list_transform(
+                 t, s -> ('0x' || substr(md5(s), 1, 16))::UBIGINT) AS h
+      FROM toks
+    )
+"""
+
+
 @_register(
     "simhash_docs",
-    None,  # xxhash64-based — rows-only check
+    _SIMHASH_ORACLE_CTE
+    + f"""
+    SELECT doc_id, {_simhash_oracle_expr()} AS simhash
+    FROM hs
+    """,
     "64-bit SimHash fingerprints (operators/dedup.simhash_col): token "
-    "hashes vote per bit; near-dups differ in few bits.",
+    "hashes vote per bit; near-dups differ in few bits. This registry "
+    "entry uses the md5 hash family so the ORACLE rebuilds every "
+    "fingerprint bit-for-bit (per-bit vote counts summed as signed "
+    "mask terms — closes an r2 rows-only row; production keeps the "
+    "cheaper xxhash64 family, exercised by the same SWAR fold).",
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_col
 
     (documents,) = _t(spark, sf_dir, "documents")
-    return documents.select("doc_id", simhash_col("text").alias("simhash"))
+    return documents.select(
+        "doc_id", simhash_col("text", hash_family="md5").alias("simhash")
+    )
 
 
 @_register(
@@ -2479,16 +2519,37 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "simhash_near_dup_pairs",
-    None,  # xxhash64-based fingerprints — rows-only
+    _SIMHASH_ORACLE_CTE
+    + f""",
+    sig AS (
+      SELECT doc_id, {_simhash_oracle_expr()} AS sh
+      FROM hs
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE (((a.sh >> 0) & 65535) = ((b.sh >> 0) & 65535)
+        OR ((a.sh >> 16) & 65535) = ((b.sh >> 16) & 65535)
+        OR ((a.sh >> 32) & 65535) = ((b.sh >> 32) & 65535)
+        OR ((a.sh >> 48) & 65535) = ((b.sh >> 48) & 65535))
+      AND bit_count(xor(a.sh, b.sh)) <= 10
+    """,
     "SimHash near-duplicate pairs: 16-bit band bucketing (pigeonhole "
     "guarantee) + bit_count Hamming verify "
-    "(operators/dedup.simhash_near_duplicate_pairs).",
+    "(operators/dedup.simhash_near_duplicate_pairs). md5 hash family "
+    "here so the ORACLE reproduces the exact candidate semantics — "
+    "the all-pairs twin applies the same share-a-chunk condition the "
+    "banding enforces, so LSH output ≡ oracle output (closes an r2 "
+    "rows-only row); DuckDB's arithmetic >> with the 0xFFFF mask "
+    "extracts the identical chunks from the signed fingerprint.",
 )
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_duplicate_pairs
 
     (documents,) = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicate_pairs(documents, max_hamming=10)
+    return simhash_near_duplicate_pairs(
+        documents, max_hamming=10, hash_family="md5"
+    ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 @_register(
@@ -8411,6 +8472,10 @@ _SPOTLIGHT_R3 = [
     "incremental_ingest_dedup",
     "windowed_dedup_events",
     "linear_attribution_clicks",
+    # positions 51+: newly-oracled r3 rows (closed rows-only) — first
+    # in line if the driver samples past 50
+    "simhash_docs",
+    "simhash_near_dup_pairs",
 ]
 
 
