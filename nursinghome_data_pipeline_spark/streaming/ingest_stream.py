@@ -98,20 +98,44 @@ def streaming_dedup(
 
 
 def run_stream_to_memory(
-    df: DataFrame, query_name: str, *, output_mode: str = "append"
+    df: DataFrame,
+    query_name: str,
+    *,
+    output_mode: str = "append",
+    state_partitions: int | None = 8,
 ) -> None:
     """Drive a streaming DataFrame to completion synchronously into an
-    in-memory table (local smoke-test harness)."""
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    in-memory table (local smoke-test harness).
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    duration of the run (restored after): a stateful stream's state-
+    store partition count is frozen from that conf at first start, and
+    inheriting a batch-oriented default (e.g. Spark's 200) gives 200
+    state-store instances + 200 Python-worker tasks PER MICRO-BATCH
+    for what is usually modest keyed state — the standard per-stream
+    sizing knob (each stateful query should size its own state layout,
+    independent of the session's batch shuffle width). Results are
+    partition-count independent (folds are per-key); pass ``None`` to
+    inherit the session conf unchanged.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def streaming_upsert_sink(
