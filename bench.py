@@ -107,11 +107,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     # warm the JVM + parquet footers once with the cheapest query
     qs["pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    # best-of-2 per query: a single pass conflates host-CPU contention
-    # noise with plan cost; min-of-N is the standard steady-state timing
+    # best-of-N per query: a single pass conflates host-CPU contention
+    # noise with plan cost; min-of-N is the standard steady-state
+    # timing. Batch queries get 3 reps (transient multi-second spikes
+    # were observed on shared hosts); streaming runs stay at 2 — their
+    # fixed micro-batch overhead dominates and they are the slowest
+    # entries, so a third rep buys little signal for its cost.
     for name in BENCH_QUERIES:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(2 if name.startswith("streaming") else 3):
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
