@@ -122,3 +122,52 @@ def test_minhash_jaccard_estimate_tracks_truth(spark):
     est_far = agree(sigs[0], sigs[2])
     assert abs(est_near - true_jaccard(base, near)) < 0.2
     assert est_far < 0.2 and est_near > 0.7
+
+
+def test_star_cc_equals_label_propagation_on_random_graphs(spark):
+    # property check: both CC algorithms compute the same partition on
+    # arbitrary graphs (star is the O(log n) rewiring; label prop the
+    # O(diameter) baseline). Python union-find is the reference.
+    import random
+
+    from nursinghome_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 50))
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        # canonical labels: min node id per component
+        ref = {}
+        for x in range(n):
+            r = find(x)
+            ref.setdefault(r, x)
+        expected = {x: ref[find(x)] for x in range(n)}
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        edf = spark.createDataFrame(
+            edges or [(0, 0)], "id_a long, id_b long"
+        )
+        lp = {
+            r.doc_id: r.component_id
+            for r in connected_components(nodes, edf, max_iter=50).collect()
+        }
+        star, _ = connected_components_star(nodes, edf)
+        st = {r.doc_id: r.component_id for r in star.collect()}
+        assert lp == expected, f"trial {trial} label-prop"
+        assert st == expected, f"trial {trial} star"
