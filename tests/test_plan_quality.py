@@ -281,3 +281,34 @@ def test_hard_negative_anchor_set_is_bounded(spark, sf_dir):
     plan = _formatted_plan(registry.queries()["hard_negative_mining"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+# Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
+# design (scalar subqueries, k centroids, a LIMIT'd anchor set, a
+# 9-row replication offset table) — audited individually above/in
+# SCALE.md. Everything else in the driver's sample window must plan
+# joins as hash/sort-merge equi-joins.
+_BOUNDED_BNLJ = {
+    "inactive_customer_balance",   # scalar avg-balance subquery (1 row)
+    "triangle_count_events",       # scalar totals broadcast
+    "kmeans_lloyd_embeddings",     # k=4 centroids broadcast
+    "hard_negative_mining",        # LIMIT'd anchor set broadcast
+    "geo_radius_join",             # 3x3 offset table (9 rows)
+}
+
+
+def test_driver_window_has_no_unbounded_join_smells(spark, sf_dir):
+    # breadth gate over the driver's sampled prefix: no CartesianProduct
+    # anywhere, and no BroadcastNestedLoopJoin outside the audited
+    # bounded-broadcast whitelist. Catches a scale-killing plan slipping
+    # into the most-scrutinized queries without a dedicated gate.
+    qs = registry.queries()
+    names = [n for n in list(qs)[:54] if not n.startswith("streaming")]
+    offenders = []
+    for name in names:
+        plan = _formatted_plan(qs[name](spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in _BOUNDED_BNLJ:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
