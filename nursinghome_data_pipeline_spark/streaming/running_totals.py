@@ -108,7 +108,15 @@ def running_totals_stream_tws(
     :data:`ROCKSDB_PROVIDER` before starting the query). Import-gated:
     raises ImportError where protobuf is unavailable.
     """
-    from google.protobuf import descriptor  # noqa: F401 — availability gate
+    try:
+        from google.protobuf import descriptor  # noqa: F401 — availability gate
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(the TWS Python worker speaks a proto-based state-server "
+            "protocol); use running_totals_stream (applyInPandasWithState) "
+            "where protobuf is unavailable"
+        ) from exc
 
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

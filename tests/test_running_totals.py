@@ -92,22 +92,29 @@ def test_finalize_matches_batch_aggregate(spark, staged_batches):
 
 
 def test_tws_variant_gated_on_protobuf(spark):
-    """transformWithStateInPandas needs protobuf; the wiring must raise
-    cleanly where it is absent and work where present."""
+    """transformWithStateInPandas needs protobuf (not shipped in this
+    container, and the environment forbids installing it — documented
+    env constraint). The testable contract is therefore the GATE: where
+    protobuf is absent the wiring must raise a clean, actionable
+    ImportError instead of a deep Py4J failure mid-stream; where it is
+    present, this test fails loudly so the real run path gets enabled.
+    """
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
-        from nursinghome_data_pipeline_spark.streaming.running_totals import (
-            running_totals_stream_tws,
-        )
+        protobuf_available = False
+    else:
+        protobuf_available = True
+    assert not protobuf_available, (
+        "protobuf became available — enable the TWS run path and assert "
+        "batch-equivalence like the applyInPandasWithState twin"
+    )
 
-        ratestream = (
-            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
-        )
-        df = ratestream.selectExpr(
-            "value AS user_id", "CAST(value AS DOUBLE) AS value"
-        )
-        with pytest.raises(ImportError):
-            running_totals_stream_tws(df)
-        pytest.skip("protobuf not available in this container")
-    pytest.fail("protobuf became available — enable the TWS run path")
+    from nursinghome_data_pipeline_spark.streaming.running_totals import (
+        running_totals_stream_tws,
+    )
+
+    ratestream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    df = ratestream.selectExpr("value AS user_id", "CAST(value AS DOUBLE) AS value")
+    with pytest.raises(ImportError, match="protobuf"):
+        running_totals_stream_tws(df)
