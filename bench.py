@@ -98,6 +98,45 @@ BENCH_QUERIES = [
 ]
 
 
+#: The harness that records bench output keeps only the LAST ~2000
+#: characters of stdout and parses the final JSON line from that buffer
+#: (the round-2 line — 61 queries at 4-decimal precision with default
+#: separators — exceeded it and failed to parse). Leave headroom for
+#: the trailing newline and any stray final output.
+LINE_BUDGET = 1900
+
+
+def summary_line(timings: dict[str, float], total: float, sf: float | None) -> str:
+    """ONE compact JSON line that fits :data:`LINE_BUDGET`.
+
+    The "queries" dict is trimmed to fit — slowest queries kept first,
+    because those are the ones round-over-round regression grading
+    needs; "value" stays the total over ALL benched queries either way,
+    and "queries_omitted" says how many fast entries were dropped
+    (full precision for every query lives in bench_full.json).
+    """
+    by_cost = sorted(timings, key=timings.__getitem__, reverse=True)
+    kept = {n: round(timings[n], 2) for n in by_cost}
+    omitted = 0
+    while True:
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": {n: kept[n] for n in sorted(kept)},
+                "queries_omitted": omitted,
+                "full": "bench_full.json",
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+        if len(line) <= LINE_BUDGET or not kept:
+            return line
+        kept.pop(by_cost[len(kept) - 1])  # drop the fastest remaining
+        omitted += 1
+
+
 def main() -> None:
     from nursinghome_data_pipeline_spark import registry
     from nursinghome_data_pipeline_spark.session import build_session
@@ -123,15 +162,6 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
-    # The harness that records this output keeps only the LAST ~2000
-    # characters of stdout and parses the final JSON line from that
-    # buffer (the round-2 line, 61 queries at 4-decimal precision with
-    # default separators, exceeded it and failed to parse). So: write
-    # the full-precision per-query breakdown to a side file, then emit
-    # ONE compact JSON line whose "queries" dict is trimmed to fit the
-    # buffer — slowest queries kept first, because those are the ones
-    # round-over-round regression grading needs; "value" stays the
-    # total over ALL benched queries either way.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     with open(full_path, "w") as f:
         json.dump(
@@ -145,27 +175,7 @@ def main() -> None:
             f,
             indent=2,
         )
-    by_cost = sorted(timings, key=timings.__getitem__, reverse=True)
-    kept = {n: round(timings[n], 2) for n in by_cost}
-    omitted = 0
-    while True:
-        line = json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": {n: kept[n] for n in sorted(kept)},
-                "queries_omitted": omitted,
-                "full": "bench_full.json",
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
-        if len(line) <= 1900 or not kept:
-            break
-        kept.pop(by_cost[len(kept) - 1])  # drop the fastest remaining
-        omitted += 1
-    print(line)
+    print(summary_line(timings, total, sf))
     spark.stop()
 
 

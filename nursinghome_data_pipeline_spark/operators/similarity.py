@@ -217,6 +217,104 @@ def knn_ivf(
     )
 
 
+def fixed_ivf_seeds(
+    df: DataFrame,
+    *,
+    n_seeds: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic UNTRAINED coarse-quantizer seeds: the ``n_seeds``
+    vectors with the smallest ``md5(id)`` (hash order — a uniform,
+    reproducible sample with no RNG and no training pass).
+
+    The driver-side collect is bounded: ``n_seeds × dim`` floats
+    regardless of table size (same contract as the IVF training
+    sample). Trained centroids (``ivf_train_centroids``) give tighter
+    cells; hash-chosen seeds give a quantizer every engine can
+    reproduce exactly — which is what makes the full IVF plan
+    oracle-checkable end to end.
+    """
+    rows = (
+        df.orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), id_col)
+        .limit(n_seeds)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    return [(int(r[0]), [float(v) for v in r[1]]) for r in rows]
+
+
+def knn_ivf_fixed(
+    candidates: DataFrame,
+    query_vec,
+    seeds: list[tuple[int, list[float]]],
+    *,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over the fixed (hash-chosen) coarse quantizer.
+
+    Same three-phase plan as trained IVF — assign, probe-prune, exact
+    re-rank — but every phase is exactly reproducible by a SQL oracle:
+
+    - **assign**: cell = argmax cosine(vector, seed) over the literal
+      seed arrays, ties to the smallest seed id. A single map-only
+      projection (``array_max`` over a struct array) — no join, no
+      shuffle, whole-stage-codegen'd.
+    - **probe**: the ``n_probe`` seeds nearest the query, computed
+      driver-side over the bounded seed list with the same
+      sequential-order double arithmetic as the engine expressions.
+    - **re-rank**: exact cosine against the query for rows whose cell
+      is in the probe set (a literal IN filter — with cell-partitioned
+      storage this prunes at the file level), then TakeOrdered top-k.
+    """
+    probe_scores = []
+    for sid, svec in seeds:
+        # sequential left-to-right double arithmetic — bit-identical to
+        # dot_product_col / the oracle's list_sum(list_transform(...))
+        num = 0.0
+        aa = 0.0
+        bb = 0.0
+        for x, y in zip(query_vec, svec):
+            num = num + float(x) * float(y)
+            aa = aa + float(x) * float(x)
+            bb = bb + float(y) * float(y)
+        probe_scores.append((num / (aa**0.5 * bb**0.5), sid))
+    probes = [
+        sid
+        for _, sid in sorted(probe_scores, key=lambda t: (-t[0], t[1]))[:n_probe]
+    ]
+
+    def lit_vec(vals: list[float]) -> Column:
+        return F.array(*[F.lit(v) for v in vals])
+
+    cell_choices = F.array(
+        *[
+            F.struct(
+                _cosine(F.col(vec_col), lit_vec(svec)).alias("cos"),
+                F.lit(-sid).cast("long").alias("negseed"),
+            )
+            for sid, svec in seeds
+        ]
+    )
+    assigned = candidates.withColumn(
+        "cell", (-F.array_max(cell_choices)["negseed"]).cast("bigint")
+    )
+    qcol = lit_vec([float(v) for v in query_vec])
+    return (
+        assigned.where(F.col("cell").isin(probes))
+        .select(
+            id_col,
+            "cell",
+            _cosine(F.col(vec_col), qcol).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_lsh(
     candidates: DataFrame,
     query: DataFrame,

@@ -2572,6 +2572,72 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_COS = (
+    f"{_DOT.format(a='{v}', b='{s}')} / "
+    f"(sqrt({_DOT.format(a='{v}', b='{v}')}) * "
+    f"sqrt({_DOT.format(a='{s}', b='{s}')}))"
+)
+
+
+@_register(
+    "knn_ivf_fixed_topk",
+    f"""
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding AS se
+      FROM embeddings WHERE vec_id <> 0
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT seed_id FROM (
+        SELECT s.seed_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY {_IVF_COS.format(v='q.qe', s='s.se')} DESC, s.seed_id
+               ) AS rn
+        FROM seeds s, q
+      ) WHERE rn <= 2
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, seed_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, s.seed_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(v='e.embedding', s='s.se')} DESC,
+                          s.seed_id
+               ) AS rn
+        FROM embeddings e JOIN seeds s ON TRUE
+        WHERE e.vec_id <> 0
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cell,
+           {_IVF_COS.format(v='a.embedding', s='q.qe')} AS cosine_sim
+    FROM assigned a JOIN probes p ON a.cell = p.seed_id, q
+    ORDER BY cosine_sim DESC, a.vec_id LIMIT 10
+    """,
+    "IVF ANN with a FIXED (hash-chosen, untrained) coarse quantizer — "
+    "the oracle-exact sibling of knn_ivf_topk, the same pattern that "
+    "pairs KMV/CMS with the DataSketches HLL path: the trained index "
+    "stays rows-only (k-means cells are engine-specific), while this "
+    "twin runs the identical three-phase IVF plan with a quantizer "
+    "every engine reproduces bit-for-bit (seeds = 8 smallest-md5(id) "
+    "vectors). Assignment is ONE map-only array_max projection over "
+    "literal seed arrays (no join, no shuffle); the probe filter is a "
+    "literal IN over cell ids — with cell-partitioned storage that "
+    "prunes at the file level, the actual 100 TB read-path win of IVF; "
+    "exact cosine re-rank only touches the ~n_probe/n_seeds surviving "
+    "fraction, then TakeOrderedAndProject. The oracle mirrors argmax "
+    "assignment via a ROW_NUMBER window over the seed cross join.",
+)
+def knn_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import fixed_ivf_seeds, knn_ivf_fixed
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    candidates = embeddings.where(F.col("vec_id") != 0)
+    seeds = fixed_ivf_seeds(candidates, n_seeds=8)
+    qvec = embeddings.where(F.col("vec_id") == 0).first()["embedding"]
+    return knn_ivf_fixed(candidates, qvec, seeds, k=10, n_probe=2)
+
+
 @_register(
     "simhash_near_dup_pairs",
     _SIMHASH_ORACLE_CTE
@@ -8539,6 +8605,7 @@ _SPOTLIGHT_R3 = [
     "simhash_near_dup_pairs",
     "embedding_near_dup_pairs",
     "knn_lsh_topk",
+    "knn_ivf_fixed_topk",
 ]
 
 

@@ -64,3 +64,56 @@ def test_partial_probe_stays_in_cells(spark, sf_dir):
         .collect()
     }
     assert len(cells) <= 2
+
+
+def test_fixed_ivf_probe_all_equals_brute_force(spark, sf_dir):
+    """The untrained (hash-seeded, oracle-checkable) IVF variant obeys
+    the same contract as trained IVF: probing every cell IS exact
+    brute force."""
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        fixed_ivf_seeds,
+        knn_ivf_fixed,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    cand = emb.where(F.col("vec_id") != 0)
+    seeds = fixed_ivf_seeds(cand, n_seeds=N_CENTROIDS)
+    assert len(seeds) == N_CENTROIDS
+    # deterministic across calls (hash order, no RNG)
+    assert seeds == fixed_ivf_seeds(cand, n_seeds=N_CENTROIDS)
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    exact = knn_brute_force(
+        cand,
+        spark.createDataFrame([(list(qvec),)], "query_embedding array<double>"),
+        k=10,
+    ).collect()
+    ivf_all = knn_ivf_fixed(
+        cand, qvec, seeds, k=10, n_probe=N_CENTROIDS
+    ).collect()
+    assert [r.vec_id for r in exact] == [r.vec_id for r in ivf_all]
+    for a, b in zip(exact, ivf_all):
+        assert abs(a.cosine_sim - b.cosine_sim) < 1e-12
+
+
+def test_fixed_ivf_plan_is_map_only_scan(spark, sf_dir):
+    """Assignment + probe filter + re-rank must compile to a single
+    map-only projection under TakeOrderedAndProject: no Exchange, no
+    join — the shape whose only cluster cost is the scan itself."""
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        fixed_ivf_seeds,
+        knn_ivf_fixed,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    cand = emb.where(F.col("vec_id") != 0)
+    seeds = fixed_ivf_seeds(cand, n_seeds=N_CENTROIDS)
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    plan = (
+        knn_ivf_fixed(cand, qvec, seeds, k=10, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
