@@ -50,6 +50,9 @@ from .operators.dedup import (
     minhash_xengine_constants,
 )
 from .operators.similarity import knn_brute_force
+from .sources.pydatasource import (
+    oracle_corpus_cte as _oracle_synthetic_corpus_cte,
+)
 from .sources.tpch import load_tables
 
 
@@ -4636,7 +4639,12 @@ def whitened_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "synthetic_docs_quality",
-    None,  # source generates data in-executor; no parquet twin to oracle
+    f"""
+    WITH RECURSIVE {_oracle_synthetic_corpus_cte(1000)}
+    SELECT doc_id, lang,
+           {oracle_quality_score('text')} AS quality
+    FROM docs
+    """,
     "Custom Python Data Source (sources/pydatasource.py, Spark 4 "
     "pyspark.sql.datasource API): deterministic in-executor corpus "
     "generation — rows are a pure function of doc_id, so any partition "
@@ -4644,7 +4652,10 @@ def whitened_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     "invariance pinned by test). Feeds the standard text operators; "
     "this query scores 1000 generated docs. The scale-testing path "
     "beyond the shipped sf0.1 fixtures: a 10^12-row corpus costs no "
-    "driver memory and no storage.",
+    "driver memory and no storage. The generator is pure integer "
+    "arithmetic, so the oracle REGENERATES the corpus in a DuckDB "
+    "recursive CTE and value-checks generation + scoring end to end "
+    "(an r2 rows-only row closed with a cross-engine-computable twin).",
 )
 def synthetic_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.pydatasource import register as register_source
@@ -8606,6 +8617,7 @@ _SPOTLIGHT_R3 = [
     "embedding_near_dup_pairs",
     "knn_lsh_topk",
     "knn_ivf_fixed_topk",
+    "synthetic_docs_quality",
 ]
 
 

@@ -101,3 +101,52 @@ class SyntheticDocsDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the data source on a session."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+#: DuckDB rendering of :func:`_mix` — HUGEINT keeps the 95-bit product
+#: exact before the mod-2^63 reduction (``x & MASK`` == ``x % 2^63``
+#: for the non-negative values this generator produces).
+_MIX_SQL = "CAST((CAST({x} AS HUGEINT) * 2654435761) % 9223372036854775808 AS BIGINT)"
+
+
+def oracle_corpus_cte(n_rows: int) -> str:
+    """WITH-clause body that REGENERATES this source's corpus in DuckDB.
+
+    The generator is pure integer arithmetic, so a recursive CTE can
+    replay the per-token hash recurrence (h := mix(h + i + 1)) exactly
+    — which makes queries over the custom data source value-checkable
+    end to end (generation + transformation), not just rows-counted.
+    Yields a ``docs(doc_id, text, lang, source, n_chars)`` relation
+    matching :func:`_doc_row` bit-for-bit (verified in
+    tests/test_embeddings_and_pydatasource.py).
+    """
+    vocab_sql = "[" + ", ".join(f"'{w}'" for w in VOCAB) + "]"
+    langs_sql = "[" + ", ".join(f"'{lang}'" for lang in LANGS) + "]"
+    return f"""
+    ids AS (
+      SELECT range AS doc_id, {_MIX_SQL.format(x='range + 1')} AS h0
+      FROM range(0, {n_rows})
+    ),
+    gen AS (
+      SELECT doc_id, h0 AS h, -1 AS i, CAST(NULL AS VARCHAR) AS tok,
+             20 + h0 % 80 AS n_tokens
+      FROM ids
+      UNION ALL
+      SELECT doc_id, {_MIX_SQL.format(x='h + i + 2')}, i + 1,
+             {vocab_sql}[({_MIX_SQL.format(x='h + i + 2')} % {len(VOCAB)}) + 1],
+             n_tokens
+      FROM gen WHERE i + 1 < n_tokens
+    ),
+    texts AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+      FROM gen WHERE i >= 0 GROUP BY doc_id
+    ),
+    docs AS (
+      SELECT t.doc_id, t.text,
+             {langs_sql}[({_MIX_SQL.format(x='t.doc_id + 7')} % {len(LANGS)}) + 1]
+               AS lang,
+             'src' || CAST({_MIX_SQL.format(x='t.doc_id + 7')} % 20 AS VARCHAR)
+               AS source,
+             CAST(length(t.text) AS BIGINT) AS n_chars
+      FROM texts t
+    )"""

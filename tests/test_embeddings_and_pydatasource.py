@@ -83,3 +83,24 @@ def test_synthetic_docs_feed_registry_operators(spark):
     vals = [r.q for r in scored.collect()]
     assert len(vals) == 200
     assert all(not math.isnan(v) and 0.0 <= v <= 1.0 for v in vals)
+
+
+def test_oracle_cte_regenerates_corpus_exactly():
+    """The DuckDB recursive-CTE twin must replay the generator's hash
+    recurrence bit-for-bit — this is what licenses the end-to-end
+    value-check of queries over the custom data source."""
+    import duckdb
+
+    from nursinghome_data_pipeline_spark.sources.pydatasource import (
+        _doc_row,
+        oracle_corpus_cte,
+    )
+
+    con = duckdb.connect(":memory:")
+    got = con.execute(
+        f"WITH RECURSIVE {oracle_corpus_cte(200)} "
+        "SELECT doc_id, text, lang, source, n_chars FROM docs ORDER BY doc_id"
+    ).fetchall()
+    assert len(got) == 200
+    for row in got:
+        assert tuple(row) == _doc_row(row[0])
