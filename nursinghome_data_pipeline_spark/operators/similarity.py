@@ -348,6 +348,14 @@ def knn_lsh(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
+#: Moment quantization for whitening: floor(v * 2^20) per value keeps
+#: the per-dimension sums in exact int64 arithmetic, so the moments are
+#: ORDER-INDEPENDENT (integer addition is associative) and bit-equal on
+#: any engine that can floor and add — the same trick as the registry's
+#: quantized double aggregates.
+WHITEN_Q = float(1 << 20)
+
+
 def whiten_by_label(
     df: DataFrame,
     *,
@@ -358,25 +366,30 @@ def whiten_by_label(
     """Per-group embedding whitening via grouped ``applyInPandas``.
 
     Each label's vectors are mean-centered and scaled to unit per-
-    dimension std (population; zero-variance dims pass through
-    centered). This is the engine's canonical GROUPED Arrow-UDF shape —
-    the path for per-group numerics Spark expressions can't reach
-    (here: a vectorized two-moment pass; same plumbing serves per-group
-    PCA/regression). Rows are sorted by id inside each pandas group
-    before accumulation so the float result is deterministic under any
-    partitioning; groups are independent, so the single shuffle on the
-    label key is the whole distribution cost, and executor memory
-    bounds the LARGEST group, not the table.
+    dimension std (population, via E[x²]−E[x]²; zero-variance dims
+    pass through centered). This is the engine's canonical GROUPED
+    Arrow-UDF shape — the path for per-group numerics Spark
+    expressions can't reach (same plumbing serves per-group
+    PCA/regression). Moments accumulate as :data:`WHITEN_Q`-quantized
+    int64 sums, so the result is independent of row order and
+    partitioning BY CONSTRUCTION (no sort needed — integer addition is
+    associative) and bit-reproducible by the DuckDB oracle. Groups are
+    independent, so the single shuffle on the label key is the whole
+    distribution cost, and executor memory bounds the LARGEST group,
+    not the table.
     """
     import numpy as np
 
     out_schema = df.select(id_col, label_col, vec_col).schema
 
     def whiten(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col).reset_index(drop=True)
         mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        mean = mat.mean(axis=0)
-        std = mat.std(axis=0)
+        n = len(mat)
+        s1 = np.floor(mat * WHITEN_Q).astype(np.int64).sum(axis=0)
+        s2 = np.floor(mat * mat * WHITEN_Q).astype(np.int64).sum(axis=0)
+        mean = s1.astype(np.float64) / WHITEN_Q / n
+        meansq = s2.astype(np.float64) / WHITEN_Q / n
+        std = np.sqrt(np.maximum(meansq - mean * mean, 0.0))
         std[std == 0.0] = 1.0
         white = (mat - mean) / std
         pdf[vec_col] = [row.astype(np.float32).tolist() for row in white]

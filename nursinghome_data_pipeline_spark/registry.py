@@ -49,6 +49,7 @@ from .operators.dedup import (
     minhash_signature_col,
     minhash_xengine_constants,
 )
+from .operators.similarity import WHITEN_Q as _WHITEN_Q
 from .operators.similarity import knn_brute_force
 from .sources.pydatasource import (
     oracle_corpus_cte as _oracle_synthetic_corpus_cte,
@@ -4608,32 +4609,72 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "whitened_embeddings_by_label",
-    None,  # grouped Arrow UDF float output — not SQL-expressible bit-stably
+    f"""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(floor(v * {_WHITEN_Q!r}) AS DECIMAL(38,0))) AS DOUBLE)
+               / {_WHITEN_Q!r} / COUNT(*) AS mean,
+             CAST(SUM(CAST(floor(v * v * {_WHITEN_Q!r}) AS DECIMAL(38,0))) AS DOUBLE)
+               / {_WHITEN_Q!r} / COUNT(*) AS meansq
+      FROM ex GROUP BY label, dim
+    ),
+    s AS (
+      SELECT label, dim, mean,
+             CASE WHEN sqrt(CASE WHEN meansq - mean * mean < 0
+                                 THEN 0.0 ELSE meansq - mean * mean END) = 0.0
+                  THEN 1.0
+                  ELSE sqrt(CASE WHEN meansq - mean * mean < 0
+                                 THEN 0.0 ELSE meansq - mean * mean END)
+             END AS std
+      FROM m
+    ),
+    vecs AS (
+      SELECT e.vec_id, e.label,
+             list(CAST(CAST((e.v - s.mean) / s.std AS REAL) AS DOUBLE)
+                  ORDER BY e.dim) AS wl
+      FROM ex e JOIN s ON e.label = s.label AND e.dim = s.dim
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label,
+           ROUND(sqrt(list_sum(list_transform(wl, y -> y * y))), 4) AS l2_norm,
+           ROUND(list_sum(wl), 4) AS comp_sum,
+           ROUND(wl[1], 4) AS comp_0
+    FROM vecs
+    """,
     "Per-label embedding whitening (operators/similarity.whiten_by_label): "
     "grouped applyInPandas, one shuffle on the label key, mean-center + "
-    "unit-std per dimension inside each group. Rows sorted by id within "
-    "each pandas group make the float results partition-invariant "
-    "(pinned by tests/test_embeddings_and_pydatasource.py, which also "
-    "checks the per-dim moments). Rows-only here because per-group "
-    "numpy summation order cannot be mirrored in SQL bit-for-bit.",
+    "unit-std per dimension inside each group. Moments accumulate as "
+    "2^20-quantized int64 sums, so the result is order- and partition-"
+    "independent BY CONSTRUCTION (integer addition is associative — no "
+    "in-group sort needed) and the DuckDB oracle reproduces the floats "
+    "bit-for-bit: identical quantized moments -> identical doubles -> "
+    "identical float32 rounding on both engines (an r2 rows-only row "
+    "closed; the eigendecomposition variant of whitening would stay "
+    "rows-only, but this engine ships the diagonal two-moment form). "
+    "Emits rounded per-vector summary stats at the registry boundary.",
 )
 def whitened_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import whiten_by_label
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     out = whiten_by_label(emb)
-    # Registry boundary: the whitened vector stays array<double> for the
-    # operator API, but the driver's rows-only hasher needs hashable
-    # scalars — emit rounded summary stats of each whitened vector.
     v = F.col("embedding")
+    xd = lambda x: x.cast("double")  # noqa: E731 — fold floats in double
     return out.select(
         "vec_id",
         "label",
         F.round(
-            F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 4
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + xd(x) * xd(x))), 4
         ).alias("l2_norm"),
-        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 4).alias("comp_sum"),
-        F.round(v.getItem(0), 4).alias("comp_0"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + xd(x)), 4).alias(
+            "comp_sum"
+        ),
+        F.round(v.getItem(0).cast("double"), 4).alias("comp_0"),
     )
 
 
@@ -8618,6 +8659,7 @@ _SPOTLIGHT_R3 = [
     "knn_lsh_topk",
     "knn_ivf_fixed_topk",
     "synthetic_docs_quality",
+    "whitened_embeddings_by_label",
 ]
 
 
