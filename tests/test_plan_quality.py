@@ -284,26 +284,44 @@ def test_hard_negative_anchor_set_is_bounded(spark, sf_dir):
 
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
-# design (scalar subqueries, k centroids, a LIMIT'd anchor set, a
-# 9-row replication offset table) — audited individually above/in
-# SCALE.md. Everything else in the driver's sample window must plan
-# joins as hash/sort-merge equi-joins.
+# design — audited individually (full-registry plan sweep, r3): the
+# build side is a single-row global aggregate (scalar-subquery shape),
+# a constant literal relation, or a LIMIT'd/k-sized set, so the
+# "nested loop" degenerates to a map over a few broadcast rows.
+# Everything else in the registry must plan joins as hash/sort-merge
+# equi-joins — an unbounded BNLJ is exactly how rolling_7d_active_users
+# went scale-wrong in round 2.
 _BOUNDED_BNLJ = {
     "inactive_customer_balance",   # scalar avg-balance subquery (1 row)
-    "triangle_count_events",       # scalar totals broadcast
+    "triangle_count_events",       # scalar (n_nodes, n_wedges) totals (1 row)
     "kmeans_lloyd_embeddings",     # k=4 centroids broadcast
-    "hard_negative_mining",        # LIMIT'd anchor set broadcast
+    "hard_negative_mining",        # LIMIT'd (16-row) anchor set broadcast
     "geo_radius_join",             # 3x3 offset table (9 rows)
+    "knn_cosine_topk",             # 1-row query-vector broadcast
+    "tfidf_topk_docs",             # scalar corpus-size broadcast (1 row)
+    "hourly_events_gapfill",       # literal hour spine x distinct-type dim
+    "funnel_signup_click_purchase",  # scalar per-stage counts (1 row each)
+    "unigram_lm_score_docs",       # scalar corpus token total (1 row)
+    "lift_event_pairs",            # scalar total-sessions broadcast (1 row)
+    "null_safe_join_props",        # scalar equi/nullsafe counts (1 row each)
+    "cms_heavy_hitters_events",    # serialized CMS sketch broadcast (1 row)
+    "consistent_sample_across_tables",  # scalar per-table counts (1 row each)
+    "bag_set_ops_orders",          # scalar bag-op cardinalities (1 row each)
+    "explode_variants_docs",       # scalar explode-vs-outer counts (1 row each)
+    "contingency_mktseg_nation",   # scalar chi-square grand total (1 row)
 }
 
 
-def test_driver_window_has_no_unbounded_join_smells(spark, sf_dir):
-    # breadth gate over the driver's sampled prefix: no CartesianProduct
-    # anywhere, and no BroadcastNestedLoopJoin outside the audited
-    # bounded-broadcast whitelist. Catches a scale-killing plan slipping
-    # into the most-scrutinized queries without a dedicated gate.
+def test_registry_has_no_unbounded_join_smells(spark, sf_dir):
+    # breadth gate over the ENTIRE registry (not just the driver's
+    # sampled prefix): no CartesianProduct anywhere, and no
+    # BroadcastNestedLoopJoin outside the audited bounded-broadcast
+    # whitelist. Catches a scale-killing plan slipping into ANY query
+    # without a dedicated gate. Streaming queries are excluded here
+    # (building them executes the stream; their plans are pinned by
+    # their own tests).
     qs = registry.queries()
-    names = [n for n in list(qs)[:54] if not n.startswith("streaming")]
+    names = [n for n in qs if not n.startswith("streaming")]
     offenders = []
     for name in names:
         plan = _formatted_plan(qs[name](spark, sf_dir))
