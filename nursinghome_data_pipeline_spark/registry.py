@@ -1226,6 +1226,68 @@ def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "map_functions_battery",
+    """
+    WITH hourly AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS cnt
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, EXTRACT(hour FROM ts)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS INTEGER) AS n_keys,
+           array_to_string(list(hr ORDER BY hr), ',') AS hours_sorted,
+           MAX(CASE WHEN hr = 12 THEN cnt END) AS noon_count,
+           CAST(SUM(cnt * 2) AS BIGINT) AS doubled_total,
+           CAST(COUNT(CASE WHEN cnt > 10 THEN 1 END) AS INTEGER) AS n_busy_hours
+    FROM hourly GROUP BY event_type
+    """,
+    "MapType function battery (map_from_entries / map_keys / "
+    "element_at-on-map / transform_values / map_filter + a fold over "
+    "map_values) — the one Spark SQL type family the registry had not "
+    "yet exercised. Per event_type, the hour-of-day -> count histogram "
+    "is materialized AS A MAP and every output is derived through map "
+    "operators; all outputs are entry-order-insensitive (sorted keys, "
+    "keyed lookup, commutative folds), so the nondeterministic "
+    "collect_list order under distributed aggregation cannot leak into "
+    "results. The oracle computes identical values from the flat "
+    "(event_type, hour, count) relation — maps are Spark-side "
+    "representation, not semantics. Scale: one partial-aggregated "
+    "shuffle to the hourly histogram (|types x 24| rows), then a "
+    "|types|-row map build — the collect_list is bounded at 24 entries "
+    "per group by construction.",
+)
+def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    hourly = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    as_map = hourly.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("hr"), F.col("cnt")))
+        ).alias("m")
+    )
+    doubled = F.transform_values(F.col("m"), lambda _k, v: v * 2)
+    return as_map.select(
+        "event_type",
+        F.size(F.col("m")).alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(F.col("m"))), ",").alias(
+            "hours_sorted"
+        ),
+        F.element_at(F.col("m"), F.lit(12)).alias("noon_count"),
+        F.aggregate(
+            F.map_values(doubled),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("doubled_total"),
+        F.size(F.map_filter(F.col("m"), lambda _k, v: v > 10)).alias(
+            "n_busy_hours"
+        ),
+    )
+
+
+@_register(
     "embedding_norms",
     f"""
     SELECT vec_id, label,
@@ -8660,6 +8722,7 @@ _SPOTLIGHT_R3 = [
     "knn_ivf_fixed_topk",
     "synthetic_docs_quality",
     "whitened_embeddings_by_label",
+    "map_functions_battery",
 ]
 
 
