@@ -53,6 +53,11 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
+        # stage progress bars write \r-frames to the console; a harness
+        # that tail-parses combined output would see them interleaved
+        # with the one-line JSON contract (observed in BENCH_r01's
+        # unparseable tail), so keep them off unconditionally.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
