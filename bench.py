@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     # fixed-plan queries (watch for regressions in the new shapes)
     "rolling_7d_active_users",
     "approx_profile_events",
+    "image_resize_plan",
 ]
 
 

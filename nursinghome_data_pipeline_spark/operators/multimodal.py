@@ -171,6 +171,77 @@ def image_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def resize_plan(df: DataFrame, *, target: int = 224) -> DataFrame:
+    """Aspect-preserving resize PLANNING over real container bytes.
+
+    Parses each payload's header (REAL decode — the same
+    :func:`parse_image_header` as :func:`image_metadata`) and derives
+    the output geometry for a downscale-only fit into a ``target`` x
+    ``target`` box: when the longest side exceeds ``target``, each side
+    becomes ``max(1, side * target // longest_side)``; smaller images
+    pass through unchanged (no upscaling). Pure integer floor division
+    keeps the plan bit-portable across engines, so a SQL oracle can
+    recompute it from the source dimensions.
+
+    The pixel resample itself is the codec boundary
+    (:func:`resize_pixels`, ``NotImplementedError`` — media libraries
+    are absent in this environment). That split is deliberate at scale:
+    a training pipeline runs this metadata-only plan stage first, so
+    the stage that groups media for the GPU/codec workers shuffles
+    (media_id, geometry) rows — never the payload bytes, which stay
+    where :func:`media_repartition` put them.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("format", T.StringType(), True),
+            T.StructField("width", T.LongType(), True),
+            T.StructField("height", T.LongType(), True),
+            T.StructField("out_width", T.LongType(), True),
+            T.StructField("out_height", T.LongType(), True),
+        ]
+    )
+
+    def plan(w: int | None, h: int | None) -> tuple[int | None, int | None]:
+        if w is None or h is None:
+            return (None, None)
+        m = max(w, h)
+        if m <= target:
+            return (w, h)
+        return (max(1, w * target // m), max(1, h * target // m))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_image_header(p) for p in pdf["payload"]]
+            plans = [plan(p[1], p[2]) for p in parsed]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int64"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int64"),
+                    "out_width": pd.array([q[0] for q in plans], dtype="Int64"),
+                    "out_height": pd.array([q[1] for q in plans], dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def resize_pixels(payload: bytes | None, out_width: int, out_height: int) -> bytes:
+    """Pixel-level resample — the documented codec boundary.
+
+    Raster decode + interpolation need an image library this
+    environment does not ship; the Spark-side contract (payload in,
+    payload out, geometry from :func:`resize_plan`) is what a real
+    codec UDF would implement unchanged."""
+    raise NotImplementedError(
+        "pixel resampling requires an image codec library, absent in "
+        "this environment; resize_plan computes the target geometry and "
+        "this function is the slot where the decoder+interpolator runs"
+    )
+
+
 def parse_audio_header(
     payload: bytes | None,
 ) -> tuple[str | None, int | None, int | None, int | None, int | None]:

@@ -2135,6 +2135,55 @@ def image_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "image_resize_plan",
+    """
+    SELECT doc_id AS media_id,
+           'png' AS format,
+           w AS width, h AS height,
+           CASE WHEN greatest(w, h) <= 16 THEN w
+                ELSE greatest(1, (w * 16) // greatest(w, h)) END AS out_width,
+           CASE WHEN greatest(w, h) <= 16 THEN h
+                ELSE greatest(1, (h * 16) // greatest(w, h)) END AS out_height
+    FROM (
+      SELECT doc_id, doc_id % 31 + 1 AS w, (doc_id * 7) % 29 + 1 AS h
+      FROM documents
+    )
+    """,
+    "Multimodal resize planning: executors encode a real PNG per "
+    "document (dims from doc_id, spanning both the pass-through and "
+    "the downscale branch of a 16x16 fit), then resize_plan "
+    "(operators/multimodal.py) PARSES the container bytes back and "
+    "derives the aspect-preserving output geometry in pure integer "
+    "floor division — which is why a SQL oracle can recompute the "
+    "plan arithmetically. Pixel resampling stays behind the "
+    "documented resize_pixels codec boundary; at scale the plan "
+    "stage ships (media_id, geometry) rows to the decode workers, "
+    "never payload bytes.",
+)
+def image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import encode_png, resize_plan
+
+    (documents,) = _t(spark, sf_dir, "documents")
+
+    def make_payloads(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        encode_png(int(d % 31 + 1), int((d * 7) % 29 + 1), seed=int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = documents.select("doc_id").mapInPandas(
+        make_payloads, schema="media_id long, payload binary"
+    )
+    return resize_plan(media, target=16)
+
+
+@_register(
     "passage_dedup_docs",
     """
     WITH spans AS (
@@ -2926,7 +2975,14 @@ def corpus_build_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = filtered.groupBy(F.md5(F.col("text")).alias("fp")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    survivors = filtered.join(canon.select("doc_id"), "doc_id", "left_semi")
+    # survivors feeds FOUR consumers (both posting sides of the pair
+    # join, the CC node set, the canonical keep) — materialize the
+    # filter+fingerprint+semi-join subtree once instead of re-running
+    # it per consumer (same multi-referenced-subtree pattern as the
+    # edge input inside connected_components)
+    survivors = filtered.join(
+        canon.select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=False)
     pairs = jaccard_pair_join(survivors, threshold=0.5)
     comps = connected_components(survivors, pairs)
     kept = survivors.join(
@@ -8723,6 +8779,7 @@ _SPOTLIGHT_R3 = [
     "synthetic_docs_quality",
     "whitened_embeddings_by_label",
     "map_functions_battery",
+    "image_resize_plan",
 ]
 
 

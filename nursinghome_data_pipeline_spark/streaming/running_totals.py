@@ -28,10 +28,10 @@ state backend.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,13 +50,23 @@ ROCKSDB_PROVIDER = (
 
 def _fold_batch(n: int, vq: int, pdf: pd.DataFrame) -> tuple[int, int]:
     """Fold one pandas chunk into (count, quantized sum) — exact
-    integers, mirroring the engine-wide q_sum term bit-for-bit."""
+    integers, mirroring the engine-wide q_sum term bit-for-bit.
+
+    Vectorized: ``v * 2^Q`` is an exponent shift (exact in float64 for
+    every finite v), ``np.floor`` of an exact product equals
+    ``math.floor`` per element, and the cast to int64 is exact because
+    any float64 with magnitude ≥ 2^53 is already integral. Summing as
+    int64 keeps the fold associative/exact, so the vector path is
+    bit-identical to the scalar loop it replaced — at a batch of a
+    million rows this is the difference between Arrow-speed and a
+    Python interpreter loop inside the state operator.
+    """
     q = float(1 << Q_BITS)
     n += len(pdf)
-    for v in pdf["value"]:
-        if v is not None and not (isinstance(v, float) and math.isnan(v)):
-            # *2^Q is an exponent shift (exact); floor exact.
-            vq += int(math.floor(v * q))
+    vals = np.asarray(pdf["value"], dtype=np.float64)
+    finite = ~np.isnan(vals)
+    if finite.any():
+        vq += int(np.floor(vals[finite] * q).astype(np.int64).sum())
     return n, vq
 
 

@@ -13,6 +13,8 @@ from nursinghome_data_pipeline_spark.operators.multimodal import (
     image_metadata,
     media_repartition,
     parse_image_header,
+    resize_pixels,
+    resize_plan,
     sample_frames,
 )
 
@@ -76,6 +78,26 @@ def test_image_metadata_distributed_round_trip(spark):
     assert out[2] == ("gif", 7, 5)
     assert out[3] == ("jpeg", 11, 3)
     assert out[4] == (None, None, None)
+
+
+def test_resize_plan_geometry_and_codec_boundary(spark):
+    rows = [
+        (1, encode_png(20, 10)),  # downscale: longest side 20 → 16
+        (2, encode_png(10, 5)),  # within the box → pass-through
+        (3, encode_png(1, 31)),  # extreme aspect: floor would hit 0 → clamped to 1
+        (4, b"garbage"),  # unparseable → NULL geometry
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        r.media_id: (r.width, r.height, r.out_width, r.out_height)
+        for r in resize_plan(df, target=16).collect()
+    }
+    assert out[1] == (20, 10, 16, 8)
+    assert out[2] == (10, 5, 10, 5)
+    assert out[3] == (1, 31, 1, 16)
+    assert out[4] == (None, None, None, None)
+    with pytest.raises(NotImplementedError, match="codec"):
+        resize_pixels(rows[0][1], 16, 8)
 
 
 @pytest.fixture(scope="module")
