@@ -593,7 +593,11 @@ def connected_components(
     :func:`near_duplicate_pairs`) yields edges; dedup RESOLUTION needs
     the transitive closure: if A≈B and B≈C, keep one of {A,B,C}. Each
     node gets ``component_id`` = the minimum reachable id (its cluster's
-    canonical document); singletons map to themselves.
+    canonical document); singletons map to themselves. The output
+    covers ``nodes`` ∪ every edge endpoint (both algorithms) — an id
+    appearing only in the edge list still belongs to a component and
+    may be its minimum, so it can be neither dropped nor ignored when
+    labeling its neighbors.
 
     Iterative min-label propagation: every round each node takes the
     min of its own label and its neighbors' labels (one equi-join + one
@@ -630,20 +634,33 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("component_id")
-    ).localCheckpoint(eager=True)
-    # Convergence test: min-label propagation can only DECREASE labels,
-    # so sum(component_id) is strictly monotone until the fixed point —
-    # equal sums between rounds ⟺ no label changed. One scalar
-    # aggregate per round replaces the previous join + isEmpty job
-    # (decimal(38,0) so huge id sums cannot overflow under ANSI).
-    def _label_sum(lbl: DataFrame):
-        return lbl.agg(
-            F.sum(F.col("component_id").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
+    # label base = nodes ∪ edge endpoints: an id appearing only in the
+    # edge list still belongs to a component (and may BE its minimum),
+    # so seeding from `nodes` alone would both drop it from the output
+    # and mislabel its neighbors. Same contract as the star variant.
+    labels = (
+        nodes.select(F.col(id_col).alias("node"))
+        .union(e.select(F.col("src").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("component_id"))
+        .localCheckpoint(eager=True)
+    )
+    # Convergence test: the node set is fixed after seeding (e is
+    # symmetric, so every propagation target is already a label row)
+    # and min-label propagation can only DECREASE labels, so over a
+    # constant count an equal sum between rounds ⟺ no label changed.
+    # One scalar aggregate per round replaces the previous join +
+    # isEmpty job (decimal(38,0) so huge id sums cannot overflow under
+    # ANSI); the count guards the invariant — a count change means the
+    # node set moved and sums are incomparable, so iterate.
+    def _label_state(lbl: DataFrame):
+        row = lbl.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("component_id").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        return (row["n"], row["s"])
 
-    prev_sum = _label_sum(labels)
+    prev = _label_state(labels)
     for _ in range(max_iter):
         prop = e.join(
             labels.select(
@@ -657,10 +674,10 @@ def connected_components(
             .agg(F.min("component_id").alias("component_id"))
             .localCheckpoint(eager=True)
         )
-        new_sum = _label_sum(labels)
-        if new_sum == prev_sum:
+        new = _label_state(labels)
+        if new == prev:
             break
-        prev_sum = new_sum
+        prev = new
     return labels.select(F.col("node").alias(id_col), "component_id")
 
 
@@ -739,17 +756,25 @@ def connected_components_star(
         e = new_e
         if converged:
             break
-    labels = (
+    # label base = nodes ∪ edge endpoints (same output contract as the
+    # label-propagation path — see connected_components docstring).
+    # The original e is endpoint-complete; the converged star edges
+    # only point non-minimum members at their minimum, so the minimum
+    # itself (and any edge-only singleton absorbed into a star center)
+    # must come from this union, not from the star edge list.
+    base = (
         nodes.select(F.col(id_col).alias("node"))
-        .join(
-            e.select(F.col("u").alias("node"), F.col("v").alias("component_id")),
-            "node",
-            "left",
-        )
-        .select(
-            "node",
-            F.coalesce("component_id", F.col("node")).alias("component_id"),
-        )
+        .union(edges.select(F.col(src_col).alias("node")))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    labels = base.join(
+        e.select(F.col("u").alias("node"), F.col("v").alias("component_id")),
+        "node",
+        "left",
+    ).select(
+        "node",
+        F.coalesce("component_id", F.col("node")).alias("component_id"),
     )
     return labels.select(F.col("node").alias(id_col), "component_id"), rounds
 

@@ -19,6 +19,19 @@ from pyspark.sql import functions as F
 from ..functions.vectors import dot_product_col
 
 
+def lsh_planes(n_planes: int, dim: int, seed: int = 42):
+    """The canonical seeded hyperplane draw for sign-projection LSH.
+
+    Single owner of the (generator, draw shape, draw order) triple:
+    both the Spark literal embedding (:func:`random_projection_buckets`)
+    and the registry's DuckDB oracle twin (``_lsh_bucket_sql``) embed
+    THESE float64s, so bucket-id parity across engines is guaranteed by
+    construction rather than by two copies staying in sync."""
+    import numpy as np
+
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
 def _cosine(a: Column | str, b: Column | str) -> Column:
     # num/(sqrt(aa)*sqrt(bb)) in exactly this operation order — mirrored
     # verbatim in the DuckDB oracle (registry.knn_cosine_topk).
@@ -69,10 +82,7 @@ def random_projection_buckets(
     100 TB this prunes the scan by ~2^n_planes with bucket-partitioned
     storage.
     """
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = lsh_planes(n_planes, dim, seed)
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
         plane_col = F.array(*[F.lit(float(v)) for v in planes[i]])

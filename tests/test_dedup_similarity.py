@@ -144,6 +144,44 @@ def test_connected_components_transitive_chain(spark):
     assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5}
 
 
+def test_connected_components_edge_only_nodes_both_algorithms(spark):
+    """Ids appearing only in the edge list are part of a component —
+    they must be labeled and returned, not dropped, by BOTH algorithms.
+
+    The node set {0, 8} with edges {(8,0), (8,4)} is also the
+    regression case for the sum-only convergence test: round 1 drops
+    8's label by 8 while adding edge-only node 4 at label 8, so
+    sum(labels) is unchanged (8) even though labels moved — a
+    sum-equality check without the node-count guard would stop a round
+    early and leave 4 in component 8 instead of 0."""
+    from nursinghome_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(0,), (8,)], "doc_id long")
+    edges = spark.createDataFrame([(8, 0), (8, 4)], "id_a long, id_b long")
+    expect = {0: 0, 8: 0, 4: 0}
+    lp = {
+        r.doc_id: r.component_id
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert lp == expect
+    star, _ = connected_components_star(nodes, edges)
+    assert {r.doc_id: r.component_id for r in star.collect()} == expect
+    # an edge-only node that IS its component's minimum
+    nodes2 = spark.createDataFrame([(5,)], "doc_id long")
+    edges2 = spark.createDataFrame([(5, 3)], "id_a long, id_b long")
+    expect2 = {3: 3, 5: 3}
+    lp2 = {
+        r.doc_id: r.component_id
+        for r in connected_components(nodes2, edges2).collect()
+    }
+    assert lp2 == expect2
+    star2, _ = connected_components_star(nodes2, edges2)
+    assert {r.doc_id: r.component_id for r in star2.collect()} == expect2
+
+
 def test_knn_brute_force_self_similarity(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     query = emb.where(F.col("vec_id") == 7).select(

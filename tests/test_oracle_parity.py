@@ -63,3 +63,19 @@ def test_driver_spotlight_prefix_is_fully_oracled():
     assert names[: len(spot)] == spot
     osql = registry.oracle_sql()
     assert all(n in osql for n in spot)
+
+
+def test_auto_rotation_orders_unchecked_before_driver_green():
+    # Past-round driver gates (CORRECTNESS_r*.json) demote queries that
+    # already have a green row: after the curated spotlight head, every
+    # never-driver-checked query must precede every driver-green one,
+    # so future sample prefixes spend slots on local-only evidence.
+    names = list(registry.queries())
+    spot = set(registry._SPOTLIGHT_R3)
+    green = registry._driver_green_names()
+    assert green, "recorded driver gates should yield at least one green row"
+    tail = [n for n in names if n not in spot]
+    first_green = next((i for i, n in enumerate(tail) if n in green), len(tail))
+    assert all(n in green for n in tail[first_green:]), (
+        "an unchecked query sits behind driver-green ones in the rotation"
+    )
