@@ -1,0 +1,172 @@
+#!/usr/bin/env python3
+"""Core-scaling probe: measured evidence for SCALE.md.
+
+The sf0.1 bench tables are small enough that task-launch overhead
+dominates (8 vs 16 local threads time within noise of each other), so
+per-query wall time says nothing about how the PLANS scale. This probe
+inflates lineitem/orders/events ~``INFLATE``x into a /tmp parquet copy
+(same schemas, perturbed keys so group/join cardinalities grow with the
+data instead of collapsing onto the originals) and times representative
+plan shapes — scan+group-agg, star join, window, text map — at several
+``local[n]`` widths.
+
+Near-linear speedup 8→32 threads on the inflated copy is the property
+the 100 TB design rests on: work per partition dominating fixed
+overhead, no serial stage, no skewed reducer. Run:
+
+    python scripts/scaling_probe.py [--inflate 8] [--cores 8,16,32]
+
+Writes nothing outside the system tempdir; deletes nothing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _inflated_dir(inflate: int) -> str:
+    # keyed by the inflate factor: a probe at a different factor must
+    # re-stage, not reuse the previous copy via its _SUCCESS marker
+    return os.path.join(
+        tempfile.gettempdir(), f"spark-graft-scaling-x{inflate}"
+    )
+
+#: (name, SQL over the inflated views) — one representative per family
+PROBES = [
+    (
+        "scan_group_agg",
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               SUM(l_quantity) AS sq, AVG(l_extendedprice) AS ap
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    ),
+    (
+        "join_agg",
+        """
+        SELECT o_orderpriority, COUNT(*) AS n, SUM(l_extendedprice) AS rev
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        """,
+    ),
+    (
+        "window_rank",
+        """
+        SELECT COUNT(*) FROM (
+          SELECT o_custkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC) AS rn
+          FROM orders) WHERE rn <= 3
+        """,
+    ),
+    (
+        "text_map",
+        """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(length(props)) AS chars,
+               SUM(size(split(props, ','))) AS fields
+        FROM events GROUP BY event_type
+        """,
+    ),
+]
+
+
+def _inflate(inflate: int) -> None:
+    """One-time write of the inflated copy (reused across core runs)."""
+    inflated = _inflated_dir(inflate)
+    if os.path.exists(os.path.join(inflated, "_SUCCESS")):
+        return
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import functions as F
+
+    from nursinghome_data_pipeline_spark.session import build_session
+    from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+
+    spark = build_session("scaling-inflate")
+    tables = load_tables(spark, SF_DIR, ["lineitem", "orders", "events"])
+    os.makedirs(inflated, exist_ok=True)
+    for name, df in tables.items():
+        copies = []
+        for i in range(inflate):
+            c = df
+            # shift the high bits so keys from different copies never
+            # collide: join fan-outs and group counts scale with the
+            # data volume instead of stacking onto the original keys
+            for col, typ in c.dtypes:
+                if col.endswith("key") or col in ("user_id", "event_id"):
+                    c = c.withColumn(
+                        col, (F.col(col) + F.lit(i * (1 << 40))).cast("long")
+                    )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(os.path.join(inflated, name))
+    # single marker for the whole set
+    open(os.path.join(inflated, "_SUCCESS"), "w").close()
+    spark.stop()
+
+
+def _run_one(cores: int, inflate: int) -> dict[str, float]:
+    """Child-process entry: time every probe at local[cores]."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nursinghome_data_pipeline_spark.session import build_session
+
+    spark = build_session(
+        f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+    )
+    for name in ("lineitem", "orders", "events"):
+        spark.read.parquet(os.path.join(_inflated_dir(inflate), name)).createOrReplaceTempView(
+            name
+        )
+    # warm: JVM + parquet footers
+    spark.sql("SELECT COUNT(*) FROM lineitem").collect()
+    out: dict[str, float] = {}
+    for name, sql in PROBES:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.sql(sql).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inflate", type=int, default=8)
+    ap.add_argument("--cores", default="8,16,32")
+    ap.add_argument("--_child", type=int, default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+    if args._child is not None:
+        print("CHILD" + json.dumps(_run_one(args._child, args.inflate)))
+        return
+    _inflate(args.inflate)
+    results: dict[str, dict[str, float]] = {}
+    for c in (int(x) for x in args.cores.split(",")):
+        # fresh JVM per width — a reused driver would pin its thread pool
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_child", str(c),
+             "--inflate", str(args.inflate)],
+            capture_output=True,
+            text=True,
+        )
+        line = next(
+            l for l in proc.stdout.splitlines() if l.startswith("CHILD")
+        )
+        results[str(c)] = json.loads(line[len("CHILD"):])
+    print(json.dumps({"inflate": args.inflate, "sf_dir": SF_DIR, "results": results}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
