@@ -274,7 +274,18 @@ def minhash_lsh_candidate_pairs(
     shuffle key is (band_index, band_hash) — uniformly distributed, so
     no skew; bucket sizes stay tiny for non-pathological corpora. The
     self-join inside buckets emits each unordered pair once (id_a < id_b).
+
+    ``bands`` must divide ``n_hashes``: silently dropping the trailing
+    ``n_hashes % bands`` signature rows would shift the collision-
+    probability curve away from the (bands, rows_per_band) tuning the
+    caller asked for, so an inexact split is rejected instead.
     """
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes}); "
+            f"{n_hashes % bands} trailing signature rows would be "
+            f"silently unused, changing the LSH collision curve"
+        )
     rows_per_band = n_hashes // bands
     sig = df.select(
         F.col(id_col),
@@ -840,8 +851,10 @@ def passage_dedup(
     Scale: passage explosion is map-side (sequence+transform, no
     shuffle); the only shuffle is the groupBy on the passage hash,
     whose keys are uniform md5 values. The winner is chosen with one
-    ``min`` over a packed (id, offset) key — deterministic under any
-    partition layout, no window sort over the corpus.
+    ``min`` over the (id, offset) struct — deterministic under any
+    partition layout, no window sort over the corpus, and valid for
+    arbitrary 64-bit ids and document lengths (an arithmetic pack
+    would overflow or collide).
     """
     c = F.col(text_col)
     n_wins = F.floor((F.length(c) - 1) / window_chars).cast("int") + 1
@@ -859,15 +872,20 @@ def passage_dedup(
             )
         ).alias("p"),
     ).select(id_col, F.col("p.off").alias("off"), F.col("p.passage").alias("passage"))
-    # winner per distinct passage text = lowest (doc_id, offset); pack
-    # the pair into one long so min() is a plain partial-aggregable min
-    packed = (F.col(id_col) * F.lit(1_000_000) + F.col("off")).alias("pk")
+    # winner per distinct passage text = lowest (doc_id, offset) via a
+    # MIN over the (id, off) STRUCT — lexicographic comparison is
+    # partial-aggregable like a scalar min, and unlike an arithmetic
+    # pack (id * K + off) it cannot overflow int64 for hash-sized ids
+    # or collide when a document has more than K passages
+    pk = F.struct(F.col(id_col).alias("i"), F.col("off").alias("o"))
     winners = passages.groupBy(F.md5("passage").alias("fp")).agg(
-        F.min(packed).alias("win_pk")
+        F.min(pk).alias("win")
     )
     kept = (
         passages.join(winners, F.md5("passage") == F.col("fp"))
-        .where(F.col(id_col) * F.lit(1_000_000) + F.col("off") == F.col("win_pk"))
+        .where(
+            (F.col(id_col) == F.col("win.i")) & (F.col("off") == F.col("win.o"))
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_kept"),

@@ -28,11 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: degree-dominant order key: deg * 2^31 + node fits a bigint for any
-#: node id < 2^31 (degree is bounded by |V|, also < 2^31).
-_OK_BASE = 1 << 31
-
-
 def cooccurrence_edges(
     df: DataFrame, *, node_col: str, bucket_cols: list[str]
 ) -> DataFrame:
@@ -125,8 +120,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # degree-dominant total order as a (d, node) STRUCT — lexicographic
+    # comparison, valid for ANY 64-bit node id (a deg*2^31+node pack
+    # overflows bigint or leaks id bits into the degree field for
+    # hash/snowflake ids ≥ 2^31, silently breaking the orientation)
     okey = deg.select(
-        "node", (F.col("d") * F.lit(_OK_BASE) + F.col("node")).alias("ok")
+        "node", F.struct(F.col("d"), F.col("node").alias("n")).alias("ok")
     )
     # orient every edge from lower (degree, id) to higher; carry the
     # destination's order key so wedges enumerate each unordered

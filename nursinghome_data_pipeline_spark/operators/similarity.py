@@ -34,11 +34,14 @@ def lsh_planes(n_planes: int, dim: int, seed: int = 42):
 
 def _cosine(a: Column | str, b: Column | str) -> Column:
     # num/(sqrt(aa)*sqrt(bb)) in exactly this operation order — mirrored
-    # verbatim in the DuckDB oracle (registry.knn_cosine_topk).
-    num = dot_product_col(a, b)
-    return num / (
-        F.sqrt(dot_product_col(a, a)) * F.sqrt(dot_product_col(b, b))
-    )
+    # verbatim in the DuckDB oracle (registry._cosine_sql). Delegates to
+    # the shared zero-norm-guarded helper: an all-zero embedding (a
+    # padding/missing row) must score NULL — 0/0 would be NaN, which
+    # Spark orders ABOVE every real number, so the zero vector would win
+    # every top-k and pass every `>= threshold` near-dup filter.
+    from ..functions.vectors import cosine_similarity_col
+
+    return cosine_similarity_col(a, b)
 
 
 def knn_brute_force(

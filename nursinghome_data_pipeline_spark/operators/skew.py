@@ -102,7 +102,19 @@ def salted_join(
     key now spreads over ``n_salts`` reducers. Use when AQE's runtime
     skew splitting isn't available (e.g. the join feeds a
     co-partitioned downstream op).
+
+    Only joins that PRESERVE the large side are expressible with a
+    replicated small side: an unmatched small-side key has all
+    ``n_salts`` replicas unmatched, so right/full outer would emit its
+    null-extended row ``n_salts`` times — silent row multiplication.
+    Those ``how`` values are rejected; salt the other side instead.
     """
+    if how.replace("outer", "").strip("_") in ("right", "full", ""):
+        raise ValueError(
+            f"salted_join(how={how!r}): right/full outer joins would "
+            f"emit every unmatched small-side row n_salts times; swap "
+            f"the inputs (salt the preserved side) instead"
+        )
     keyed = large.withColumn(_SALT, _salt_col(large, salt_cols, n_salts))
     replicated = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -192,6 +204,19 @@ def compact_files(
     import os
     import shutil
 
+    old = path.rstrip("/") + ".compact.old"
+    # recover a previous compaction that died mid-swap BEFORE touching
+    # the directory: either the swap completed (path + .old both
+    # present → drop the leftover) or only the demote happened (.old
+    # present, path gone → restore it; the data was never lost, just
+    # parked). Without this, a leftover .old makes every later
+    # compaction's rename fail, and a missing path breaks every reader
+    # until manual repair.
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
     total = sum(
         os.path.getsize(f)
         for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
@@ -203,7 +228,6 @@ def compact_files(
         out = out.sortWithinPartitions(sort_col)
     tmp = path.rstrip("/") + ".compact.tmp"
     out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + ".compact.old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -814,15 +814,27 @@ _DOT = (
 )
 
 
+def _cosine_sql(a: str, b: str) -> str:
+    """Zero-norm-guarded cosine — the verbatim mirror of
+    ``functions/vectors.cosine_similarity_col`` (num / (sqrt(aa) *
+    sqrt(bb)), NULL when the denominator is zero, identical operation
+    order). The guard matters beyond parity: 0/0 is NaN, which Spark
+    sorts above every real number — an unguarded all-zero embedding
+    would win every top-k."""
+    num = _DOT.format(a=a, b=b)
+    den = (
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+    return f"CASE WHEN {den} = 0 THEN NULL ELSE {num} / {den} END"
+
+
 @_register(
     "knn_cosine_topk",
     f"""
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     scored AS (
       SELECT e.vec_id, e.label,
-             {_DOT.format(a="e.embedding", b="q.qe")} /
-             (sqrt({_DOT.format(a="e.embedding", b="e.embedding")}) *
-              sqrt({_DOT.format(a="q.qe", b="q.qe")})) AS cosine_sim
+             {_cosine_sql("e.embedding", "q.qe")} AS cosine_sim
       FROM embeddings e, q
       WHERE e.vec_id <> 0
     )
@@ -1940,10 +1952,7 @@ def _lsh_bucket_sql(col: str, *, n_planes: int, dim: int, seed: int = 42) -> str
     )
     SELECT id_a, id_b, cosine_sim FROM (
       SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-             {_DOT.format(a="a.embedding", b="c.embedding")} /
-             (sqrt({_DOT.format(a="a.embedding", b="a.embedding")}) *
-              sqrt({_DOT.format(a="c.embedding", b="c.embedding")}))
-               AS cosine_sim
+             {_cosine_sql("a.embedding", "c.embedding")} AS cosine_sim
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
     ) WHERE cosine_sim >= 0.9
     """.format(bucket=_lsh_bucket_sql("embedding", n_planes=6, dim=64)),
@@ -2199,13 +2208,14 @@ def image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
              substr(text, CAST(1 + off * 100 AS INT), 100) AS passage
       FROM spans
     ), winners AS (
-      SELECT md5(passage) AS fp, MIN(doc_id * 1000000 + off) AS win_pk
+      SELECT md5(passage) AS fp, MIN({'i': doc_id, 'o': off}) AS win
       FROM p2 GROUP BY md5(passage)
     ), kept AS (
       SELECT doc_id, COUNT(*) AS n_kept,
              CAST(SUM(length(passage)) AS BIGINT) AS chars_kept
       FROM p2 JOIN winners
-        ON md5(passage) = fp AND doc_id * 1000000 + off = win_pk
+        ON md5(passage) = fp AND doc_id = struct_extract(win, 'i')
+           AND off = struct_extract(win, 'o')
       GROUP BY doc_id
     ), totals AS (
       SELECT doc_id, COUNT(*) AS n_passages,
@@ -2219,8 +2229,8 @@ def image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Sub-document (passage-level) exact dedup "
     "(operators/dedup.passage_dedup): fixed 100-char windows, one "
-    "winner per distinct passage = lowest (doc, offset) via a packed "
-    "min — catches boilerplate repeated ACROSS distinct documents "
+    "winner per distinct passage = lowest (doc, offset) via a struct "
+    "MIN — catches boilerplate repeated ACROSS distinct documents "
     "that whole-doc dedup (exact_dedup_docs) misses. Passage "
     "explosion is map-side; the only shuffles group on uniform md5 "
     "keys. Winner selection is a partial-aggregable MIN, not a "
@@ -2646,9 +2656,7 @@ def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0)
     SELECT b.vec_id,
-           {_DOT.format(a="b.embedding", b="q.qe")} /
-           (sqrt({_DOT.format(a="b.embedding", b="b.embedding")}) *
-            sqrt({_DOT.format(a="q.qe", b="q.qe")})) AS cosine_sim
+           {_cosine_sql("b.embedding", "q.qe")} AS cosine_sim
     FROM b, q WHERE b.bucket = q.qb
     ORDER BY cosine_sim DESC, b.vec_id LIMIT 10
     """.format(bucket=_lsh_bucket_sql("embedding", n_planes=6, dim=64)),
@@ -2690,11 +2698,7 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_COS = (
-    f"{_DOT.format(a='{v}', b='{s}')} / "
-    f"(sqrt({_DOT.format(a='{v}', b='{v}')}) * "
-    f"sqrt({_DOT.format(a='{s}', b='{s}')}))"
-)
+_IVF_COS = _cosine_sql("{v}", "{s}")
 
 
 @_register(
@@ -5238,11 +5242,11 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
       ) GROUP BY node
     ),
-    ok AS (SELECT node, d * 2147483648 + node AS okey FROM deg),
+    ok AS (SELECT node, {'d': d, 'n': node} AS okey FROM deg),
     e AS (
       SELECT CASE WHEN ou.okey < ov.okey THEN p.u ELSE p.v END AS src,
              CASE WHEN ou.okey < ov.okey THEN p.v ELSE p.u END AS dst,
-             greatest(ou.okey, ov.okey) AS dst_k
+             CASE WHEN ou.okey < ov.okey THEN ov.okey ELSE ou.okey END AS dst_k
       FROM pairs p
       JOIN ok ou ON ou.node = p.u
       JOIN ok ov ON ov.node = p.v
@@ -6478,9 +6482,7 @@ _HNM_ANCHORS = 16
     ),
     scored AS (
       SELECT q.q_id, e.vec_id AS neg_id, e.label AS neg_label,
-             {_DOT.format(a="e.embedding", b="q.qe")} /
-             (sqrt({_DOT.format(a="e.embedding", b="e.embedding")}) *
-              sqrt({_DOT.format(a="q.qe", b="q.qe")})) AS cosine_sim
+             {_cosine_sql("e.embedding", "q.qe")} AS cosine_sim
       FROM embeddings e JOIN q ON e.label <> q.q_label
     )
     SELECT q_id, neg_id, neg_label, ROUND(cosine_sim, 6) AS cosine_sim

@@ -204,7 +204,20 @@ def streaming_upsert_sink(
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
+        import shutil
+
         data_dir = os.path.join(target_dir, "data")
+        old_dir = data_dir + "_old"
+        # crash recovery for the two-rename swap below: a previous run
+        # that died mid-swap left either a completed swap (data + _old
+        # both present → drop the leftover _old) or a demoted-only
+        # state (_old present, data missing → restore it before
+        # merging, the batch was never committed)
+        if os.path.exists(old_dir):
+            if os.path.exists(data_dir):
+                shutil.rmtree(old_dir)
+            else:
+                os.rename(old_dir, data_dir)
         if os.path.exists(data_dir):
             tgt = spark.read.parquet(data_dir)
             src = latest.select(
@@ -225,13 +238,17 @@ def streaming_upsert_sink(
         else:
             merged = latest
         merged.write.mode("overwrite").parquet(data_dir + "_next")
-        # atomic-enough local swap; a real deployment uses Delta/Iceberg
-        # commit protocols or HDFS rename
-        import shutil
-
+        # demote-promote-drop swap: at EVERY crash point either data/
+        # or data_old/ holds a complete pre- or post-merge table (an
+        # rmtree-then-rename order has a window where both are gone,
+        # and the idempotent retry would silently rebuild the target
+        # from this one batch). A real deployment uses Delta/Iceberg
+        # commit protocols or an atomic store rename instead.
         if os.path.exists(data_dir):
-            shutil.rmtree(data_dir)
+            os.rename(data_dir, old_dir)
         os.rename(data_dir + "_next", data_dir)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
         with open(manifest, "a", encoding="utf-8") as fh:
             fh.write(f"{batch_id}\n")
 

@@ -64,7 +64,12 @@ def _fold_batch(n: int, vq: int, pdf: pd.DataFrame) -> tuple[int, int]:
     q = float(1 << Q_BITS)
     n += len(pdf)
     vals = np.asarray(pdf["value"], dtype=np.float64)
-    finite = ~np.isnan(vals)
+    # isfinite, not just not-NaN: floor(±inf * 2^Q) cast to int64 is
+    # undefined (INT64_MIN in practice) and would silently corrupt the
+    # running total. Dropping non-finite terms matches the batch twin:
+    # q_sum_term's CAST(floor(inf * 2^Q) AS DECIMAL) yields NULL under
+    # the engine's coerce-to-null cast and falls out of the SUM.
+    finite = np.isfinite(vals)
     if finite.any():
         vq += int(np.floor(vals[finite] * q).astype(np.int64).sum())
     return n, vq

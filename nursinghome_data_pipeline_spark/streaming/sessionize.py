@@ -44,9 +44,21 @@ def sessionize_stream(
     Emits, per micro-batch and user, one row per session touched in
     that batch: (user_id, session_id, n_events, session_start).
     ``update`` output mode shows sessions grow across batches; a
-    session's row is final once the user's gap elapses. Events must
-    arrive per-user in event-time order within a batch (guaranteed: the
-    batch group is sorted here before folding).
+    session's row is final once the user's gap elapses. The group's
+    events are concatenated across Arrow chunks and sorted ONCE before
+    folding — a large group arrives as multiple pandas chunks
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``), and chunk 2 can
+    hold earlier timestamps than chunk 1, so per-chunk sorting would
+    fold out of event-time order.
+
+    Identity contract: ``(user_id, session_start)`` is the stable
+    session key. ``session_id`` is the ordinal within the state-
+    retention horizon — eviction (the bounded-state guarantee) resets
+    a RETURNING user's ordinal to 1, so a sink keyed on
+    (user_id, session_id) would collide across the horizon;
+    session_start never collides (event time is watermark-monotone
+    past the gap). The batch twin numbers over all history, so
+    streaming ≡ twin parity holds within one retention horizon.
     """
     gap_us = gap_minutes * 60 * 1_000_000
 
@@ -57,7 +69,8 @@ def sessionize_stream(
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             # watermark passed last_ts + gap: the session can no longer
-            # grow — evict its state (bounded state at 100 TB)
+            # grow — evict its state (bounded state at 100 TB; see the
+            # identity contract in the docstring)
             state.remove()
             return
         if state.exists:
@@ -65,16 +78,21 @@ def sessionize_stream(
         else:
             last_ts, sid, n, start_us = None, 0, 0, None
         touched: dict[int, tuple] = {}
-        for pdf in pdfs:
-            for ts in pdf.sort_values("ts")["ts"]:
-                ts_us = int(ts.value // 1000)  # pandas ns -> us
-                if last_ts is None or ts_us - last_ts > gap_us:
-                    sid += 1
-                    n = 0
-                    start_us = ts_us
-                n += 1
-                last_ts = ts_us
-                touched[sid] = (key[0], sid, n, start_us)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        merged = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        )
+        for ts in merged.sort_values("ts")["ts"]:
+            ts_us = int(ts.value // 1000)  # pandas ns -> us
+            if last_ts is None or ts_us - last_ts > gap_us:
+                sid += 1
+                n = 0
+                start_us = ts_us
+            n += 1
+            last_ts = ts_us
+            touched[sid] = (key[0], sid, n, start_us)
         state.update((last_ts, sid, n, start_us))
         # event-time timer: fire once the watermark passes the gap after
         # the last event (must stay ahead of the current watermark)

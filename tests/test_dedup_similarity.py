@@ -281,3 +281,38 @@ def test_star_cc_matches_label_propagation_on_clusters(spark):
     }
     star, _ = connected_components_star(nodes, edges)
     assert {r.doc_id: r.component_id for r in star.collect()} == lp
+
+
+def test_lsh_bands_must_divide_n_hashes(spark):
+    import pytest
+
+    from nursinghome_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide n_hashes"):
+        minhash_lsh_candidate_pairs(docs, n_hashes=16, bands=5)
+
+
+def test_zero_norm_embedding_scores_null_not_nan(spark):
+    # an all-zero embedding must score NULL (sorted last, fails any
+    # >= threshold filter) — unguarded 0/0 is NaN, which Spark orders
+    # ABOVE every real number and would win every top-k
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        embedding_near_duplicate_pairs,
+        knn_brute_force,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame([([1.0, 0.0],)], "query_embedding array<float>")
+    rows = knn_brute_force(df, q, k=3).collect()
+    assert [r.vec_id for r in rows] == [2, 3, 1]
+    assert rows[-1].cosine_sim is None
+    pairs = embedding_near_duplicate_pairs(
+        df, dim=2, threshold=0.5, n_planes=2
+    ).collect()
+    assert all(1 not in (r.id_a, r.id_b) for r in pairs)

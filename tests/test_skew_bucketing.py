@@ -152,3 +152,37 @@ def test_compact_files_sorted_keeps_rowgroup_stats_selective(spark, tmp_path):
     assert all(
         r.ok for r in back.select("k").mapInPandas(check, "ok boolean").collect()
     )
+
+
+def test_salted_join_rejects_small_side_preserving_outer(spark):
+    # replicated-small salting cannot express right/full outer: every
+    # unmatched small-side key would emit its null-extended row once
+    # per salt replica (silent row multiplication)
+    import pytest
+
+    large = _skewed_df(spark)
+    small = spark.createDataFrame([("HOT", 1), ("nope", 2)], "k string, tag int")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="unmatched small-side row"):
+            salted_join(large, small, ["k"], how=how)
+    # left outer preserves the salted (large) side — allowed and exact
+    plain = large.join(small, ["k"], "left")
+    salted = salted_join(large, small, ["k"], how="left", n_salts=8)
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_compact_files_recovers_interrupted_swap(spark, tmp_path):
+    # simulate a compaction that crashed after demoting the live dir:
+    # path is gone, .compact.old holds the data — the next compaction
+    # must restore and proceed instead of failing on the leftover
+    import os
+
+    from nursinghome_data_pipeline_spark.operators.skew import compact_files
+
+    path = str(tmp_path / "crashy")
+    spark.range(0, 1000).repartition(8).write.parquet(path)
+    os.rename(path, path + ".compact.old")  # crash state: demote done
+    n = compact_files(spark, path, target_bytes=1 << 30)
+    assert n >= 1
+    assert not os.path.exists(path + ".compact.old")
+    assert spark.read.parquet(path).count() == 1000
