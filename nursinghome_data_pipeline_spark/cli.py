@@ -99,7 +99,11 @@ def _cmd_sync(args: argparse.Namespace) -> int:
         exclude=args.exclude or None,
         include_hidden=args.hidden,
         max_size_bytes=(
-            int(args.max_size_mb * 1024 * 1024) if args.max_size_mb else None
+            # `is not None`, not truthiness: --max-size-mb 0 means
+            # "only empty files", not "no limit"
+            int(args.max_size_mb * 1024 * 1024)
+            if args.max_size_mb is not None
+            else None
         ),
     )
     for row in manifest_lines(result).collect():
@@ -178,7 +182,11 @@ def _cmd_corpus_build(args: argparse.Namespace) -> int:
 
     from pyspark.sql import functions as F
 
-    from .functions.text import quality_score_col, token_count_col
+    from .functions.text import (
+        english_stopword_filter,
+        quality_score_col,
+        token_count_col,
+    )
     from .operators.corpus import decontaminate
     from .operators.dedup import connected_components, jaccard_pair_join
     from .sources.tpch import load_tables
@@ -187,13 +195,25 @@ def _cmd_corpus_build(args: argparse.Namespace) -> int:
     docs = load_tables(spark, args.sf_dir, ["documents"])["documents"]
     stages: dict[str, int] = {"input": docs.count()}
 
-    filtered = docs.where(quality_score_col("text") >= args.min_quality)
+    # same selection as the corpus_build_docs registry twin: language
+    # heuristic AND quality floor — without the language gate the
+    # written artifact diverges from the oracle-checked query it
+    # claims to mirror
+    filtered = docs.where(
+        english_stopword_filter("text")
+        & (quality_score_col("text") >= args.min_quality)
+    )
     stages["quality_filtered"] = filtered.count()
 
     canon = filtered.groupBy(F.md5(F.col("text")).alias("fp")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    exact = filtered.join(canon.select("doc_id"), "doc_id", "left_semi")
+    # the survivor subtree feeds pair-join (twice), CC seeding, the
+    # near-dedup semi-join, and stage counts — materialize once (same
+    # pattern as the registry twin)
+    exact = filtered.join(
+        canon.select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=False)
     stages["exact_deduped"] = exact.count()
 
     pairs = jaccard_pair_join(exact, threshold=args.jaccard_threshold)

@@ -36,6 +36,24 @@ def normalize_quarter_col(c: Column | str) -> Column:
     )
 
 
+#: English stopword list for the ratio-based language heuristic — the
+#: single owner; the registry's oracle-SQL literal derives from it.
+STOPWORDS_EN = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+
+def english_stopword_filter(c: Column | str, *, min_ratio: float = 0.08) -> Column:
+    """Heuristic language-ID predicate: TRUE when at least ``min_ratio``
+    of whitespace tokens are English stopwords (and the text is
+    non-empty). Pure Column expression; shared by the registry's
+    corpus_build_docs twin and the corpus-build CLI so the two
+    pipelines select the same documents."""
+    c = F.col(c) if isinstance(c, str) else c
+    toks = F.split(F.lower(F.trim(c)), " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    return (n_tok > 0) & (n_stop.cast("double") / n_tok >= min_ratio)
+
+
 def token_count_col(c: Column | str) -> Column:
     """Whitespace token count; 0 for empty/blank strings.
 

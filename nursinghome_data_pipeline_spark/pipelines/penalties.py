@@ -25,7 +25,10 @@ from ..sources.csv_source import ingest_dataset, list_matching_files
 log = logging.getLogger(__name__)
 
 #: parity: fact_penalty CTAS, build.py:85-97 (date() normalization is a
-#: no-op here — penalty_date is already DATE-typed by declared-cast)
+#: no-op here — penalty_date is already DATE-typed by declared-cast).
+#: The staging table name is substituted from the dataset spec — a
+#: hardcoded name would silently read a STALE staging_penalties table
+#: (or fail) whenever the config declares a different staging_table.
 FACT_PENALTY_SQL = """
   SELECT
     cms_certification_number_ccn AS ccn,
@@ -35,7 +38,7 @@ FACT_PENALTY_SQL = """
     payment_denial_length_in_days AS denial_days,
     state,
     provider_name
-  FROM staging_penalties
+  FROM {staging_table}
 """
 
 #: parity: v_penalties_by_state, build.py:98-107 (no-ELSE CASE → NULL
@@ -80,6 +83,12 @@ def run_build(
             )
         log.info("loaded %s -> %s rows=%d", name, spec.staging_table, staged[name])
     if "penalties" in specs and "penalties" in staged:
-        create_table_as(spark, "fact_penalty", FACT_PENALTY_SQL)
+        create_table_as(
+            spark,
+            "fact_penalty",
+            FACT_PENALTY_SQL.format(
+                staging_table=specs["penalties"].staging_table
+            ),
+        )
         create_view(spark, "v_penalties_by_state", PENALTIES_BY_STATE_SQL)
     return staged

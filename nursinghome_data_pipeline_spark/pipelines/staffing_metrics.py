@@ -229,10 +229,14 @@ def run_staffing_metrics(
     merged = load_staffing_data(spark, data_dir, report)
     cleaned, clean_obs = clean_and_prepare(merged)
     metrics, calc_obs = calculate_metrics(cleaned)
+    # cache in BOTH branches: the CSV write is one action, but the
+    # returned frame is consumed again by every caller (the CLI counts
+    # it) — without the cache the --out path re-executed the whole
+    # multi-file scan + join + aggregate a second time
+    metrics = metrics.cache()
     if out_dir is not None:
         write_metrics_csv(metrics, out_dir)
     else:
-        metrics = metrics.cache()
         metrics.count()
     co = clean_obs.get
     report.zero_blanked_rows = int(co["zero_blanked_rows"])

@@ -87,8 +87,14 @@ def numeric_columns(df: DataFrame) -> list[str]:
 
 
 def numeric_means(df: DataFrame) -> DataFrame:
-    """A7: one-pass means of every numeric column (streamlit_app.py:34-37)."""
+    """A7: one-pass means of every numeric column (streamlit_app.py:34-37).
+
+    A table with NO numeric columns (all-string inferred CSVs are
+    common) yields one empty-schema row rather than crashing — agg()
+    rejects an empty expression list."""
     cols = numeric_columns(df)
+    if not cols:
+        return df.sparkSession.range(1).select()
     return df.agg(*[F.avg(c).alias(c) for c in cols])
 
 

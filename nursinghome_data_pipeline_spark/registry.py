@@ -36,6 +36,8 @@ from .functions.exprs import (
     q_sum_term,
 )
 from .functions.text import (
+    STOPWORDS_EN,
+    english_stopword_filter,
     normalize_quarter_col,
     oracle_quality_score,
     oracle_sentiment,
@@ -1672,7 +1674,7 @@ def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tokenization, sessionization
 # ---------------------------------------------------------------------------
 
-_STOPWORDS = "('the','and','of','to','a','in','is','it','for','on')"
+_STOPWORDS = "(" + ",".join(f"'{w}'" for w in STOPWORDS_EN) + ")"
 
 
 @_register(
@@ -2973,12 +2975,9 @@ def corpus_build_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import connected_components, jaccard_pair_join
 
     (documents,) = _t(spark, sf_dir, "documents")
-    stop = [s.strip("'") for s in _STOPWORDS.strip("()").split(",")]
-    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
-    is_en = (n_tok > 0) & (n_stop.cast("double") / n_tok >= 0.08)
-    filtered = documents.where(is_en & (quality_score_col("text") >= 0.6))
+    filtered = documents.where(
+        english_stopword_filter("text") & (quality_score_col("text") >= 0.6)
+    )
     canon = filtered.groupBy(F.md5(F.col("text")).alias("fp")).agg(
         F.min("doc_id").alias("doc_id")
     )

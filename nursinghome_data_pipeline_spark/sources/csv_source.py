@@ -65,11 +65,16 @@ def cast_expr(c: F.Column, typ: str) -> F.Column:
 
 
 def sniff_header(path: str) -> tuple[str, ...]:
-    """Read just the first line of a CSV (driver-side, bounded cost)."""
+    """Read just the first line of a CSV (driver-side, bounded cost).
+
+    A zero-byte file (partial download, touch placeholder) returns an
+    empty header instead of leaking the iterator's bare StopIteration
+    through the whole ingest run — callers treat () as
+    matches-no-schema and skip the file."""
     import csv
 
     with open(path, newline="", encoding="utf-8-sig") as f:
-        return tuple(next(csv.reader(f)))
+        return tuple(next(csv.reader(f), ()))
 
 
 def list_matching_files(base_dir: str, pattern: str) -> list[str]:

@@ -190,12 +190,23 @@ def sync(
         if any(t.name == manifest_table for t in spark.catalog.listTables()):
             existing = spark.table(manifest_table)
     todo = plan_sync(fresh, existing)
-    if dry_run or manifest_table is None:
+    if dry_run:
         return todo
+    # copy runs whenever a destination is given — a manifest is an
+    # optional idempotence ledger, not a precondition for moving bytes
+    # (the old early-return skipped the copy entirely for
+    # dest_dir-without-manifest runs while reporting the plan as done)
     if dest_dir is not None:
         done = copy_files(todo, base_dir, dest_dir, verify=verify)
         todo = done.where(F.col("copied")).select(
             "path", "size_bytes", "mtime", "sha256"
         )
+    if manifest_table is None:
+        return todo
+    # materialize the newly-recorded rows BEFORE appending: the return
+    # value is this run's delta (as documented), not the ever-growing
+    # manifest history — and reading the table back after the append
+    # would also re-trigger the copy job's lineage
+    todo = todo.localCheckpoint(eager=True)
     todo.write.mode("append").format("parquet").saveAsTable(manifest_table)
-    return spark.table(manifest_table)
+    return todo

@@ -42,12 +42,24 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as a nanosecond long and truncate to
-    microsecond timestamps — the same ns→us truncation DuckDB applies,
-    so oracle comparisons see identical instants."""
+    """events.ts is parquet TIMESTAMP(NANOS); where the reader rejects
+    it (pre-native-NANOS Spark), read it as a nanosecond long and
+    truncate to microsecond timestamps — the same ns→us truncation
+    DuckDB applies, so oracle comparisons see identical instants.
+
+    The legacy conf is RESTORED after the read: the resolved relation
+    keeps its schema, and leaving the session-wide flag set would make
+    every later parquet read in the caller's session silently decode
+    unrelated NANOS columns as raw longs."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

@@ -111,11 +111,32 @@ def test_sync_with_dest_copies_then_skips(spark, tree, tmp_path):
         if not f.startswith("_")
     ]
     assert len(copied) == n_files
-    # re-run: nothing new planned, nothing re-copied (mtimes unchanged)
+    # re-run: nothing new planned, nothing re-copied (mtimes unchanged);
+    # the return is THIS run's newly-recorded delta (empty), while the
+    # manifest table keeps the full history
     mtimes = {p: os.path.getmtime(p) for p in copied}
     second = sync(spark, str(tree), manifest_table=t, dest_dir=dest)
-    assert second.count() == n_files
+    assert second.count() == 0
+    assert spark.table(t).count() == n_files
     assert {p: os.path.getmtime(p) for p in copied} == mtimes
+
+
+def test_sync_dest_without_manifest_still_copies(spark, tree, tmp_path):
+    """A destination with no manifest ledger must still move bytes —
+    the plan is just not recorded (every re-run re-copies)."""
+    import os
+
+    dest = str(tmp_path / "dest3")
+    n_files = len(collect_files(str(tree)))
+    done = sync(spark, str(tree), dest_dir=dest)
+    assert done.count() == n_files
+    copied = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(dest)
+        for f in fs
+        if not f.startswith("_")
+    ]
+    assert len(copied) == n_files
 
 
 def test_sync_end_to_end_idempotent(spark, tree):
@@ -123,9 +144,10 @@ def test_sync_end_to_end_idempotent(spark, tree):
     first = sync(spark, str(tree), manifest_table=t)
     n = first.count()
     assert n == collect_files(str(tree)) .__len__()
-    # second run appends nothing (idempotent)
+    # second run appends nothing (idempotent) — and returns the empty
+    # newly-recorded delta, not the manifest history
     second = sync(spark, str(tree), manifest_table=t)
-    assert second.count() == n
+    assert second.count() == 0
     # dry-run never writes
     dry = sync(spark, str(tree), manifest_table=t, dry_run=True)
     assert dry.count() == 0
