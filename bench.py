@@ -92,10 +92,18 @@ BENCH_QUERIES = [
     "streaming_hourly_events",
     "streaming_dedup_events",
     "streaming_stateful_user_totals",
+    "streaming_enriched_events",
+    "streaming_click_purchase_join",
+    "streaming_sliding_events",
     # fixed-plan queries (watch for regressions in the new shapes)
     "rolling_7d_active_users",
     "approx_profile_events",
     "image_resize_plan",
+    "knn_lsh_topk",
+    "knn_ivf_fixed_topk",
+    "simhash_docs",
+    "whitened_embeddings_by_label",
+    "synthetic_docs_quality",
 ]
 
 

@@ -802,9 +802,19 @@ def near_duplicate_pairs(
 ) -> DataFrame:
     """LSH candidates verified by exact n-gram Jaccard >= threshold.
 
-    Verification re-joins candidate ids back to text, so only candidate
-    pairs (a tiny fraction of n²) ever carry document bodies through a
-    shuffle.
+    Each document is shingled ONCE (distinct hashed shingles — the
+    same 64-bit family :func:`jaccard_pair_join` carries, with the
+    same ~2⁻⁶⁴ collision tolerance vs string shingles); candidate
+    pairs then join the precomputed sets and verify with one
+    array-intersect. The earlier formulation joined raw text and
+    re-shingled per PAIR — on a mass-duplicated corpus a text copied
+    m times sits in one LSH bucket and is re-shingled C(m,2)·2 times,
+    which measured 126 s for a 16×-duplicated sf0.1 corpus
+    (scripts/scaling_probe.py) vs 4.2 s with per-doc shingling. The
+    hashed-long arrays are also smaller on the wire than the text
+    they replace. (For corpora with heavy exact duplication, still run
+    :func:`exact_dedup_fingerprints` first — it collapses the m copies
+    before any pair is generated.)
     """
     cands = minhash_lsh_candidate_pairs(
         df,
@@ -814,16 +824,21 @@ def near_duplicate_pairs(
         bands=bands,
         shingle_k=shingle_k,
     )
-    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
-    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    sets = df.select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(shingle_hash_col(text_col, shingle_k)).alias("_sh"),
+    )
+    sa = sets.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    sb = sets.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    jaccard = F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
     return (
-        cands.join(ta, "id_a")
-        .join(tb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            ngram_jaccard_col("text_a", "text_b", shingle_k=shingle_k).alias("jaccard"),
-        )
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

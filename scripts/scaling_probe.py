@@ -80,6 +80,67 @@ PROBES = [
 ]
 
 
+#: LLM-pipeline probes over the inflated documents table — the shapes
+#: SCALE.md's dedup/text sections make claims about. Expressed through
+#: the engine's own operators (not plain SQL) so the probe measures
+#: the real plans: map-only signatures, the banded LSH shuffle, and
+#: the inverted-index exact-Jaccard join with its df-cutoff.
+def _doc_probes(spark, inflate: int):
+    import time
+
+    from pyspark.sql import functions as F
+
+    from nursinghome_data_pipeline_spark.functions.text import (
+        quality_score_col,
+        token_count_col,
+    )
+    from nursinghome_data_pipeline_spark.operators.dedup import (
+        jaccard_pair_join,
+        minhash_signature_col,
+        near_duplicate_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(_inflated_dir(inflate), "documents"))
+    probes = {
+        "text_score_map": lambda: docs.select(
+            "doc_id",
+            token_count_col("text").alias("n_tok"),
+            quality_score_col("text").alias("q"),
+        ),
+        "minhash_map": lambda: docs.select(
+            "doc_id", minhash_signature_col("text", n_hashes=16)
+        ),
+        "lsh_near_dup": lambda: near_duplicate_pairs(docs, threshold=0.9),
+        "exact_jaccard": lambda: jaccard_pair_join(
+            docs, threshold=0.9, max_df=64
+        ),
+    }
+    emb = spark.read.parquet(
+        os.path.join(_inflated_dir(inflate), "embeddings")
+    )
+    qdf = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        knn_brute_force,
+        random_projection_buckets,
+    )
+
+    probes["knn_brute"] = lambda: knn_brute_force(emb, qdf, k=10)
+    probes["lsh_bucketize"] = lambda: random_projection_buckets(
+        emb, dim=64, n_planes=8
+    )
+    out = {}
+    for name, mk in probes.items():
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
 def _inflate(inflate: int) -> None:
     """One-time write of the inflated copy (reused across core runs)."""
     inflated = _inflated_dir(inflate)
@@ -92,7 +153,9 @@ def _inflate(inflate: int) -> None:
     from nursinghome_data_pipeline_spark.sources.tpch import load_tables
 
     spark = build_session("scaling-inflate")
-    tables = load_tables(spark, SF_DIR, ["lineitem", "orders", "events"])
+    tables = load_tables(
+        spark, SF_DIR, ["lineitem", "orders", "events", "documents", "embeddings"]
+    )
     os.makedirs(inflated, exist_ok=True)
     for name, df in tables.items():
         copies = []
@@ -102,7 +165,12 @@ def _inflate(inflate: int) -> None:
             # collide: join fan-outs and group counts scale with the
             # data volume instead of stacking onto the original keys
             for col, typ in c.dtypes:
-                if col.endswith("key") or col in ("user_id", "event_id"):
+                if col.endswith("key") or col in (
+                    "user_id",
+                    "event_id",
+                    "doc_id",
+                    "vec_id",
+                ):
                     c = c.withColumn(
                         col, (F.col(col) + F.lit(i * (1 << 40))).cast("long")
                     )
@@ -138,6 +206,9 @@ def _run_one(cores: int, inflate: int) -> dict[str, float]:
             spark.sql(sql).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
+    # LLM-pipeline shapes over the duplicated-document corpus (the
+    # inflation itself plants exact duplicates — the dedup stress case)
+    out.update(_doc_probes(spark, inflate))
     spark.stop()
     return out
 
