@@ -672,6 +672,7 @@ def connected_components(
         return (row["n"], row["s"])
 
     prev = _label_state(labels)
+    converged = False
     for _ in range(max_iter):
         prop = e.join(
             labels.select(
@@ -687,8 +688,21 @@ def connected_components(
         )
         new = _label_state(labels)
         if new == prev:
+            converged = True
             break
         prev = new
+    if not converged:
+        # Partial labels are silently WRONG (nodes mid-chain still carry
+        # a non-minimum label) — never return them. A graph that needs
+        # more than max_iter label-propagation rounds has a component
+        # diameter of that order, which is the exact case the O(log n)
+        # star variant exists for.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "label-propagation rounds (component diameter exceeds "
+            'max_iter); use algorithm="star" for long-chain graphs '
+            "or raise max_iter"
+        )
     return labels.select(F.col("node").alias(id_col), "component_id")
 
 

@@ -138,6 +138,86 @@ def _doc_probes(spark, inflate: int):
             mk().write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
+    out.update(_iterative_probes(spark, inflate, docs, emb))
+    return out
+
+
+def _iterative_probes(spark, inflate: int, docs, emb):
+    """Iterative-operator shapes: rounds × (join + agg + checkpoint).
+
+    These are the operators whose 100 TB story depends on ROUND COUNT
+    staying bounded while per-round cost scales linearly — exactly what
+    wall-clock at small sf cannot show. The inflation plants `inflate`
+    exact copies of every document, so the near-dup graph is n_docs
+    components of size `inflate`: CC is measured on a graph whose
+    component count and edge count both grow with the data.
+
+    Edge generation (the LSH join) is timed separately above
+    (`lsh_near_dup`); edges are staged to parquet once per inflate
+    factor so the timings here isolate the iterative phase.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from nursinghome_data_pipeline_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+    from nursinghome_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        near_duplicate_pairs,
+    )
+    from nursinghome_data_pipeline_spark.operators.graph import bfs_hops
+
+    edge_dir = os.path.join(_inflated_dir(inflate), "nd_edges")
+    if not os.path.exists(os.path.join(edge_dir, "_SUCCESS")):
+        near_duplicate_pairs(docs, threshold=0.9).select(
+            "id_a", "id_b"
+        ).write.mode("overwrite").parquet(edge_dir)
+    edges = spark.read.parquet(edge_dir)
+    nodes = docs.select("doc_id")
+    # synthetic long-path graph for the star-vs-propagation comparison:
+    # a few chains of length ~1000 — the adversarial diameter case the
+    # star algorithm exists for (near-dup graphs have diameter 2-3)
+    chain = spark.range(0, 8000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    ).where((F.col("id") + 1) % 1000 != 0)
+    chain_nodes = spark.range(0, 8000).select(F.col("id").alias("doc_id"))
+    events = spark.read.parquet(os.path.join(_inflated_dir(inflate), "events"))
+    ev_edges = (
+        events.where(F.col("user_id").isNotNull())
+        .select(
+            F.col("user_id").alias("u"),
+            ((F.col("user_id") * 2654435761) % 997).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    seeds = spark.range(0, 5).select(F.col("id").alias("node"))
+    init = emb.orderBy("vec_id").limit(4).select(
+        F.row_number().over(Window.orderBy("vec_id")).alias("cid"),
+        F.col("embedding").alias("clist"),
+    )
+    probes = {
+        "cc_near_dup": lambda: connected_components(nodes, edges),
+        "cc_star_near_dup": lambda: connected_components(
+            nodes, edges, algorithm="star"
+        ),
+        "cc_long_chain_star": lambda: connected_components(
+            chain_nodes, chain, algorithm="star", max_iter=30
+        ),
+        "bfs_3hop": lambda: bfs_hops(ev_edges, seeds, max_hops=3),
+        "kmeans_2iter": lambda: kmeans_lloyd(emb, init, iterations=2),
+    }
+    out = {}
+    for name, mk in probes.items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
     return out
 
 

@@ -144,6 +144,28 @@ def test_connected_components_transitive_chain(spark):
     assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5}
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """A graph whose diameter exceeds max_iter must raise, not return
+    silently-partial labels (mid-chain nodes would still carry a
+    non-minimum component id)."""
+    from nursinghome_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="star"):
+        connected_components(nodes, chain, max_iter=3)
+    # the star variant labels the same chain in O(log n) alternations
+    labels, rounds = connected_components_star(nodes, chain, max_iter=10)
+    assert rounds <= 6
+    assert {r.component_id for r in labels.collect()} == {0}
+
+
 def test_connected_components_edge_only_nodes_both_algorithms(spark):
     """Ids appearing only in the edge list are part of a component —
     they must be labeled and returned, not dropped, by BOTH algorithms.
