@@ -171,6 +171,95 @@ def write_time_partitioned(
     )
 
 
+def bucketed_global_order(
+    df: DataFrame,
+    *,
+    value_col: str,
+    tiebreak_col: str,
+    q: int = 1 << 20,
+    bucket_width: int = 1 << 28,
+    descending: bool = False,
+) -> DataFrame:
+    """Global rank + running quantized sum WITHOUT a global window.
+
+    ``Window.orderBy`` with no partition moves the entire input to ONE
+    reducer — fine for a |weeks|-row rollup, a scale-stopper over
+    per-customer aggregates (the WindowExec "No Partition Defined"
+    warning). This computes the identical result with the two-phase
+    bucket-offset pattern, fully deterministic (no sampled range
+    boundaries, so stage retries reproduce the same layout —
+    the same reasoning as :func:`_salt_col`):
+
+    1. bucket each row by its quantized value (``floor(value*q) //
+       bucket_width`` — a pure function of the row, monotone in the
+       sort order);
+    2. aggregate per-bucket counts and quantized sums (one narrow
+       shuffle), then prefix-sum the offsets with a window over the
+       BUCKET table — global, but over ``domain/bucket_width`` rows,
+       a constant independent of data size;
+    3. broadcast the offsets back and run the rank/running-sum window
+       PARTITIONED BY bucket: ``i = bucket_count_offset +
+       row_number-within-bucket``, ``cum_q = bucket_sum_offset +
+       running-sum-within-bucket``.
+
+    Output = input columns + ``i`` (global row_number ordered by
+    (value [DESC if ``descending``], tiebreak ASC)), ``n`` (total row
+    count), ``cum_q`` / ``total_q`` (inclusive running / grand total of
+    ``floor(value*q)`` as DECIMAL(38,0) — exact integers, so downstream
+    double casts match a single-window plan bit-for-bit).
+
+    Skew bound: the largest window partition is the most-populated
+    bucket (value-concentration, e.g. a point mass of identical
+    revenues, concentrates its bucket — narrow ``bucket_width`` to
+    split by value; exact ties are irreducible, like any sort).
+    ``value_col`` must be non-null and ``|value*q|`` must fit a long.
+    """
+    from pyspark.sql.window import Window
+
+    qv_long = F.floor(F.col(value_col) * q).cast("long")
+    qv_dec = F.floor(F.col(value_col) * q).cast("decimal(38,0)")
+    bucket = F.floor(qv_long / F.lit(bucket_width)).cast("long")
+    rows = df.withColumn("__bkt", bucket)
+
+    per_bucket = rows.groupBy("__bkt").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(qv_dec).alias("__sum"),
+    )
+    border = F.desc("__bkt") if descending else F.asc("__bkt")
+    prior = (
+        Window.orderBy(border)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    everything = Window.orderBy(border).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = per_bucket.select(
+        "__bkt",
+        F.coalesce(F.sum("__cnt").over(prior), F.lit(0)).alias("__cnt_off"),
+        F.coalesce(
+            F.sum("__sum").over(prior), F.lit(0).cast("decimal(38,0)")
+        ).alias("__sum_off"),
+        F.sum("__cnt").over(everything).alias("n"),
+        F.sum("__sum").over(everything).alias("total_q"),
+    )
+
+    vorder = F.desc(value_col) if descending else F.asc(value_col)
+    within = Window.partitionBy("__bkt").orderBy(vorder, F.asc(tiebreak_col))
+    running = within.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        rows.join(F.broadcast(offsets), "__bkt")
+        .select(
+            *df.columns,
+            (F.col("__cnt_off") + F.row_number().over(within)).alias("i"),
+            "n",
+            (F.col("__sum_off") + F.sum(qv_dec).over(running))
+            .cast("decimal(38,0)")
+            .alias("cum_q"),
+            "total_q",
+        )
+    )
+
+
 def has_exchange(df: DataFrame) -> bool:
     """True if the executed plan contains a shuffle Exchange (test/
     diagnostics helper for asserting co-located execution)."""

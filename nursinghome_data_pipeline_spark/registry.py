@@ -8059,24 +8059,30 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "answer behind 'how concentrated is our revenue'. Running and "
     "total sums are QUANTIZED window sums (exact integers — a plain "
     "double running sum OVER would drift with frame evaluation "
-    "order), so the crossing rank is identical in both engines. "
-    "Complements revenue_gini_coefficient (the integral of this "
-    "curve).",
+    "order), so the crossing rank is identical in both engines. The "
+    "rank/running-sum window is the two-phase bucket-offset plan "
+    "(operators/skew.bucketed_global_order): partitioned by value "
+    "bucket + broadcast prefix offsets, never a single-reducer "
+    "global window over the |customers|-row frame. Complements "
+    "revenue_gini_coefficient (the integral of this curve).",
 )
 def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import bucketed_global_order
+
     (orders,) = _t(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(q_sum("o_totalprice", "rev"))
     q = float(1 << 20)
-    wo = Window.orderBy(F.desc("rev"), "o_custkey")
-    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    term = F.floor(F.col("rev") * q).cast("decimal(38,0)")
-    ranked = cust.select(
-        F.row_number().over(wo).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        (F.sum(term).over(wrun).cast("double") / F.lit(q)).alias("cum_rev"),
-        (
-            F.sum(term).over(Window.partitionBy()).cast("double") / F.lit(q)
-        ).alias("total_rev"),
+    # global rank + running sum WITHOUT a global single-reducer window:
+    # the bucket-offset two-phase plan (operators/skew) — bit-identical
+    # to the oracle's one-window form, but the wide window is
+    # partitioned by value bucket
+    ranked = bucketed_global_order(
+        cust, value_col="rev", tiebreak_col="o_custkey", descending=True
+    ).select(
+        "i",
+        "n",
+        (F.col("cum_q").cast("double") / F.lit(q)).alias("cum_rev"),
+        (F.col("total_q").cast("double") / F.lit(q)).alias("total_rev"),
     )
     return (
         ranked.where(F.col("cum_rev") / F.col("total_rev") >= 0.8)
@@ -8641,19 +8647,22 @@ def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n. Per-customer revenues are "
     "quantized sums; the rank-weighted and plain totals are sums of "
     "exact integers (order-independent), so one global double "
-    "expression produces the identical value in both engines. The "
-    "global sort is rank-only (one window over |customers| "
-    "aggregates, not raw orders).",
+    "expression produces the identical value in both engines. Ranks "
+    "come from the two-phase bucket-offset plan (operators/skew."
+    "bucketed_global_order) — the wide window is partitioned by value "
+    "bucket; only the bounded bucket table sees a global window.",
 )
 def revenue_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import bucketed_global_order
+
     (orders,) = _t(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(q_sum("o_totalprice", "rev"))
-    w = Window.orderBy("rev", "o_custkey")
-    ranked = cust.select(
-        "rev",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    # the sorted-rank identity needs each row's GLOBAL rank i — computed
+    # via the bucket-offset pattern (operators/skew.bucketed_global_order)
+    # so no single-reducer window touches the |customers|-row frame
+    ranked = bucketed_global_order(
+        cust, value_col="rev", tiebreak_col="o_custkey"
+    ).select("rev", "i", "n")
     q = float(1 << 20)
     iw_sum = (
         F.sum(

@@ -186,3 +186,79 @@ def test_compact_files_recovers_interrupted_swap(spark, tmp_path):
     assert n >= 1
     assert not os.path.exists(path + ".compact.old")
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_bucketed_global_order_matches_global_window(spark):
+    """The two-phase bucket-offset plan must equal a plain global
+    window bit-for-bit, including duplicate values, negatives, and
+    bucket-boundary-straddling values, in both directions."""
+    from pyspark.sql.window import Window
+
+    from nursinghome_data_pipeline_spark.operators.skew import (
+        bucketed_global_order,
+    )
+
+    rows = [
+        (1, 5.25), (2, 5.25), (3, -3.5), (4, 0.0), (5, 1000.75),
+        (6, 5.25), (7, 999.5), (8, -3.5), (9, 17.0), (10, 0.001),
+    ]
+    df = spark.createDataFrame(rows, "ck long, rev double")
+    q = 1 << 20
+    for descending in (False, True):
+        got = {
+            r.ck: (r.i, r.n, int(r.cum_q), int(r.total_q))
+            for r in bucketed_global_order(
+                df,
+                value_col="rev",
+                tiebreak_col="ck",
+                q=q,
+                bucket_width=1 << 22,  # small width → several buckets
+                descending=descending,
+            ).collect()
+        }
+        vorder = F.desc("rev") if descending else F.asc("rev")
+        w = Window.orderBy(vorder, F.asc("ck"))
+        term = F.floor(F.col("rev") * q).cast("decimal(38,0)")
+        ref = {
+            r.ck: (r.i, r.n, int(r.cum_q), int(r.total_q))
+            for r in df.select(
+                "ck",
+                F.row_number().over(w).alias("i"),
+                F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+                F.sum(term)
+                .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                .alias("cum_q"),
+                F.sum(term).over(Window.partitionBy()).alias("total_q"),
+            ).collect()
+        }
+        assert got == ref, f"descending={descending}"
+
+
+def test_bucketed_global_order_window_is_partitioned(spark):
+    """The wide input's WindowExec must be partitioned (by bucket) —
+    the single-reducer 'No Partition Defined' shape is the bug this
+    operator exists to avoid. Only the bounded per-bucket offset frame
+    may use an unpartitioned window."""
+    from nursinghome_data_pipeline_spark.operators.skew import (
+        bucketed_global_order,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id").alias("ck"), (F.col("id") % 613).cast("double").alias("rev")
+    )
+    out = bucketed_global_order(
+        df, value_col="rev", tiebreak_col="ck", bucket_width=1 << 22
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every windowspecdefinition over the row-level frame must carry a
+    # partition expression; the offsets frame's spec (over __bkt rows)
+    # is the only allowed unpartitioned one and its frame is bounded
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the plan"
+    # row-level windows are identified by ordering on (rev, ck)
+    row_level = [s for s in specs if "rev" in s and "ck" in s]
+    assert row_level, f"no row-level window spec found in: {specs}"
+    for s in row_level:
+        assert "__bkt" in s, f"row-level window is unpartitioned: {s}"
