@@ -256,6 +256,26 @@ def _cmd_corpus_build(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_dashboard(args: argparse.Namespace) -> int:
+    """Static-HTML dashboard artifacts — the Streamlit twins
+    (reference metrics_dashboard.py / streamlit_app.py) with the
+    interactivity precomputed: Spark aggregates once, the selector
+    toggles embedded per-state/per-table panels client-side."""
+    from . import dashboard as dash
+
+    spark = _session(args)
+    if args.kind == "metrics":
+        from .pipelines.staffing_metrics import run_staffing_metrics
+
+        metrics, _ = run_staffing_metrics(spark, args.data_dir)
+        html = dash.render_metrics_html(dash.metrics_payload(metrics))
+    else:
+        html = dash.render_overview_html(dash.overview_payload(spark))
+    dash.write_html(html, args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="nursinghome_data_pipeline_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -327,7 +347,20 @@ def main(argv: list[str] | None = None) -> int:
     _add_session_args(p)
     p.set_defaults(fn=_cmd_corpus_build)
 
+    p = sub.add_parser(
+        "dashboard",
+        help="self-contained HTML dashboard (metrics charts or catalog "
+        "overview) — the reference Streamlit apps as static artifacts",
+    )
+    p.add_argument("kind", choices=["metrics", "overview"])
+    p.add_argument("--data-dir", default=None, help="metrics: CSV input dir")
+    p.add_argument("--out", required=True, help="output .html path")
+    _add_session_args(p)
+    p.set_defaults(fn=_cmd_dashboard)
+
     args = parser.parse_args(argv)
+    if args.command == "dashboard" and args.kind == "metrics" and not args.data_dir:
+        parser.error("dashboard metrics requires --data-dir")
     return args.fn(args)
 
 
