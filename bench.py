@@ -104,6 +104,10 @@ BENCH_QUERIES = [
     "simhash_docs",
     "whitened_embeddings_by_label",
     "synthetic_docs_quality",
+    # r3: the ex-global-window shapes (now bucket-offset two-phase
+    # plans) — benched so a regression in the new shape is visible
+    "pareto_8020_customers",
+    "revenue_gini_coefficient",
 ]
 
 

@@ -649,44 +649,55 @@ def connected_components(
     # edge list still belongs to a component (and may BE its minimum),
     # so seeding from `nodes` alone would both drop it from the output
     # and mislabel its neighbors. Same contract as the star variant.
-    labels = (
-        nodes.select(F.col(id_col).alias("node"))
-        .union(e.select(F.col("src").alias("node")))
-        .distinct()
-        .select("node", F.col("node").alias("component_id"))
-        .localCheckpoint(eager=True)
-    )
     # Convergence test: the node set is fixed after seeding (e is
     # symmetric, so every propagation target is already a label row)
     # and min-label propagation can only DECREASE labels, so over a
-    # constant count an equal sum between rounds ⟺ no label changed.
-    # One scalar aggregate per round replaces the previous join +
-    # isEmpty job (decimal(38,0) so huge id sums cannot overflow under
-    # ANSI); the count guards the invariant — a count change means the
-    # node set moved and sums are incomparable, so iterate.
-    def _label_state(lbl: DataFrame):
-        row = lbl.agg(
+    # constant count an equal sum between rounds ⟺ no label changed
+    # (decimal(38,0) so huge id sums cannot overflow under ANSI); the
+    # count guards the invariant — a count change means the node set
+    # moved and sums are incomparable, so iterate. The (count, sum)
+    # metrics ride the SAME job that materializes each round's
+    # checkpoint (``observe`` + eager ``localCheckpoint`` — verified to
+    # fire the CollectMetrics listener), so a round costs ONE job, not
+    # a checkpoint job plus a separate scalar-aggregate job.
+    import uuid
+
+    from pyspark.sql import Observation
+
+    run_tag = uuid.uuid4().hex[:8]  # listener events match on metric
+    # name — two concurrent CC runs in one session must not cross-talk
+
+    def _observed_checkpoint(lbl: DataFrame, name: str):
+        obs = Observation(f"{name}_{run_tag}")
+        ck = lbl.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("component_id").cast("decimal(38,0)")).alias("s"),
-        ).first()
-        return (row["n"], row["s"])
+        ).localCheckpoint(eager=True)
+        state = obs.get  # blocks until the checkpoint job reports
+        return ck, (state["n"], state["s"])
 
-    prev = _label_state(labels)
+    labels, prev = _observed_checkpoint(
+        nodes.select(F.col(id_col).alias("node"))
+        .union(e.select(F.col("src").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("component_id")),
+        "cc_seed",
+    )
     converged = False
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         prop = e.join(
             labels.select(
                 F.col("node").alias("src"), F.col("component_id")
             ),
             "src",
         ).select(F.col("dst").alias("node"), "component_id")
-        labels = (
+        labels, new = _observed_checkpoint(
             labels.union(prop)
             .groupBy("node")
-            .agg(F.min("component_id").alias("component_id"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("component_id").alias("component_id")),
+            f"cc_round_{rnd}",
         )
-        new = _label_state(labels)
         if new == prev:
             converged = True
             break

@@ -198,9 +198,11 @@ def test_bucketed_global_order_matches_global_window(spark):
         bucketed_global_order,
     )
 
-    rows = [
+    bw = float(1 << 22) / (1 << 20)  # value whose quantized form sits
+    rows = [                         # exactly on a bucket boundary
         (1, 5.25), (2, 5.25), (3, -3.5), (4, 0.0), (5, 1000.75),
         (6, 5.25), (7, 999.5), (8, -3.5), (9, 17.0), (10, 0.001),
+        (11, bw), (12, 2 * bw), (13, -bw), (14, bw - 0.001),
     ]
     df = spark.createDataFrame(rows, "ck long, rev double")
     q = 1 << 20
