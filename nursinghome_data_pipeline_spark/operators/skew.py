@@ -177,7 +177,8 @@ def bucketed_global_order(
     value_col: str,
     tiebreak_col: str,
     q: int = 1 << 20,
-    bucket_width: int = 1 << 28,
+    bucket_width: int | None = None,
+    n_buckets: int = 4096,
     descending: bool = False,
 ) -> DataFrame:
     """Global rank + running quantized sum WITHOUT a global window.
@@ -210,14 +211,30 @@ def bucketed_global_order(
 
     Skew bound: the largest window partition is the most-populated
     bucket (value-concentration, e.g. a point mass of identical
-    revenues, concentrates its bucket — narrow ``bucket_width`` to
-    split by value; exact ties are irreducible, like any sort).
+    revenues, concentrates its bucket — narrow the width to split by
+    value; exact ties are irreducible, like any sort).
     ``value_col`` must be non-null and ``|value*q|`` must fit a long.
+
+    ``bucket_width`` defaults to DOMAIN-ADAPTIVE: one exact min/max
+    pass sizes the width so occupied buckets ≈ ``n_buckets`` whatever
+    the value range — a fixed width would make the offset-table size
+    (and its broadcast) depend on the data's domain, exploding on
+    wide-spread values and collapsing to one bucket on narrow ones.
+    min/max is exact aggregation, not sampling, so the layout is
+    deterministic under stage retry like everything else here.
     """
     from pyspark.sql.window import Window
 
     qv_long = F.floor(F.col(value_col) * q).cast("long")
     qv_dec = F.floor(F.col(value_col) * q).cast("decimal(38,0)")
+    if bucket_width is None:
+        row = df.agg(
+            F.min(qv_long).alias("lo"), F.max(qv_long).alias("hi")
+        ).first()
+        if row["lo"] is None:  # empty input: any width works
+            bucket_width = 1
+        else:
+            bucket_width = max(1, (row["hi"] - row["lo"]) // n_buckets + 1)
     bucket = F.floor(qv_long / F.lit(bucket_width)).cast("long")
     rows = df.withColumn("__bkt", bucket)
 

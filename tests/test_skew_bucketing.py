@@ -207,17 +207,6 @@ def test_bucketed_global_order_matches_global_window(spark):
     df = spark.createDataFrame(rows, "ck long, rev double")
     q = 1 << 20
     for descending in (False, True):
-        got = {
-            r.ck: (r.i, r.n, int(r.cum_q), int(r.total_q))
-            for r in bucketed_global_order(
-                df,
-                value_col="rev",
-                tiebreak_col="ck",
-                q=q,
-                bucket_width=1 << 22,  # small width → several buckets
-                descending=descending,
-            ).collect()
-        }
         vorder = F.desc("rev") if descending else F.asc("rev")
         w = Window.orderBy(vorder, F.asc("ck"))
         term = F.floor(F.col("rev") * q).cast("decimal(38,0)")
@@ -233,7 +222,21 @@ def test_bucketed_global_order_matches_global_window(spark):
                 F.sum(term).over(Window.partitionBy()).alias("total_q"),
             ).collect()
         }
-        assert got == ref, f"descending={descending}"
+        # fixed small width (several buckets), domain-adaptive default,
+        # and degenerate width=1 (every distinct value its own bucket)
+        for bucket_width in (1 << 22, None, 1):
+            got = {
+                r.ck: (r.i, r.n, int(r.cum_q), int(r.total_q))
+                for r in bucketed_global_order(
+                    df,
+                    value_col="rev",
+                    tiebreak_col="ck",
+                    q=q,
+                    bucket_width=bucket_width,
+                    descending=descending,
+                ).collect()
+            }
+            assert got == ref, f"descending={descending} width={bucket_width}"
 
 
 def test_bucketed_global_order_window_is_partitioned(spark):
