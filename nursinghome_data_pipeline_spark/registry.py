@@ -8292,7 +8292,8 @@ def peak_concurrency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.user_id, s.rn, 0.5 * s.v + 0.5 * r.ema
       FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
     )
-    SELECT user_id, rn, ROUND(ema, 6) AS ema
+    SELECT user_id, rn,
+           floor(ema * 1048576.0) / 1048576.0 AS ema
     FROM r
     """,
     "Exponential moving average — a RECURRENCE (e_i = a*v_i + "
@@ -8302,8 +8303,15 @@ def peak_concurrency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "through pandas once), hash-checked against DuckDB's "
     "recursive-CTE unrolling. alpha = 0.5 keeps every step an exact "
     "binary halving and both engines apply the IDENTICAL operation "
-    "order, so the sequences match bit-for-bit before ROUND. Sampled "
-    "to every 7th user to bound the oracle's recursion depth.",
+    "order, so the sequences match bit-for-bit before quantization. "
+    "The display value is power-of-two quantized (floor(x*2^20)/2^20 "
+    "— exact exponent-shift scaling, functions/exprs.py discipline), "
+    "NOT ROUND(x, 6): decimal ROUND of a double disagrees between "
+    "Spark (exact-binary-value HALF_UP) and DuckDB (shortest-repr "
+    "rounding) on boundary values like 17.3496875 — caught by the "
+    "cross-scale sf0.1 parity sweep, which surfaced 6 such ties "
+    "invisible at sf0.01. Sampled to every 7th user to bound the "
+    "oracle's recursion depth.",
 )
 def ema_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as _pd
@@ -8330,13 +8338,14 @@ def ema_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    # rounding happens JVM-side: Python's round() is banker's while
-    # Spark/DuckDB ROUND are half-away — the recurrence itself is
-    # bit-identical, so only the final rounding convention matters
+    # quantization happens JVM-side so both engines map the identical
+    # recurrence double through the same exact power-of-two operations
     return (
         base.groupBy("user_id")
         .applyInPandas(ema, schema="user_id long, rn long, ema double")
-        .withColumn("ema", F.round("ema", 6))
+        .withColumn(
+            "ema", F.floor(F.col("ema") * F.lit(1048576.0)) / F.lit(1048576.0)
+        )
     )
 
 
