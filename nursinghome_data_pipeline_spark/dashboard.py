@@ -33,18 +33,11 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Validated categorical slots (light, dark) — fixed assignment order.
-_SERIES = [
-    ("#2a78d6", "#3987e5"),
-    ("#eb6834", "#d95926"),
-    ("#1baf7a", "#199e70"),
-    ("#eda100", "#c98500"),
-    ("#e87ba4", "#d55181"),
-    ("#008300", "#008300"),
-    ("#4a3aa7", "#9085e9"),
-]
-_OTHER = ("#8a8984", "#8a8984")  # neutral fold-in, never a series hue
-_MAX_LINE_SERIES = 7  # + "Other" stays within the 8-series line cap
+#: Line-series cap: 7 named facilities + the folded neutral "Other"
+#: stays within the validated 8-slot categorical budget (the hex
+#: values — light and dark steps of the same hues — live in ``_CSS``
+#: as ``--s0..--s6`` / ``--sother`` custom properties).
+_MAX_LINE_SERIES = 7
 
 
 def metrics_payload(metrics: DataFrame) -> dict[str, Any]:

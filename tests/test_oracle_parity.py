@@ -1,5 +1,20 @@
 """Every registry query must match its DuckDB oracle exactly — this is
-a local replica of the driver's correctness gate (CORRECTNESS_r{N}.json)."""
+a local replica of the driver's correctness gate (CORRECTNESS_r{N}.json).
+
+Cross-scale sweep (run once per round): the same gate at 10× the
+driver's data shakes out tiny-data coincidences —
+
+    SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \
+        pytest tests/test_oracle_parity.py --deselect ...[near_duplicate_pairs_docs] ...
+
+deselecting the quadratic-ORACLE twins (exact all-pairs Jaccard etc.:
+near_duplicate_pairs_docs, ngram_jaccard_pairs_docs,
+canonical_doc_selection, dedup_components_docs, fuzzy_match_customers,
+simhash_near_dup_pairs, embedding_near_dup_pairs, geo_radius_join,
+passage_dedup_docs — the ENGINE side is blocked/bucketed, but their
+DuckDB twins brute-force all pairs and take hours at sf0.1). The r3
+sweep caught a real one: ROUND(double, 6) ties diverge between engines
+(see ema_user_values), invisible at sf0.01."""
 
 from __future__ import annotations
 
