@@ -4500,12 +4500,16 @@ def scd2_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Inverted-index construction (retrieval / dedup-lookup side "
     "structure): token → document frequency + the first 10 postings. "
-    "explode → distinct (map-side combined) → per-token aggregation; "
-    "posting lists are truncated to a bounded head so no single hot "
-    "token (stopword) can blow up a reducer — the full-list variant "
-    "would need the same salting as operators/skew.py. Postings "
-    "serialize as a sorted CSV string (the oracle harness compares "
-    "scalars, and string form pins exact order).",
+    "The head is bounded BEFORE any reducer materializes a posting "
+    "list: row_number ≤ 10 per token compiles to WindowGroupLimit, so "
+    "every map task ships only its local top-10 doc_ids per token and "
+    "the collect_list aggregates ≤ 10 rows per group (a collect-then-"
+    "slice plan would still gather a stopword's FULL posting array on "
+    "one reducer — the bound must live in the plan, not the "
+    "projection). doc_freq comes from a separate map-side-combined "
+    "count, joined back on token. Postings serialize as a sorted CSV "
+    "string (the oracle harness compares scalars, and string form "
+    "pins exact order).",
 )
 def inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
@@ -4516,15 +4520,19 @@ def inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok", "doc_id")
         .agg(F.lit(1))
     )
-    return tf.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("doc_freq"),
-        F.concat_ws(
-            ",",
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).cast(
-                "array<string>"
-            ),
-        ).alias("posting_head"),
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    head = (
+        tf.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 10)
+        .groupBy("tok")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id")).cast("array<string>")
+            ).alias("posting_head")
+        )
     )
+    return dfreq.join(head, "tok")
 
 
 @_register(
