@@ -8862,16 +8862,19 @@ def _driver_green_names() -> set[str]:
 
 def _ordered_specs() -> list[QuerySpec]:
     by_name = {s.name: s for s in _SPECS}
-    head = [by_name[n] for n in _SPOTLIGHT_R3]
-    seen = set(_SPOTLIGHT_R3)
-    rest = [s for s in _SPECS if s.name not in seen]
-    # After the curated head, rotation is AUTOMATIC: queries with no
-    # green driver row yet (per the recorded CORRECTNESS_r*.json
-    # gates) precede already-driver-verified ones, registration order
-    # within each class. Future rounds therefore rotate never-checked
-    # families into the driver's sample prefix without re-curating
-    # this module by hand.
     green = _driver_green_names()
+    # The curated head is SELF-RETIRING: a spotlight entry keeps its
+    # prefix slot only until some recorded driver gate shows it green
+    # (CORRECTNESS_r*.json), then drops into the normal rotation — so
+    # the round AFTER the spotlight is sampled, its slots hand over to
+    # the next never-checked families automatically instead of burning
+    # the driver's sample on re-verification.
+    head = [by_name[n] for n in _SPOTLIGHT_R3 if n not in green]
+    seen = {s.name for s in head}
+    rest = [s for s in _SPECS if s.name not in seen]
+    # After the head, rotation is AUTOMATIC: queries with no green
+    # driver row yet precede already-driver-verified ones,
+    # registration order within each class.
     return (
         head
         + [s for s in rest if s.name not in green]

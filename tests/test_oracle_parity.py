@@ -68,16 +68,34 @@ def test_rows_only_query_runs(spark, sf_dir, spec):
 
 def test_driver_spotlight_prefix_is_fully_oracled():
     # The driver samples a prefix of queries() in iteration order; the
-    # round-3 spotlight must be exactly the declared rotation, with an
-    # oracle for every name (a rows-only query in the window would
-    # burn a sample slot on a weaker check).
+    # spotlight head is SELF-RETIRING — entries keep their prefix slot
+    # only while no recorded driver gate shows them green — and every
+    # head entry must have an oracle (a rows-only query in the window
+    # would burn a sample slot on a weaker check).
     names = list(registry.queries())
     assert len(names) == len(set(names))
-    spot = registry._SPOTLIGHT_R3
-    assert len(spot) >= 50
-    assert names[: len(spot)] == spot
+    green = registry._driver_green_names()
+    expected_head = [n for n in registry._SPOTLIGHT_R3 if n not in green]
+    assert names[: len(expected_head)] == expected_head
     osql = registry.oracle_sql()
-    assert all(n in osql for n in spot)
+    assert all(n in osql for n in expected_head)
+    # before the round-3 gate lands, the full spotlight must still be
+    # in the window; afterwards retired slots hand over automatically
+    if not (set(registry._SPOTLIGHT_R3) & green):
+        assert len(expected_head) >= 50
+
+
+def test_spotlight_retires_once_driver_green(monkeypatch):
+    # Simulate the post-round-3 state: the whole spotlight has green
+    # driver rows. The prefix must then consist of never-checked
+    # queries (the next rotation), with every green query at the back.
+    real_green = registry._driver_green_names()
+    future_green = real_green | set(registry._SPOTLIGHT_R3)
+    monkeypatch.setattr(registry, "_driver_green_names", lambda: future_green)
+    names = list(registry.queries())
+    n_unchecked = sum(1 for s in registry._SPECS if s.name not in future_green)
+    assert all(n not in future_green for n in names[:n_unchecked])
+    assert all(n in future_green for n in names[n_unchecked:])
 
 
 def test_auto_rotation_orders_unchecked_before_driver_green():
