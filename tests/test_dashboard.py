@@ -114,6 +114,14 @@ def test_overview_payload_and_html(spark, tmp_path):
         spark.catalog.dropTempView("dq_completeness")
 
 
+def test_render_handles_empty_payloads():
+    # a fresh warehouse / an all-dropped metrics frame must still
+    # produce a valid page, not a crash
+    assert "<select" in dash.render_metrics_html({})
+    assert "<select" in dash.render_overview_html({})
+    assert "<svg" in dash._bar_chart([], [])
+
+
 def test_dashboard_cli_writes_artifact(spark, tmp_path, monkeypatch):
     from nursinghome_data_pipeline_spark import cli
 
