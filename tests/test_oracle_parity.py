@@ -1,8 +1,10 @@
 """Every registry query must match its DuckDB oracle exactly — this is
 a local replica of the driver's correctness gate (CORRECTNESS_r{N}.json).
 
-Cross-scale sweep (run once per round): the same gate at 10× the
-driver's data shakes out tiny-data coincidences —
+Cross-scale sweep (run once per round — ``scripts/parity_sweep.sh``
+runs all four: sf0.001, sf0.01, sf0.1, and a foreign-session config):
+the same gate at 10× the driver's data shakes out tiny-data
+coincidences —
 
     SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \
         pytest tests/test_oracle_parity.py --deselect ...[near_duplicate_pairs_docs] ...
