@@ -312,6 +312,9 @@ svg { width: 100%; height: auto; display: block; }
 .s4 { stroke: var(--s4); fill: var(--s4); } .s5 { stroke: var(--s5); fill: var(--s5); }
 .s6 { stroke: var(--s6); fill: var(--s6); } .sother { stroke: var(--sother); fill: var(--sother); }
 path.line { fill: none !important; }
+/* after the series rules so markers keep the surface ring (the series
+   class would otherwise override .dot's stroke) */
+circle.dot { stroke: var(--surface-1); }
 .legend { display: flex; flex-wrap: wrap; gap: 12px; margin: 4px 0; }
 .key { color: var(--text-secondary); font-size: 12px; display: inline-flex; align-items: center; gap: 5px; }
 .swatch { width: 10px; height: 10px; border-radius: 2px; display: inline-block; }
