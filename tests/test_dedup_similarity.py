@@ -338,3 +338,32 @@ def test_zero_norm_embedding_scores_null_not_nan(spark):
         df, dim=2, threshold=0.5, n_planes=2
     ).collect()
     assert all(1 not in (r.id_a, r.id_b) for r in pairs)
+
+
+def test_connected_components_survives_lost_observation(spark, monkeypatch):
+    """Observed metrics ride the async SQL listener bus, which can drop
+    SQLExecutionEnd events under load — ``Observation.get`` then blocks
+    forever. The bounded-wait fallback must degrade to one explicit
+    aggregate job (correct labels, no hang) when metrics never arrive."""
+    import pyspark.sql
+
+    from nursinghome_data_pipeline_spark.operators import dedup
+
+    class _DeafObservation(pyspark.sql.Observation):
+        @property
+        def get(self):  # simulate a dropped listener event: never returns
+            import time
+
+            time.sleep(3600)
+
+    monkeypatch.setattr(dedup, "_OBS_TIMEOUT_S", 0.25)
+    monkeypatch.setattr(pyspark.sql, "Observation", _DeafObservation)
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    comp = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}

@@ -95,22 +95,49 @@ def test_spotlight_retires_once_driver_green(monkeypatch):
     future_green = real_green | set(registry._SPOTLIGHT_R3)
     monkeypatch.setattr(registry, "_driver_green_names", lambda: future_green)
     names = list(registry.queries())
-    n_unchecked = sum(1 for s in registry._SPECS if s.name not in future_green)
+    n_unchecked = sum(
+        1
+        for s in registry._SPECS
+        if s.name not in future_green and s.oracle is not None
+    )
     assert all(n not in future_green for n in names[:n_unchecked])
-    assert all(n in future_green for n in names[n_unchecked:])
+    # after the verifiable-unchecked block: green queries, then the
+    # permanently rows-only stragglers at the very back
+    no_oracle = {s.name for s in registry._SPECS if s.oracle is None}
+    assert all(
+        n in future_green or n in no_oracle for n in names[n_unchecked:]
+    )
 
 
 def test_auto_rotation_orders_unchecked_before_driver_green():
     # Past-round driver gates (CORRECTNESS_r*.json) demote queries that
     # already have a green row: after the curated spotlight head, every
-    # never-driver-checked query must precede every driver-green one,
-    # so future sample prefixes spend slots on local-only evidence.
+    # never-driver-checked ORACLED query must precede every driver-green
+    # one, so future sample prefixes spend slots on local-only evidence.
     names = list(registry.queries())
     spot = set(registry._SPOTLIGHT_R3)
     green = registry._driver_green_names()
+    no_oracle = {s.name for s in registry._SPECS if s.oracle is None}
     assert green, "recorded driver gates should yield at least one green row"
     tail = [n for n in names if n not in spot]
     first_green = next((i for i, n in enumerate(tail) if n in green), len(tail))
-    assert all(n in green for n in tail[first_green:]), (
-        "an unchecked query sits behind driver-green ones in the rotation"
+    assert all(n in green or n in no_oracle for n in tail[first_green:]), (
+        "an unchecked oracled query sits behind driver-green ones in the rotation"
     )
+
+
+def test_rows_only_queries_never_burn_sample_slots():
+    # The two permanently rows-only queries (oracle=None: driver can
+    # only record a weaker rows-only row, never a hash-green one) must
+    # sit BEHIND every oracled query — green or not — so the driver's
+    # 50-query sample prefix spends every slot on a verifiable check.
+    names = list(registry.queries())
+    no_oracle = [s.name for s in registry._SPECS if s.oracle is None]
+    assert no_oracle, "expected the documented rows-only waivers"
+    n = len(names)
+    for name in no_oracle:
+        assert names.index(name) >= n - len(no_oracle), (
+            f"{name} has no oracle yet sits ahead of oracled queries"
+        )
+    # and they are still REGISTERED — sinking them must not drop them
+    assert set(no_oracle) <= set(names)

@@ -330,3 +330,25 @@ def test_registry_has_no_unbounded_join_smells(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in _BOUNDED_BNLJ:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_collect_aggregate_sites_are_plan_bounded(spark, sf_dir):
+    """Every collect_list/collect_set aggregation in the registry must
+    carry its bound IN THE PLAN (WindowGroupLimit before the collect)
+    or be group-bounded by construction (documented domain bound: ≤24
+    hours, ≤7 lines/order, |event_type| domain). A bound applied AFTER
+    collection (slice of a collected array) gathers the full group on
+    one reducer first — the inverted_index_tokens bug class."""
+    q = registry.queries()
+    # plan-level bounds: row_number<=k must compile to WindowGroupLimit
+    for name in ("inverted_index_tokens", "top_user_journeys"):
+        plan = _formatted_plan(q[name](spark, sf_dir))
+        assert "WindowGroupLimit" in plan, f"{name}: bound fell out of the plan"
+    # group-bounded-by-construction sites must NOT grow an unbounded
+    # collect: assert their collect inputs stay the documented domains
+    battery = q["map_functions_battery"](spark, sf_dir)
+    mx = battery.agg(F.max("n_keys")).first()[0]
+    assert mx is None or mx <= 24
+    prof = q["user_event_profile_strings"](spark, sf_dir)
+    mx2 = prof.agg(F.max("n_types")).first()[0]
+    assert mx2 is None or mx2 <= 50  # |event_type| domain
