@@ -108,7 +108,41 @@ BENCH_QUERIES = [
     # plans) — benched so a regression in the new shape is visible
     "pareto_8020_customers",
     "revenue_gini_coefficient",
+    # r4 (r3-verdict item #5): the remaining never-benched heavies —
+    # all in the r4 driver correctness prefix, so a perf regression
+    # would otherwise land invisibly at the moment they get checked
+    "orc_roundtrip_lineitem",
+    "jsonl_roundtrip_docs",
+    "windowed_dedup_events",
+    "incremental_ingest_dedup",
 ]
+
+
+def _minhash_production(spark, sf_dir: str):
+    """Production xxhash64 minhash path (operators/dedup.py:
+    minhash_signature_col) — benched under its own label so the
+    registry entry's md5 family (the price of its DuckDB cross-engine
+    oracle, r3 verdict item #6) doesn't mask the production speed.
+    Same shape as minhash_signatures_docs: 16 hashes, string-serialized."""
+    from pyspark.sql import functions as F
+
+    from nursinghome_data_pipeline_spark.operators.dedup import (
+        minhash_signature_col,
+    )
+    from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            minhash_signature_col("text", n_hashes=16).cast("array<string>"),
+            ",",
+        ).alias("signature"),
+    )
+
+
+#: label -> callable(spark, sf_dir); non-registry bench entries
+EXTRA_BENCH = {"minhash_signatures_xxh64": _minhash_production}
 
 
 #: The harness that records bench output keeps only the LAST ~2000
@@ -165,11 +199,12 @@ def main() -> None:
     # were observed on shared hosts); streaming runs stay at 2 — their
     # fixed micro-batch overhead dominates and they are the slowest
     # entries, so a third rep buys little signal for its cost.
-    for name in BENCH_QUERIES:
+    runnable = [(n, qs[n]) for n in BENCH_QUERIES] + list(EXTRA_BENCH.items())
+    for name, fn in runnable:
         best = float("inf")
         for _ in range(2 if name.startswith("streaming") else 3):
             t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)

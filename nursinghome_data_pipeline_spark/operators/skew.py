@@ -180,6 +180,7 @@ def bucketed_global_order(
     bucket_width: int | None = None,
     n_buckets: int = 4096,
     descending: bool = False,
+    debug_stats: dict | None = None,
 ) -> DataFrame:
     """Global rank + running quantized sum WITHOUT a global window.
 
@@ -209,21 +210,32 @@ def bucketed_global_order(
     ``floor(value*q)`` as DECIMAL(38,0) — exact integers, so downstream
     double casts match a single-window plan bit-for-bit).
 
-    Skew bound: the largest window partition is the most-populated
-    bucket. NEAR-equal values split by narrowing ``bucket_width``;
-    a point mass of IDENTICAL values cannot (same quantized value →
-    same bucket at any width), so buckets that hold a single raw
-    value and exceed 4× the mean population are additionally
-    SUB-BUCKETED BY TIEBREAK when ``tiebreak_col`` is integral:
-    within such a bucket the sort key ``(value, tiebreak)`` degenerates
-    to ``tiebreak`` alone, so range-splitting the tiebreak preserves
-    the global order exactly. Detection rides the same per-bucket
-    aggregate (exact min/max — deterministic under retry); the split
-    path costs one extra map-side-combined aggregation over only the
-    planted-skew case, nothing when no heavy single-value bucket
-    exists. Residual irreducible skew: a heavy bucket whose
-    (value, tiebreak) pairs are themselves duplicated — like any sort.
+    Skew bound — ITERATIVE REFINEMENT (≤ 2 extra rounds, adversarial
+    inputs only): after the level-0 bucketing, a per-group stats pass
+    (count + exact min/max of value/quantized value/tiebreak — exact
+    aggregates, so deterministic under stage retry) finds groups over
+    4× the mean population, and each is split by whichever key still
+    has room, order-preservingly:
+
+    - multiple quantized values → finer VALUE split (64 sub-ranges of
+      the group's own qv span — the "narrow the width" move, applied
+      only where needed so the offset table stays ~``n_buckets``);
+    - one quantized value but multiple raw values → raw-value split at
+      ``2^20`` finer resolution (monotone, so order-safe);
+    - one raw value (a true point mass) → TIEBREAK range split, valid
+      exactly because the sort key ``(value, tiebreak)`` degenerates to
+      the tiebreak inside a single-value group; requires an integral
+      ``tiebreak_col``.
+
+    A 90%-point-mass needs two rounds (value split isolates the mass,
+    tiebreak split spreads it); uniform data exits after the first
+    stats pass, which doubles as the offsets aggregate — the
+    well-behaved path costs exactly what the unrefined operator did.
+    Residual irreducible skew: a heavy group of duplicated
+    (value, tiebreak) pairs — like any sort — or a non-integral
+    tiebreak over a point mass.
     ``value_col`` must be non-null and ``|value*q|`` must fit a long.
+    Pass ``debug_stats={}`` to receive {"rounds", "refined_groups"}.
 
     ``bucket_width`` defaults to DOMAIN-ADAPTIVE: one exact min/max
     pass sizes the width so occupied buckets ≈ ``n_buckets`` whatever
@@ -259,7 +271,9 @@ def bucketed_global_order(
         else:
             bucket_width = max(1, (row["hi"] - row["lo"]) // n_buckets + 1)
     bucket = F.floor(qv_long / F.lit(bucket_width)).cast("long")
-    rows = df.withColumn("__bkt", bucket)
+    rows = df.withColumn("__bkt", bucket).withColumn(
+        "__sub", F.lit(0).cast("long")
+    )
 
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
@@ -267,72 +281,129 @@ def bucketed_global_order(
         df.schema[tiebreak_col].dataType,
         (ByteType, ShortType, IntegerType, LongType),
     )
-    meta_aggs = [
+    qtb = F.col(tiebreak_col).cast("long") if tb_integral else F.lit(None)
+
+    # Iterative refinement (see docstring). Each round's stats pass is
+    # the same narrow map-side-combined aggregate the offsets need, so
+    # the final round's stats ARE the offsets input and the no-skew
+    # path costs one stats pass total. Groups bounded by the mean-4x
+    # threshold (≤ occupied/4 heavy groups, collected with an explicit
+    # deterministic cap); locals are hierarchically encoded so one
+    # round's split nests inside the previous order.
+    N_SUB = 64
+    BASE = N_SUB + 2  # locals occupy [0, N_SUB+1]: 0 = null tiebreak
+    sign = -1.0 if descending else 1.0
+    stats_aggs = [
         F.count(F.lit(1)).alias("__cnt"),
         F.sum(qv_dec).alias("__sum"),
+        F.min(value_col).alias("__vmin"),
+        F.max(value_col).alias("__vmax"),
+        F.min(qv_long).alias("__qmin"),
+        F.max(qv_long).alias("__qmax"),
+        F.min(qtb).alias("__tmin"),
+        F.max(qtb).alias("__tmax"),
     ]
-    if tb_integral:
-        meta_aggs += [
-            F.min(value_col).alias("__vmin"),
-            F.max(value_col).alias("__vmax"),
-            F.min(F.col(tiebreak_col).cast("long")).alias("__tmin"),
-            F.max(F.col(tiebreak_col).cast("long")).alias("__tmax"),
-        ]
-    meta = rows.groupBy("__bkt").agg(*meta_aggs)
-
-    # Tie-splitting (see docstring): a bucket that holds ONE raw value
-    # and >4x the mean population gets range-split on the tiebreak —
-    # sound because its sort key degenerates to the tiebreak alone.
-    # The meta table is bounded (~occupied buckets, already assumed
-    # broadcastable below), so the driver-side detection is cheap and
-    # deterministic (exact aggregates, no sampling).
-    heavy_meta = None
-    if tb_integral:
-        meta = meta.localCheckpoint(eager=True)
-        trow = meta.agg(
+    spark = df.sparkSession
+    per_key = None
+    rounds = 0
+    refined_groups = 0
+    for round_i in range(3):
+        stats = (
+            rows.groupBy("__bkt", "__sub").agg(*stats_aggs)
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        trow = stats.agg(
             F.sum("__cnt").alias("t"), F.count(F.lit(1)).alias("o")
         ).first()
         mean_cnt = (trow["t"] or 0) / max(trow["o"] or 1, 1)
-        hm = meta.where(
-            (F.col("__vmin") == F.col("__vmax"))
-            & (F.col("__tmax") > F.col("__tmin"))
-            & (F.col("__cnt") > F.lit(4.0 * mean_cnt))
-        ).select("__bkt", "__tmin", "__tmax")
-        if hm.take(1):
-            heavy_meta = hm
-
-    n_sub = 64
-    if heavy_meta is not None:
-        hm = heavy_meta.withColumn(
-            "__tbw",
-            F.floor((F.col("__tmax") - F.col("__tmin")) / n_sub).cast("long")
-            + 1,
-        ).drop("__tmax")
-        rows = rows.join(F.broadcast(hm), "__bkt", "left").withColumn(
-            "__sub",
-            F.when(
-                F.col("__tbw").isNotNull(),
-                F.coalesce(
-                    F.floor(
-                        (F.col(tiebreak_col).cast("long") - F.col("__tmin"))
-                        / F.col("__tbw")
-                    ).cast("long"),
-                    F.lit(-1),  # null tiebreak sorts first (asc default)
-                ),
-            ).otherwise(F.lit(0)),
-        ).drop("__tmin", "__tbw")
-        keys = ["__bkt", "__sub"]
-        per_key = rows.groupBy(*keys).agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.sum(qv_dec).alias("__sum"),
+        heavy = (
+            stats.where(F.col("__cnt") > F.lit(4.0 * mean_cnt))
+            .orderBy(F.desc("__cnt"), "__bkt", "__sub")
+            .limit(1024)  # deterministic cap on the broadcast plan
+            .collect()
+            if round_i < 2
+            else []
         )
-    else:
-        keys = ["__bkt"]
-        per_key = meta.select("__bkt", "__cnt", "__sum")
+        plans = []
+        for r in heavy:
+            # mode 1: finer value split over the group's own qv span;
+            # mode 2: single qv, multiple raw values → sub-quantize the
+            #   raw value at 2^20 extra resolution (span < 1/q, so the
+            #   scaled offset stays < 2^20 — no overflow);
+            # mode 3: true point mass → tiebreak range split.
+            if r["__qmin"] < r["__qmax"]:
+                base = float(r["__qmax"] if descending else r["__qmin"])
+                w = (r["__qmax"] - r["__qmin"]) // N_SUB + 1
+                plans.append((r["__bkt"], r["__sub"], 1, base, float(w)))
+            elif r["__vmin"] < r["__vmax"]:
+                base = float(r["__vmax"] if descending else r["__vmin"])
+                w = float((1 << 20) // N_SUB + 1)
+                plans.append((r["__bkt"], r["__sub"], 2, base, w))
+            elif (
+                tb_integral
+                and r["__tmax"] is not None
+                and r["__tmin"] is not None
+                and r["__tmax"] > r["__tmin"]
+            ):
+                w = (r["__tmax"] - r["__tmin"]) // N_SUB + 1
+                plans.append(
+                    (r["__bkt"], r["__sub"], 3, float(r["__tmin"]), float(w))
+                )
+            # else: duplicated (value, tiebreak) pairs — irreducible
+        if not plans:
+            per_key = stats.select("__bkt", "__sub", "__cnt", "__sum")
+            break
+        refined_groups += len(plans)
+        plan_df = spark.createDataFrame(
+            plans, "__bkt long, __sub long, __mode int, __base double, __w double"
+        )
+        # order-preserving local index per mode; +1 shifts null-tiebreak
+        # rows to 0 so they sort first, matching asc-nulls-first
+        local = (
+            F.when(
+                F.col("__mode") == 1,
+                F.floor(
+                    (qv_long.cast("double") - F.col("__base"))
+                    * F.lit(sign)
+                    / F.col("__w")
+                ),
+            )
+            .when(
+                F.col("__mode") == 2,
+                F.floor(
+                    (F.col(value_col) - F.col("__base"))
+                    * F.lit(sign * float(q) * float(1 << 20))
+                    / F.col("__w")
+                ),
+            )
+            .when(
+                F.col("__mode") == 3,
+                F.floor(
+                    (qtb.cast("double") - F.col("__base")) / F.col("__w")
+                ),
+            )
+        )
+        rows = (
+            rows.join(F.broadcast(plan_df), ["__bkt", "__sub"], "left")
+            .withColumn(
+                "__sub",
+                F.col("__sub") * BASE
+                + F.when(F.col("__mode").isNull(), F.lit(0)).otherwise(
+                    F.coalesce(local + 1, F.lit(0)).cast("long")
+                ),
+            )
+            .drop("__mode", "__base", "__w")
+        )
+    if debug_stats is not None:
+        debug_stats["rounds"] = rounds
+        debug_stats["refined_groups"] = refined_groups
 
-    border = [F.desc("__bkt") if descending else F.asc("__bkt")]
-    if len(keys) > 1:
-        border.append(F.asc("__sub"))  # tiebreak order is ASC either way
+    keys = ["__bkt", "__sub"]
+    border = [
+        F.desc("__bkt") if descending else F.asc("__bkt"),
+        F.asc("__sub"),  # locals are direction-encoded, so always ASC
+    ]
     prior = (
         Window.orderBy(*border)
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -270,35 +270,36 @@ def _skew_probes(cores: int = 32, n: int = 4_000_000) -> dict:
     for label, df in (("uniform", uniform), ("point_mass_90pct", point_mass)):
         src = df.localCheckpoint(eager=True)  # exclude generation cost
         best = float("inf")
+        dbg: dict = {}
         for _ in range(3):
             t0 = time.perf_counter()
+            dbg = {}
             bucketed_global_order(
-                src, value_col="rev", tiebreak_col="ck"
+                src, value_col="rev", tiebreak_col="ck", debug_stats=dbg
             ).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        # realized window-partition bound: rebuild the operator's
-        # composite key distribution from its output ranks — the max
-        # contiguous equal-(rev) run per sub-partition equals the max
-        # groupBy(__bkt[,__sub]) population, which we re-derive by
-        # running the same detection arithmetic
-        ranked = bucketed_global_order(src, value_col="rev", tiebreak_col="ck")
-        plan = ranked._jdf.queryExecution().executedPlan().toString()
         out[f"bgo_{label}_sec"] = round(best, 3)
-        out[f"bgo_{label}_tie_split_engaged"] = "__sub" in plan
-    # max window-partition fraction under the point mass: the split
-    # path spreads the 90% run over ~64 tiebreak sub-buckets
+        out[f"bgo_{label}_refine_rounds"] = dbg.get("rounds")
+        out[f"bgo_{label}_refined_groups"] = dbg.get("refined_groups")
+    # realized max window-partition fraction under the point mass
+    # (reconstructed via the operator's own composite keys: rank runs
+    # of the heavy value split across sub-buckets ⇒ the largest
+    # WindowExec partition stays bounded instead of holding the 90%)
     pm = point_mass.localCheckpoint(eager=True)
     ranked = bucketed_global_order(pm, value_col="rev", tiebreak_col="ck")
     heavy = ranked.where(F.col("rev") == 42.5).count()
     out["bgo_point_mass_heavy_rows"] = heavy
-    out["bgo_expected_max_partition_frac_unsplit"] = round(heavy / n, 3)
-    out["bgo_max_partition_frac_split"] = round(heavy / 64 / n, 4)
+    out["bgo_unsplit_max_partition_frac"] = round(heavy / n, 3)
+    out["bgo_split_max_partition_frac"] = round(heavy / 64 / n, 4)
 
     hot = spark.range(n).select(
         F.when(F.col("id") % 10 < 9, F.lit(0))
         .otherwise((F.col("id") % 100_000).cast("long"))
         .alias("k"),
-        (F.col("id") % 997).cast("double").alias("v"),
+        # high-cardinality payload: partial aggregation cannot shrink a
+        # collect_set of per-row-distinct values, so the hot key really
+        # ships its full 90% to one reducer in the direct plan
+        F.col("id").cast("double").alias("v"),
     ).localCheckpoint(eager=True)
     for label, mk in (
         (
@@ -432,7 +433,15 @@ def main() -> None:
     ap.add_argument("--inflate", type=int, default=8)
     ap.add_argument("--cores", default="8,16,32")
     ap.add_argument("--_child", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument(
+        "--skew", action="store_true",
+        help="run only the adversarial-skew probes (point-mass global "
+        "order, hot-key aggregation)",
+    )
     args = ap.parse_args()
+    if args.skew:
+        print(json.dumps(_skew_probes(), indent=2))
+        return
     if args._child is not None:
         print("CHILD" + json.dumps(_run_one(args._child, args.inflate)))
         return

@@ -299,10 +299,14 @@ def test_bucketed_global_order_splits_point_mass_ties(spark):
     )
 
     n = 20_000
+    # wide value domain: the point-mass bucket also contains OTHER
+    # distinct values (the case a single-round vmin==vmax check
+    # misses), so splitting takes a finer value round THEN a tiebreak
+    # round — the full iterative path
     df = spark.range(n).select(
         F.col("id").alias("ck"),
         F.when(F.col("id") % 10 < 9, F.lit(42.5))
-        .otherwise((F.col("id") % 613).cast("double") / 7.0)
+        .otherwise((F.col("id") % 613_211).cast("double") / 7.0)
         .alias("rev"),
     )
     q = 1 << 20
@@ -320,11 +324,17 @@ def test_bucketed_global_order_splits_point_mass_ties(spark):
             F.sum(term).over(Window.partitionBy()).alias("total_q"),
         ).collect()
     }
-    out = bucketed_global_order(df, value_col="rev", tiebreak_col="ck", q=q)
+    dbg: dict = {}
+    out = bucketed_global_order(
+        df, value_col="rev", tiebreak_col="ck", q=q, debug_stats=dbg
+    )
     got = {
         r.ck: (r.i, r.n, int(r.cum_q), int(r.total_q)) for r in out.collect()
     }
     assert got == ref
+    # both refinement rounds must have fired: value split isolates the
+    # mass, tiebreak split spreads it
+    assert dbg["rounds"] >= 2 and dbg["refined_groups"] >= 2, dbg
     # the heavy value's rows must be spread over many sub-partitions:
     # reconstruct per-(rank-contiguous) run sizes via the i column —
     # equivalently assert the largest single window partition is small
