@@ -355,3 +355,63 @@ def test_bucketed_global_order_splits_point_mass_ties(spark):
     # equal (rev) per sub-bucket can't be read back, so assert plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "__sub" in plan, "tie-split path did not engage"
+
+
+def test_bucketed_global_order_randomized_differential(spark):
+    """Seeded random distributions (mixtures of point masses, tight
+    clusters, negatives, wide tails) × both directions must match the
+    single-window plan bit-for-bit — the refinement rounds fire or not
+    depending on the draw, and either way the contract is exact
+    parity. Tiebreaks are unique so ranks are well-defined."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from nursinghome_data_pipeline_spark.operators.skew import (
+        bucketed_global_order,
+    )
+
+    q = 1 << 20
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        masses = [round(rng.uniform(-50, 50), 2) for _ in range(3)]
+        rows = []
+        for ck in range(6000):
+            r = rng.random()
+            if r < 0.55:
+                v = masses[ck % 3]  # heavy identical-value masses
+            elif r < 0.8:
+                v = masses[0] + rng.random() * 1e-4  # near-mass cluster
+            else:
+                v = rng.uniform(-1e6, 1e6)
+            rows.append((ck, v))
+        df = spark.createDataFrame(rows, "ck long, rev double")
+        term = F.floor(F.col("rev") * q).cast("decimal(38,0)")
+        for descending in (False, True):
+            vorder = F.desc("rev") if descending else F.asc("rev")
+            w = Window.orderBy(vorder, F.asc("ck"))
+            ref = {
+                r.ck: (r.i, int(r.cum_q))
+                for r in df.select(
+                    "ck",
+                    F.row_number().over(w).alias("i"),
+                    F.sum(term)
+                    .over(
+                        w.rowsBetween(
+                            Window.unboundedPreceding, Window.currentRow
+                        )
+                    )
+                    .alias("cum_q"),
+                ).collect()
+            }
+            got = {
+                r.ck: (r.i, int(r.cum_q))
+                for r in bucketed_global_order(
+                    df,
+                    value_col="rev",
+                    tiebreak_col="ck",
+                    q=q,
+                    descending=descending,
+                ).collect()
+            }
+            assert got == ref, f"seed={seed} descending={descending}"
