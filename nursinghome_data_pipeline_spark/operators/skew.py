@@ -249,7 +249,8 @@ def bucketed_global_order(
 
     reserved = {
         "__bkt", "__cnt", "__sum", "__cnt_off", "__sum_off",
-        "__sub", "__vmin", "__vmax", "__tmin", "__tmax", "__tbw",
+        "__sub", "__vmin", "__vmax", "__qmin", "__qmax",
+        "__tmin", "__tmax", "__mode", "__base", "__w",
     }
     out_cols = {"i", "n", "cum_q", "total_q"}
     clash = (reserved | out_cols) & set(df.columns)

@@ -415,3 +415,35 @@ def test_bucketed_global_order_randomized_differential(spark):
                 ).collect()
             }
             assert got == ref, f"seed={seed} descending={descending}"
+
+
+def test_bucketed_global_order_nonintegral_tiebreak_and_empty(spark):
+    """A string tiebreak disables the tiebreak-split mode (3) but must
+    leave value splits working and the refinement loop terminating —
+    an irreducible heavy group yields no plan, so the loop exits
+    instead of burning its round budget. Empty input returns empty."""
+    from nursinghome_data_pipeline_spark.operators.skew import (
+        bucketed_global_order,
+    )
+
+    df = spark.createDataFrame(
+        [(f"id{i:05d}", 42.5 if i % 10 < 9 else i / 7.0) for i in range(2000)],
+        "ck string, rev double",
+    )
+    dbg: dict = {}
+    out = bucketed_global_order(
+        df, value_col="rev", tiebreak_col="ck", debug_stats=dbg
+    )
+    rows = out.orderBy("i").collect()
+    assert [r.i for r in rows] == list(range(1, 2001))
+    # ascending by (rev, ck): non-mass values below 42.5 come first
+    assert rows[0].ck == "id00009" and rows[0].n == 2000
+    # the point mass is rank-contiguous and string-ordered within
+    mass = [r.ck for r in rows if r.rev == 42.5]
+    assert mass == sorted(mass) and len(mass) == 1800
+
+    empty = spark.createDataFrame([], "ck long, rev double")
+    assert (
+        bucketed_global_order(empty, value_col="rev", tiebreak_col="ck").count()
+        == 0
+    )
