@@ -108,8 +108,9 @@ def completeness_profile(df: DataFrame, *, table_name: str) -> DataFrame:
 def observe_counts(df: DataFrame, name: str, **conditions: F.Column):
     """Attach named conditional counters that ride the next action.
 
-    Returns ``(df, observation)``; read ``observation.get`` AFTER an
-    action runs. Replaces the reference's eager ``len(df)`` logging
+    Returns ``(df, observation)``; read the metrics AFTER an action
+    runs, via ``functions.obs.get_metrics`` (bounded wait — a lost
+    listener event must not hang the caller). Replaces the reference's eager ``len(df)`` logging
     (calculate_metrics.py:100,109,145 — each a full extra pass in
     pandas) with zero-extra-pass metrics.
     """

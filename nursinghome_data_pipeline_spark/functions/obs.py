@@ -1,0 +1,57 @@
+"""Bounded-wait access to ``Observation`` metrics.
+
+``Observation.get`` blocks until the observed dataset's first action
+reports its metrics — but delivery rides the async SQL listener bus,
+which can drop ``SQLExecutionEnd`` events under load. A dropped event
+means ``get`` blocks FOREVER even though the action completed, turning
+a zero-cost counter into a pipeline hang. Every engine read of
+observed metrics goes through :func:`get_metrics`, which bounds the
+wait and either degrades to a caller-supplied explicit aggregate (one
+extra job — see ``operators/dedup.connected_components``) or raises a
+loud ``TimeoutError`` instead of hanging.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Callable
+
+#: Default bound on waiting for listener-bus delivery. Metrics for an
+#: already-finished action normally arrive within milliseconds; 30 s
+#: only elapses when the event was lost.
+DEFAULT_TIMEOUT_S = 30.0
+
+
+def get_metrics(
+    obs,
+    *,
+    timeout: float = DEFAULT_TIMEOUT_S,
+    fallback: Callable[[], dict[str, Any]] | None = None,
+) -> dict[str, Any]:
+    """``obs.get`` with a bounded wait.
+
+    Returns the observed metrics dict. On timeout, calls ``fallback``
+    (expected to recompute the same aggregates with an explicit job)
+    when given, else raises ``TimeoutError`` naming the observation —
+    a bounded loud failure instead of an unbounded silent hang.
+    """
+    state: dict[str, Any] = {}
+
+    def _wait() -> None:
+        try:
+            state.update(obs.get)
+        except Exception:
+            pass  # timeout path below reports/falls back
+
+    waiter = threading.Thread(target=_wait, daemon=True)
+    waiter.start()
+    waiter.join(timeout=timeout)
+    if state:
+        return state
+    if fallback is not None:
+        return fallback()
+    raise TimeoutError(
+        f"Observation metrics not delivered within {timeout}s (async "
+        "SQL listener event lost?) — the action may have completed; "
+        "re-run or recompute the aggregate explicitly"
+    )

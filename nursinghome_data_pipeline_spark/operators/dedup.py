@@ -672,7 +672,7 @@ def connected_components(
     run_tag = uuid.uuid4().hex[:8]  # listener events match on metric
     # name — two concurrent CC runs in one session must not cross-talk
 
-    import threading
+    from ..functions.obs import get_metrics
 
     def _observed_checkpoint(lbl: DataFrame, name: str):
         obs = Observation(f"{name}_{run_tag}")
@@ -681,30 +681,20 @@ def connected_components(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("component_id").cast("decimal(38,0)")).alias("s"),
         ).localCheckpoint(eager=True)
+
         # The eager checkpoint job has ALREADY run, so metrics normally
-        # arrive within milliseconds — but they ride the async SQL
-        # listener bus, which can drop SQLExecutionEnd events under
-        # load, and ``obs.get`` would then block forever. Bounded wait;
-        # on timeout degrade to ONE explicit aggregate job over the
-        # materialized checkpoint (no recompute) instead of hanging.
-        state: dict = {}
+        # arrive within milliseconds; a lost listener event degrades to
+        # ONE explicit aggregate over the materialized checkpoint (no
+        # recompute) instead of hanging the round (functions/obs.py).
+        def _explicit() -> dict:
+            row = ck.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("component_id").cast("decimal(38,0)")).alias("s"),
+            ).first()
+            return {"n": row["n"], "s": row["s"]}
 
-        def _wait_get():
-            try:
-                state.update(obs.get)
-            except Exception:
-                pass  # fallback below covers it
-
-        waiter = threading.Thread(target=_wait_get, daemon=True)
-        waiter.start()
-        waiter.join(timeout=_OBS_TIMEOUT_S)
-        if "n" in state and "s" in state:
-            return ck, (state["n"], state["s"])
-        row = ck.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("component_id").cast("decimal(38,0)")).alias("s"),
-        ).first()
-        return ck, (row["n"], row["s"])
+        state = get_metrics(obs, timeout=_OBS_TIMEOUT_S, fallback=_explicit)
+        return ck, (state["n"], state["s"])
 
     labels, prev = _observed_checkpoint(
         nodes.select(F.col(id_col).alias("node"))

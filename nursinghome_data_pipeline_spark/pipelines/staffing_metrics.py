@@ -75,9 +75,15 @@ class StaffingMetricsReport:
         one executed plan, so detection costs zero extra jobs — unlike
         a per-fold ``isEmpty()``, which re-executes the join prefix
         O(N²) times across N files (VERDICT r1 "What's wrong" #5).
-        Must be called after an action has run on the final plan."""
+        Must be called after an action has run on the final plan.
+        Reads go through the bounded-wait helper (functions/obs.py) so
+        a lost listener event raises instead of hanging the report."""
+        from ..functions.obs import get_metrics
+
         self.empty_merges = [
-            (ln, rn) for ln, rn, obs in self._merge_probes if obs.get["n"] == 0
+            (ln, rn)
+            for ln, rn, obs in self._merge_probes
+            if get_metrics(obs)["n"] == 0
         ]
 
 
@@ -238,9 +244,11 @@ def run_staffing_metrics(
         write_metrics_csv(metrics, out_dir)
     else:
         metrics.count()
-    co = clean_obs.get
+    from ..functions.obs import get_metrics
+
+    co = get_metrics(clean_obs)
     report.zero_blanked_rows = int(co["zero_blanked_rows"])
-    go = calc_obs.get
+    go = get_metrics(calc_obs)
     report.dropped_bad_denominator = int(go["zero_denominator_rows"])
     report.finalize()
     return metrics, report

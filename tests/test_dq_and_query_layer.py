@@ -108,3 +108,31 @@ def test_numeric_means_and_columns(metrics_df):
 
 def test_preview(metrics_df):
     assert ql.preview(metrics_df, 2).count() == 2
+
+
+def test_get_metrics_bounded_wait_and_fallback():
+    """functions/obs.py: metrics already delivered return immediately;
+    a never-delivering observation falls back (when given) or raises a
+    TimeoutError instead of blocking forever."""
+    import time
+
+    import pytest
+
+    from nursinghome_data_pipeline_spark.functions.obs import get_metrics
+
+    class _Delivered:
+        @property
+        def get(self):
+            return {"n": 7}
+
+    class _Deaf:
+        @property
+        def get(self):
+            time.sleep(3600)
+
+    assert get_metrics(_Delivered()) == {"n": 7}
+    assert get_metrics(_Deaf(), timeout=0.2, fallback=lambda: {"n": 1}) == {
+        "n": 1
+    }
+    with pytest.raises(TimeoutError, match="listener"):
+        get_metrics(_Deaf(), timeout=0.2)
