@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "image_resize_plan",
     "knn_lsh_topk",
     "knn_ivf_fixed_topk",
+    "knn_ivf_topk",
     "simhash_docs",
     "whitened_embeddings_by_label",
     "synthetic_docs_quality",

@@ -2680,24 +2680,133 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(embeddings, query, k=10, dim=64, n_planes=6)
 
 
+def _ivf_trained_oracle(
+    n_centroids: int = 8, iterations: int = 2, n_probe: int = 4, k: int = 10
+) -> str:
+    """TRAINED-IVF oracle: hash-chosen init → unrolled quantized Lloyd
+    (the exact CTE chain `_kmeans_oracle` proved bit-equal to
+    operators/clustering) → cosine cell assignment / probe / re-rank
+    (the phase structure `knn_ivf_fixed_topk` proved oracle-exact).
+    Composing the two proven parities is what lets a TRAINED ANN index
+    be hash-checked at all."""
+    from .functions.exprs import oracle_q_avg
+
+    dist = (
+        f"{_DOT.format(a='e.embedding', b='e.embedding')}"
+        f" - 2.0 * {_DOT.format(a='e.embedding', b='c.clist')}"
+        f" + {_DOT.format(a='c.clist', b='c.clist')}"
+    )
+    ctes = [
+        "cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0)",
+        f"""c0 AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS clist
+      FROM cand ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {n_centroids}
+    )""",
+    ]
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id ORDER BY ({dist}), c.cid) AS rn
+        FROM cand e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+      SELECT cid, list(mv ORDER BY dim) AS clist FROM (
+        SELECT a.cid, u.dim, {oracle_q_avg('u.val')} AS mv
+        FROM a{i} a JOIN (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS val
+          FROM cand
+        ) u USING (vec_id)
+        GROUP BY a.cid, u.dim
+      ) GROUP BY cid
+    )"""
+        )
+        prev = f"c{i}"
+    probe_cos = _cosine_sql("q.qe", "c.clist")
+    assign_cos = _cosine_sql("e.embedding", "c.clist")
+    rank_cos = _cosine_sql("a.embedding", "q.qe")
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (ORDER BY {probe_cos} DESC, c.cid) AS rn
+        FROM {prev} c, q
+      ) WHERE rn <= {n_probe}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {assign_cos} DESC, c.cid) AS rn
+        FROM cand e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cell, {rank_cos} AS cosine_sim
+    FROM assigned a JOIN probes p ON a.cell = p.cid, q
+    ORDER BY cosine_sim DESC, a.vec_id LIMIT {k}
+    """
+
+
 @_register(
     "knn_ivf_topk",
-    None,  # IVF cells depend on the trained index — rows-only
-    "IVF approximate nearest-neighbor (north star scale path): k-means "
-    "centroids trained driver-side on a bounded deterministic sample, "
-    "cell assignment via one vectorized pandas-UDF matmul per Arrow "
-    "batch, probing the 4 nearest cells. Probing all cells is proven "
-    "equal to exact brute force in tests/test_ivf.py.",
+    _ivf_trained_oracle(n_centroids=8, iterations=2, n_probe=4, k=10),
+    "TRAINED-IVF approximate nearest-neighbor (north star scale path): "
+    "coarse quantizer = 2 quantized Lloyd iterations from hash-chosen "
+    "init (operators/clustering.assign_to_centroids/update_centroids — "
+    "the oracle-proven kmeans_lloyd_embeddings machinery), then the "
+    "knn_ivf_fixed three-phase plan (map-only cosine argmax assignment "
+    "over the 8 collected centroid literals, driver-side probe pick, "
+    "literal-IN prune + exact re-rank + TakeOrderedAndProject) against "
+    "the TRAINED cells. ORACLE-checked since r4 (was the last ANN "
+    "rows-only waiver): quantized per-dim means are bit-reproducible "
+    "in SQL, so the unrolled-Lloyd CTE chain reproduces the trained "
+    "index exactly and the whole ANN pipeline hash-matches. The "
+    "numpy-sample production training path (ivf_train_centroids, "
+    "vectorized Arrow assignment) is retained in operators/ and "
+    "recall-tested in tests/test_ivf.py; at 100 TB training stays on "
+    "a bounded sample either way and assignment stays map-only.",
 )
 def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import ivf_train_centroids, knn_ivf
+    from .operators.clustering import assign_to_centroids, update_centroids
+    from .operators.similarity import knn_ivf_fixed
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    cent = ivf_train_centroids(embeddings, n_centroids=8, sample_rows=2000)
-    qvec = embeddings.where(F.col("vec_id") == 0).first()["embedding"]
-    return knn_ivf(
-        embeddings.where(F.col("vec_id") != 0), qvec, cent, k=10, n_probe=4
+    cands = embeddings.where(F.col("vec_id") != 0)
+    init = (
+        cands.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
+        )
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda v: v.cast("double")).alias(
+                "clist"
+            ),
+        )
     )
+    centroids = init.localCheckpoint(eager=True)
+    for _ in range(2):
+        a = assign_to_centroids(cands, centroids)
+        centroids = update_centroids(cands, a).localCheckpoint(eager=True)
+    trained = sorted(
+        (int(r["cid"]), [float(v) for v in r["clist"]])
+        for r in centroids.collect()  # bounded: n_centroids × dim
+    )
+    qvec = embeddings.where(F.col("vec_id") == 0).first()["embedding"]
+    return knn_ivf_fixed(cands, qvec, trained, k=10, n_probe=4)
 
 
 _IVF_COS = _cosine_sql("{v}", "{s}")
