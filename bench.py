@@ -142,8 +142,23 @@ def _minhash_production(spark, sf_dir: str):
     )
 
 
+def _hll_native(spark, sf_dir: str):
+    """Production DataSketches-native HLL rollup (operators/rollup.py:
+    hll_rollup) — benched under its own label now that the registry
+    entry uses the md5-register family for its cross-engine oracle
+    (the minhash_signatures_xxh64 precedent)."""
+    from nursinghome_data_pipeline_spark.operators.rollup import hll_rollup
+    from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return hll_rollup(events, key_cols=["event_type"], distinct_col="user_id")
+
+
 #: label -> callable(spark, sf_dir); non-registry bench entries
-EXTRA_BENCH = {"minhash_signatures_xxh64": _minhash_production}
+EXTRA_BENCH = {
+    "minhash_signatures_xxh64": _minhash_production,
+    "hll_datasketches_native": _hll_native,
+}
 
 
 #: The harness that records bench output keeps only the LAST ~2000

@@ -130,3 +130,107 @@ def hll_rollup(
         F.count(F.lit(1)).alias("n_buckets"),
     )
     return merged
+
+
+def md5_hll_rollup(
+    events: DataFrame,
+    *,
+    key_cols: list[str] | None = None,
+    distinct_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Distinct-count rollup via an md5-register HLL — the
+    ORACLE-EXACT twin of :func:`hll_rollup` (same playbook as the md5
+    minhash/KMV families: the registry entry uses the hash family
+    every engine reproduces bit-for-bit; the DataSketches-native path
+    stays for production and is benched under its own label).
+
+    HLL core, chosen so EVERY arithmetic step is deterministic and
+    engine-independent:
+
+    - register index = first 2 md5 hex chars (m = 256 registers);
+      rho = leading-zero count of the next 11 hex chars (44 bits) + 1,
+      computed with STRING ops (regexp ``^0*`` + a 16-way nibble CASE)
+      — no floating log2, no bit intrinsics to disagree on;
+    - per (keys, day-bucket, register): max(rho) — the mergeable fine
+      rollup; per (keys, register): max over buckets. Register-wise
+      max is associative, so the merged registers EQUAL a single pass
+      over raw rows (the same mergeability contract as
+      ``hll_union_agg``, here oracle-checkable);
+    - harmonic sum S = Σ 2^-M over the 256 registers: every term is an
+      exact power of two built as ``1.0 / (1 << M)`` (no ``pow``), and
+      with m = 2^8, rho ≤ 45 every partial sum spans ≤ 53 bits — S is
+      EXACT in a double, hence order-independent across partitions;
+    - estimate = α·m²/S with α = 0.7213/(1 + 1.079/256) (literal
+      arithmetic, bit-identical in any IEEE engine); the linear-
+      counting branch (E ≤ 2.5m, V empty registers > 0) uses
+      m·ln(m/V) — ``ln`` differs from glibc by 1 ulp on 18 of the 255
+      possible V values on the JVM, so the output is quantized
+      ``floor(x·2^20)/2^20``, verified EXHAUSTIVELY over the finite
+      V ∈ 1..255 domain to absorb every such difference (both branches
+      quantized for uniformity).
+
+    m is pinned at 256 because both exactness arguments above (53-bit
+    harmonic-sum span; exhaustive ln check) are proofs FOR m = 256.
+    Output: keys + ``approx_distinct`` (double), ``n_buckets``
+    (distinct time buckets merged), ``v_empty`` (empty registers —
+    the accuracy-regime witness).
+    """
+    keys = list(key_cols or [])
+    h = F.md5(
+        F.concat(F.lit("hll:"), F.col(distinct_col).cast("string")).cast(
+            "binary"
+        )
+    )
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    hex11 = F.substring(h, 3, 11)
+    lz = F.length(F.regexp_extract(hex11, "^0*", 0))
+    c = hex11.substr(lz + F.lit(1), F.lit(1))
+    nibz = (
+        F.when(c == "1", 3)
+        .when(c.isin("2", "3"), 2)
+        .when(c.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(lz == 11, F.lit(45)).otherwise(lz * 4 + nibz + 1)
+
+    fine = (
+        events.where(F.col(distinct_col).isNotNull())
+        .select(
+            *keys,
+            F.date_trunc(bucket, F.col(ts_col)).alias("__bkt_ts"),
+            reg.alias("__reg"),
+            rho.alias("__rho"),
+        )
+        .groupBy(*keys, "__bkt_ts", "__reg")
+        .agg(F.max("__rho").alias("__m"))
+    )
+    merged = fine.groupBy(*keys, "__reg").agg(F.max("__m").alias("__m"))
+    per_key = merged.groupBy(*keys).agg(
+        F.sum(
+            F.lit(1.0)
+            / F.expr("CAST(shiftleft(1L, __m) AS DOUBLE)")
+        ).alias("__s_present"),
+        F.count(F.lit(1)).alias("__n_present"),
+    )
+    days = fine.groupBy(*keys).agg(
+        F.countDistinct("__bkt_ts").alias("n_buckets")
+    )
+    m = 256.0
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(m))
+    s_total = F.col("__s_present") + (F.lit(m) - F.col("__n_present"))
+    v_empty = (F.lit(256).cast("long") - F.col("__n_present")).alias("v_empty")
+    e_raw = alpha * F.lit(m) * F.lit(m) / s_total
+    e_lin = F.lit(m) * F.log(
+        F.lit(m) / (F.lit(256).cast("long") - F.col("__n_present")).cast("double")
+    )
+    q = float(1 << 20)
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (F.col("__n_present") < 256),
+        F.floor(e_lin * q) / q,
+    ).otherwise(F.floor(e_raw * q) / q)
+    out = per_key.select(
+        *keys, est.alias("approx_distinct"), v_empty
+    )
+    return out.join(days, keys) if keys else out.crossJoin(days)

@@ -4988,27 +4988,90 @@ def rollup_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_cascade(events)
 
 
+_HLL_RHO_SQL = """CASE WHEN length(regexp_extract(hex11, '^0*')) = 11 THEN 45
+              ELSE length(regexp_extract(hex11, '^0*')) * 4
+                   + CASE substr(hex11,
+                                 length(regexp_extract(hex11, '^0*')) + 1, 1)
+                       WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                       WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                       WHEN '7' THEN 1 ELSE 0 END + 1
+         END"""
+
+_HLL_ERAW_SQL = (
+    "(0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0"
+    " / (s_present + (256.0 - n_present))"
+)
+
+
 @_register(
     "hll_rollup_events",
-    None,  # DataSketches HLL estimates are engine-specific → rows-only
-    "Mergeable distinct-count rollup (operators/rollup.py): one HLL "
-    "sketch per (event_type, day) via hll_sketch_agg, merged per type "
-    "with hll_union_agg, then estimated. Union is register-wise max at "
-    "shared lgK, so the merged estimate EQUALS a single-pass sketch of "
-    "the raw rows (pinned by tests/test_rollup_sketches.py, with an "
-    "ε-bound vs exact COUNT DISTINCT) while the merge shuffles only "
-    "KB-sized sketches — daily → all-time distinct users at 100 TB "
-    "without ever re-shuffling user ids. Deterministic output "
-    "(DataSketches hashing is seed-fixed) but engine-specific, hence "
-    "rows-only.",
+    f"""
+    WITH hashed AS (
+      SELECT event_type, date_trunc('day', ts) AS bkt_ts,
+             md5('hll:' || CAST(user_id AS VARCHAR)) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+      SELECT event_type, bkt_ts,
+             ('0x' || substr(h, 1, 2))::INTEGER AS reg,
+             substr(h, 3, 11) AS hex11
+      FROM hashed
+    ),
+    rho AS (
+      SELECT event_type, bkt_ts, reg, {_HLL_RHO_SQL} AS rho FROM regs
+    ),
+    fine AS (
+      SELECT event_type, bkt_ts, reg, MAX(rho) AS m
+      FROM rho GROUP BY event_type, bkt_ts, reg
+    ),
+    merged AS (
+      SELECT event_type, reg, MAX(m) AS m FROM fine GROUP BY event_type, reg
+    ),
+    per_key AS (
+      SELECT event_type,
+             SUM(1.0 / CAST((1::BIGINT << m) AS DOUBLE)) AS s_present,
+             COUNT(*) AS n_present
+      FROM merged GROUP BY event_type
+    ),
+    days AS (
+      SELECT event_type, COUNT(DISTINCT bkt_ts) AS n_buckets
+      FROM fine GROUP BY event_type
+    )
+    SELECT p.event_type,
+           CASE WHEN {_HLL_ERAW_SQL} <= 640.0 AND n_present < 256
+                THEN floor(256.0 * ln(256.0 /
+                           CAST(256 - n_present AS DOUBLE))
+                           * 1048576.0) / 1048576.0
+                ELSE floor({_HLL_ERAW_SQL} * 1048576.0) / 1048576.0
+           END AS approx_distinct,
+           CAST(256 - n_present AS BIGINT) AS v_empty,
+           d.n_buckets
+    FROM per_key p JOIN days d USING (event_type)
+    """,
+    "Mergeable distinct-count rollup via an md5-register HLL "
+    "(operators/rollup.md5_hll_rollup): registers per (event_type, "
+    "day) — max(rho) — then register-wise max across days, harmonic "
+    "estimate with linear-counting correction. ORACLE-checked since "
+    "r4 (was the last rows-only waiver): register index and rho come "
+    "from md5 hex STRING ops both engines reproduce exactly; the "
+    "harmonic sum is a 256-term sum of exact powers of two spanning "
+    "≤ 53 bits, hence EXACT in a double and order-independent; the "
+    "one transcendental (ln in linear counting) is quantized "
+    "floor(x*2^20)/2^20, verified exhaustively over its finite "
+    "V∈1..255 domain to absorb the JVM-vs-glibc 1-ulp differences. "
+    "Register-wise max merging means daily → all-time estimates never "
+    "re-shuffle user ids — the same 100 TB contract as the "
+    "DataSketches-native path (operators/rollup.hll_rollup), which "
+    "stays for production, ε-tested in tests/test_rollup_sketches.py "
+    "and benched as hll_datasketches_native.",
 )
 def hll_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.rollup import hll_rollup
+    from .operators.rollup import md5_hll_rollup
 
     (events,) = _t(spark, sf_dir, "events")
-    return hll_rollup(
+    return md5_hll_rollup(
         events, key_cols=["event_type"], distinct_col="user_id"
-    ).select("event_type", "approx_distinct", "n_buckets")
+    ).select("event_type", "approx_distinct", "v_empty", "n_buckets")
 
 
 # ---------------------------------------------------------------------------

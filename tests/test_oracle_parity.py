@@ -24,10 +24,13 @@ import pytest
 
 from nursinghome_data_pipeline_spark import registry
 
-from .oracle_harness import compare, duckdb_connection, unhashable_cells
+from .oracle_harness import compare, duckdb_connection
 
 SPECS = [s for s in registry.specs() if s.oracle is not None]
-ROWS_ONLY = [s for s in registry.specs() if s.oracle is None]
+# oracle-less specs: none since r4 (the trained-IVF and HLL waivers
+# closed) — test_every_registry_query_has_an_oracle is the tripwire,
+# and test_rows_only_queries_never_burn_sample_slots pins the rotation
+# behavior with a synthetic spec should one ever return.
 
 
 @pytest.fixture(scope="module")
@@ -56,16 +59,6 @@ def test_query_matches_oracle(spark, sf_dir, duck, spec):
     assert not problems, f"{spec.name}: " + "; ".join(problems)
 
 
-@pytest.mark.parametrize("spec", ROWS_ONLY, ids=[s.name for s in ROWS_ONLY])
-def test_rows_only_query_runs(spark, sf_dir, spec):
-    """Rows-only queries still pass through the driver's canonicalizer
-    (sort + hash), so their outputs must be hashable scalars too."""
-    df = spec.fn(spark, sf_dir)
-    pdf = df.toPandas()
-    assert len(pdf) >= 0
-    assert len(df.columns) > 0
-    bad = unhashable_cells(pdf)
-    assert not bad, f"{spec.name}: unhashable cells in {bad} — driver rows-only hasher would error"
 
 
 def test_driver_spotlight_prefix_is_fully_oracled():
@@ -126,18 +119,31 @@ def test_auto_rotation_orders_unchecked_before_driver_green():
     )
 
 
-def test_rows_only_queries_never_burn_sample_slots():
-    # The two permanently rows-only queries (oracle=None: driver can
-    # only record a weaker rows-only row, never a hash-green one) must
-    # sit BEHIND every oracled query — green or not — so the driver's
-    # 50-query sample prefix spends every slot on a verifiable check.
-    names = list(registry.queries())
+def test_every_registry_query_has_an_oracle():
+    # r4 closed the last two waivers (trained IVF via quantized-Lloyd
+    # CTEs; HLL via the md5-register family) — the full registry is now
+    # hash-verifiable. A new oracle-less entry needs a documented
+    # waiver in COVERAGE.md; this test is the tripwire.
     no_oracle = [s.name for s in registry._SPECS if s.oracle is None]
-    assert no_oracle, "expected the documented rows-only waivers"
-    n = len(names)
-    for name in no_oracle:
-        assert names.index(name) >= n - len(no_oracle), (
-            f"{name} has no oracle yet sits ahead of oracled queries"
-        )
-    # and they are still REGISTERED — sinking them must not drop them
-    assert set(no_oracle) <= set(names)
+    assert no_oracle == [], f"undocumented rows-only entries: {no_oracle}"
+
+
+def test_rows_only_queries_never_burn_sample_slots(monkeypatch):
+    # If an oracle-less query ever exists again (oracle=None: the
+    # driver can only record a weaker rows-only row, never a
+    # hash-green one), it must sit BEHIND every oracled query — green
+    # or not — so the driver's 50-query sample prefix spends every
+    # slot on a verifiable check. Pinned with a synthetic spec since
+    # the real registry currently has none.
+    fake = registry.QuerySpec(
+        name="zz_fake_rows_only",
+        fn=lambda spark, sf: None,
+        oracle=None,
+        doc="synthetic",
+    )
+    monkeypatch.setattr(registry, "_SPECS", registry._SPECS + [fake])
+    names = list(registry.queries())
+    assert names[-1] == "zz_fake_rows_only", (
+        "an oracle-less spec sits ahead of oracled queries"
+    )
+    assert "zz_fake_rows_only" not in names[:-1]

@@ -90,3 +90,41 @@ def test_hll_estimate_within_epsilon_of_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+
+
+def test_md5_hll_estimate_within_epsilon_and_merge_lossless(spark, sf_dir):
+    """The oracle-exact md5-register HLL (m=256, RSE ≈ 1.04/sqrt(256)
+    ≈ 6.5%): assert a 3-sigma ~20% bound vs exact COUNT DISTINCT, and
+    that the day-merged registers estimate EXACTLY what a single pass
+    (no day level) estimates — register-wise max is lossless."""
+    from nursinghome_data_pipeline_spark.operators.rollup import (
+        md5_hll_rollup,
+    )
+
+    events = _events(spark, sf_dir)
+    rolled = {
+        r["event_type"]: r["approx_distinct"]
+        for r in md5_hll_rollup(
+            events, key_cols=["event_type"], distinct_col="user_id"
+        ).collect()
+    }
+    # single pass = bucket by a constant unit so every row lands in one
+    # "day" — the merge level then has nothing to merge
+    single = {
+        r["event_type"]: r["approx_distinct"]
+        for r in md5_hll_rollup(
+            events.withColumn("ts", F.lit("2000-01-01").cast("timestamp")),
+            key_cols=["event_type"],
+            distinct_col="user_id",
+        ).collect()
+    }
+    assert rolled == single
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(rolled) == set(exact)
+    for k, n in exact.items():
+        assert abs(rolled[k] - n) <= max(2, 0.20 * n), (k, rolled[k], n)
