@@ -29,14 +29,15 @@ def _fake_timings(n: int) -> dict[str, float]:
 
 
 def test_line_fits_and_parses_for_current_bench_set():
-    timings = {name: 1.2345 for name in bench.BENCH_QUERIES}
+    labels = list(bench.BENCH_QUERIES) + list(bench.EXTRA_BENCH)
+    timings = {name: 1.2345 for name in labels}
     line = bench.summary_line(timings, sum(timings.values()), 0.1)
     assert len(line) <= bench.LINE_BUDGET
     d = json.loads(line)
     assert d["metric"] == "headline_queries_total_runtime"
     assert d["unit"] == "sec"
-    assert set(d["queries"]) <= set(bench.BENCH_QUERIES)
-    assert len(d["queries"]) + d["queries_omitted"] == len(bench.BENCH_QUERIES)
+    assert set(d["queries"]) <= set(labels)
+    assert len(d["queries"]) + d["queries_omitted"] == len(labels)
 
 
 def test_total_covers_all_queries_even_when_trimmed():
