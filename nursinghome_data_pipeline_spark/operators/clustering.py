@@ -27,10 +27,53 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
 
 from ..functions.exprs import q_avg
 from ..functions.vectors import dot_product_col
+
+
+def _collect_centroids(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Bounded driver materialization (k·dim doubles by the k-means
+    contract — k is a model constant, never data-sized)."""
+    return sorted(
+        (int(r["cid"]), [float(v) for v in r["clist"]])
+        for r in centroids.collect()
+    )
+
+
+def centroid_argmin_col(
+    centroid_rows: list[tuple[int, list[float]]], vec_col: str
+) -> F.Column:
+    """Nearest-centroid id as ONE map-only column expression.
+
+    Distance is squared L2 expanded as dot(x,x) - 2*dot(x,c) +
+    dot(c,c), in exactly that operation order (mirrored by the oracle
+    SQL); the centroids embed as literal arrays and ``array_min`` over
+    (dist, cid) structs reproduces the argmin-with-smallest-cid
+    tie-break bit-for-bit. This replaces the former crossJoin +
+    id-partitioned window, which SHUFFLED k× the input per Lloyd
+    iteration — assignment is now whole-stage-codegen with no exchange,
+    the property that matters at 10^9 vectors."""
+    xx = dot_product_col(vec_col, vec_col)
+    choices = []
+    for cid, clist in centroid_rows:
+        lit_c = F.array(*[F.lit(v) for v in clist])
+        # dot(c,c) precomputed with the same sequential left-to-right
+        # fold as dot_product_col — bit-equal, and a literal instead of
+        # a per-row 64-element fold Catalyst may not constant-fold
+        cc = 0.0
+        for v in clist:
+            cc = cc + v * v
+        dist = (
+            xx
+            - F.lit(2.0) * dot_product_col(vec_col, lit_c)
+            + F.lit(cc)
+        )
+        choices.append(
+            F.struct(dist.alias("d"), F.lit(cid).cast("long").alias("cid"))
+        )
+    return F.array_min(F.array(*choices))["cid"]
 
 
 def assign_to_centroids(
@@ -42,21 +85,12 @@ def assign_to_centroids(
 ) -> DataFrame:
     """(id, cid) — nearest centroid per vector, ties to smallest cid.
 
-    ``centroids``: (cid: long, clist: array<double>). Distance is
-    squared L2 expanded as dot(x,x) - 2*dot(x,c) + dot(c,c), written
-    in exactly that operation order (mirrored by the oracle SQL).
-    """
-    dist = (
-        dot_product_col(vec_col, vec_col)
-        - F.lit(2.0) * dot_product_col(vec_col, "clist")
-        + dot_product_col("clist", "clist")
-    )
-    w = Window.partitionBy(id_col).orderBy(dist.alias("d"), F.col("cid"))
-    return (
-        df.crossJoin(F.broadcast(centroids))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, "cid")
+    ``centroids``: (cid: long, clist: array<double>); collected
+    driver-side (bounded k·dim) and evaluated map-only — see
+    :func:`centroid_argmin_col` for why there is no join here."""
+    rows = _collect_centroids(centroids)
+    return df.select(
+        id_col, centroid_argmin_col(rows, vec_col).alias("cid")
     )
 
 
@@ -93,17 +127,19 @@ def kmeans_lloyd(
     """Run ``iterations`` Lloyd steps; return (cid, dim, c_val,
     n_assigned) — the final centroids exploded to scalar rows (driver-
     hashable) plus each cluster's final population."""
-    centroids = init_centroids.localCheckpoint(eager=True)
-    assignment = None
-    for _ in range(iterations):
-        assignment = assign_to_centroids(
-            df, centroids, id_col=id_col, vec_col=vec_col
+    centroids = lloyd_train(
+        df, init_centroids, iterations=iterations, vec_col=vec_col
+    )
+    # final-iteration assignment (vs the PRE-update centroids of the
+    # last round — the same rows the last update aggregated)
+    counts = (
+        df.select(
+            centroid_argmin_col(
+                getattr(centroids, "_last_assign_rows"), vec_col
+            ).alias("cid")
         )
-        centroids = update_centroids(
-            df, assignment, id_col=id_col, vec_col=vec_col
-        ).localCheckpoint(eager=True)
-    counts = assignment.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_assigned")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
     )
     return (
         centroids.select(
@@ -112,3 +148,52 @@ def kmeans_lloyd(
         .join(counts, on="cid")
         .select("cid", "dim", "c_val", "n_assigned")
     )
+
+
+def lloyd_train(
+    df: DataFrame,
+    init_centroids: DataFrame,
+    *,
+    iterations: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``iterations`` fused Lloyd steps → (cid, clist) centroids.
+
+    Per iteration: ONE map-side-combined aggregation — the assignment
+    column is computed inline (:func:`centroid_argmin_col`, no
+    shuffle), posexplode feeds the (cid, dim) quantized means directly
+    (no re-join of the assignment against the input — the former
+    update path shuffled the input TWICE per round: once for the
+    assignment window, once for the join). Quantized means keep the
+    result bit-identical to the join formulation and to the oracle's
+    unrolled CTEs. Each round's k·dim centroid table is eagerly
+    checkpointed (O(1) lineage).
+
+    The returned DataFrame carries ``_last_assign_rows`` — the final
+    round's PRE-update centroid literals — for callers that need the
+    matching assignment (population counts, IVF cell routing).
+    """
+    centroids = init_centroids.localCheckpoint(eager=True)
+    rows = _collect_centroids(centroids)
+    for _ in range(iterations):
+        # two steps: a generator (posexplode) and the argmin struct
+        # access cannot share one select — the Generate analysis path
+        # drops the struct field names (FIELD_NOT_FOUND col1/col2)
+        cid = centroid_argmin_col(rows, vec_col)
+        per_dim = (
+            df.withColumn("cid", cid)
+            .select("cid", F.posexplode(vec_col).alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(q_avg(F.col("val").cast("double"), "mv"))
+        )
+        centroids = per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                lambda s: s["mv"],
+            ).alias("clist")
+        ).localCheckpoint(eager=True)
+        last_rows = rows
+        rows = _collect_centroids(centroids)
+    centroids._last_assign_rows = last_rows
+    centroids._trained_rows = rows
+    return centroids

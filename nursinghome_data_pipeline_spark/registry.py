@@ -2780,7 +2780,7 @@ def _ivf_trained_oracle(
     "a bounded sample either way and assignment stays map-only.",
 )
 def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.clustering import assign_to_centroids, update_centroids
+    from .operators.clustering import lloyd_train
     from .operators.similarity import knn_ivf_fixed
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
@@ -2797,14 +2797,7 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    centroids = init.localCheckpoint(eager=True)
-    for _ in range(2):
-        a = assign_to_centroids(cands, centroids)
-        centroids = update_centroids(cands, a).localCheckpoint(eager=True)
-    trained = sorted(
-        (int(r["cid"]), [float(v) for v in r["clist"]])
-        for r in centroids.collect()  # bounded: n_centroids × dim
-    )
+    trained = lloyd_train(cands, init, iterations=2)._trained_rows
     qvec = embeddings.where(F.col("vec_id") == 0).first()["embedding"]
     return knn_ivf_fixed(cands, qvec, trained, k=10, n_probe=4)
 
@@ -6969,8 +6962,10 @@ def _kmeans_oracle(k: int = 4, iterations: int = 2) -> str:
     "kmeans_lloyd_embeddings",
     _kmeans_oracle(k=4, iterations=2),
     "Distributed k-means, two full Lloyd iterations "
-    "(operators/clustering.py): assignment is a k-row broadcast "
-    "cross-join + per-vector argmin window (deterministic tie-break), "
+    "(operators/clustering.py): assignment is ONE map-only array_min "
+    "projection over literal centroid arrays (bounded k-row collect "
+    "per round, deterministic smallest-cid tie-break — no join, no "
+    "shuffle; plan-gated), "
     "update is posexplode → (cid, dim) QUANTIZED means — bit-equal "
     "across engines and partition layouts, which is what lets an "
     "iterative ML algorithm be hash-checked against an unrolled "

@@ -228,14 +228,19 @@ def test_aqe_converts_shuffle_join_to_broadcast_at_runtime(spark, sf_dir):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
-def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+def test_kmeans_assignment_is_map_only(spark, sf_dir):
     plan = _formatted_plan(
         registry.queries()["kmeans_lloyd_embeddings"](spark, sf_dir)
     )
-    # k centroids must broadcast to the scan side; the scan never
-    # shuffles for assignment
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # r4: centroids embed as LITERALS (bounded k·dim collect) and the
+    # argmin is one array_min projection — assignment shuffles nothing,
+    # where the former crossJoin + id-partitioned window moved k× the
+    # input per Lloyd iteration. The only join left is the k-row
+    # centroid/counts join at the very end.
     assert "CartesianProduct" not in plan
+    assert "array_min" in plan
+    # the assignment window is gone — no row_number anywhere
+    assert "row_number" not in plan
 
 
 def test_lift_pairs_is_equi_join(spark, sf_dir):
