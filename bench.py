@@ -209,6 +209,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     # warm the JVM + parquet footers once with the cheapest query
     qs["pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # warm the Structured Streaming machinery too: the first stream of
+    # a session pays one-time scheduler/state-store setup that otherwise
+    # lands inside some streaming twin's best-of-2 (observed 7.3 s
+    # first-run vs 3.5 s steady-state for the stateful twin)
+    qs["streaming_dedup_events"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     # best-of-N per query: a single pass conflates host-CPU contention
     # noise with plan cost; min-of-N is the standard steady-state
     # timing. Batch queries get 3 reps (transient multi-second spikes
