@@ -159,22 +159,28 @@ def lloyd_train(
 ) -> DataFrame:
     """``iterations`` fused Lloyd steps → (cid, clist) centroids.
 
-    Per iteration: ONE map-side-combined aggregation — the assignment
-    column is computed inline (:func:`centroid_argmin_col`, no
-    shuffle), posexplode feeds the (cid, dim) quantized means directly
-    (no re-join of the assignment against the input — the former
-    update path shuffled the input TWICE per round: once for the
-    assignment window, once for the join). Quantized means keep the
-    result bit-identical to the join formulation and to the oracle's
-    unrolled CTEs. Each round's k·dim centroid table is eagerly
-    checkpointed (O(1) lineage).
+    Per iteration: ONE map-side-combined aggregation and ONE job — the
+    assignment column is computed inline (:func:`centroid_argmin_col`,
+    no shuffle), posexplode feeds the (cid, dim) quantized means
+    directly (no re-join of the assignment against the input — the
+    former update path shuffled the input TWICE per round: once for
+    the assignment window, once for the join), and the k·dim result
+    rows are COLLECTED straight off that aggregation. The next round's
+    plan is built from those Python literals, so there is nothing for
+    lineage to grow on — no checkpoint, and the former second
+    ``groupBy(cid).collect_list`` shuffle is replaced by a driver-side
+    sort of k·dim rows (a model constant, never data-sized). Quantized
+    means keep the result bit-identical to the join formulation and to
+    the oracle's unrolled CTEs; assembling ``clist`` dim-sorted on the
+    driver is the same array ``array_sort(collect_list)`` produced.
 
-    The returned DataFrame carries ``_last_assign_rows`` — the final
+    The returned (cid, clist) DataFrame is a ``createDataFrame`` of
+    the final literals and carries ``_last_assign_rows`` — the final
     round's PRE-update centroid literals — for callers that need the
     matching assignment (population counts, IVF cell routing).
     """
-    centroids = init_centroids.localCheckpoint(eager=True)
-    rows = _collect_centroids(centroids)
+    rows = _collect_centroids(init_centroids)
+    last_rows = rows
     for _ in range(iterations):
         # two steps: a generator (posexplode) and the argmin struct
         # access cannot share one select — the Generate analysis path
@@ -185,15 +191,20 @@ def lloyd_train(
             .select("cid", F.posexplode(vec_col).alias("dim", "val"))
             .groupBy("cid", "dim")
             .agg(q_avg(F.col("val").cast("double"), "mv"))
-        )
-        centroids = per_dim.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "mv"))),
-                lambda s: s["mv"],
-            ).alias("clist")
-        ).localCheckpoint(eager=True)
+        ).collect()
+        by_cid: dict[int, list[tuple[int, float]]] = {}
+        for r in per_dim:
+            by_cid.setdefault(int(r["cid"]), []).append(
+                (int(r["dim"]), float(r["mv"]))
+            )
         last_rows = rows
-        rows = _collect_centroids(centroids)
+        rows = sorted(
+            (c, [v for _, v in sorted(dims)]) for c, dims in by_cid.items()
+        )
+    centroids = df.sparkSession.createDataFrame(
+        [(c, list(cl)) for c, cl in rows],
+        "cid long, clist array<double>",
+    )
     centroids._last_assign_rows = last_rows
     centroids._trained_rows = rows
     return centroids
