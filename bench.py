@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "jsonl_roundtrip_docs",
     "windowed_dedup_events",
     "incremental_ingest_dedup",
+    "udtf_tokenize_docs",
 ]
 
 
