@@ -317,14 +317,54 @@ _BOUNDED_BNLJ = {
 }
 
 
+# Queries whose plan carries an `Exchange SinglePartition` that is
+# BOUNDED by construction — audited individually (full-registry plan
+# sweep, r4). Three shapes, all fine at any scale:
+#   (a) the FINAL reduce of a global aggregate: upstream partial
+#       HashAggregates mean the single partition receives one row per
+#       map task, never the data;
+#   (b) a final ORDER BY over an already-tiny result (a 1-row max
+#       filter, a 4-row integrity report);
+#   (c) the documented bounded windows: bucket-offset tables of
+#       `bucketed_global_order` (≤ n_buckets ≈ 4096 rows) and the
+#       |weeks|-row wow_growth lag spine.
+# A query NOT on this list gaining a SinglePartition exchange is the
+# single-reducer bug class (pre-r3 pareto/gini) — fail loudly.
+_BOUNDED_SINGLE_PARTITION = {
+    "bag_set_ops_orders",            # (a) scalar bag-op cardinalities
+    "bracketed_revenue",             # (a) global bracket totals
+    "completeness_profile_events",   # (a) per-column null totals
+    "consistent_sample_across_tables",  # (a) per-table scalar counts
+    "contingency_mktseg_nation",     # (a) chi-square grand total
+    "dataset_card_report",           # (a) corpus-level card scalars
+    "explode_variants_docs",         # (a) explode-vs-outer counts
+    "forecast_revenue_change",       # (a) regression moment scalars
+    "funnel_signup_click_purchase",  # (a) per-stage scalar counts
+    "inactive_customer_balance",     # (a) scalar avg-balance subquery
+    "lift_event_pairs",              # (a) scalar total-sessions
+    "null_safe_join_props",          # (a) equi/nullsafe scalar counts
+    "pareto_8020_customers",         # (c) n_buckets-row offset window
+    "promo_revenue",                 # (a) scalar promo share
+    "referential_integrity_check",   # (b) 4-row report ORDER BY
+    "revenue_gini_coefficient",      # (c) n_buckets-row offset window
+    "small_quantity_order_revenue",  # (a) scalar revenue total
+    "tfidf_topk_docs",               # (a) scalar corpus size
+    "top_supplier_revenue",          # (b) ties-of-max final sort
+    "triangle_count_events",         # (a) scalar graph totals
+    "unigram_lm_score_docs",         # (a) scalar corpus token total
+    "wow_growth_events",             # (c) |weeks|-row lag spine
+}
+
+
 def test_registry_has_no_unbounded_join_smells(spark, sf_dir):
     # breadth gate over the ENTIRE registry (not just the driver's
-    # sampled prefix): no CartesianProduct anywhere, and no
+    # sampled prefix): no CartesianProduct anywhere, no
     # BroadcastNestedLoopJoin outside the audited bounded-broadcast
-    # whitelist. Catches a scale-killing plan slipping into ANY query
-    # without a dedicated gate. Streaming queries are excluded here
-    # (building them executes the stream; their plans are pinned by
-    # their own tests).
+    # whitelist, and no `Exchange SinglePartition` outside the audited
+    # bounded set above. Catches a scale-killing plan slipping into
+    # ANY query without a dedicated gate. Streaming queries are
+    # excluded here (building them executes the stream; their plans
+    # are pinned by their own tests).
     qs = registry.queries()
     names = [n for n in qs if not n.startswith("streaming")]
     offenders = []
@@ -334,6 +374,11 @@ def test_registry_has_no_unbounded_join_smells(spark, sf_dir):
             offenders.append((name, "CartesianProduct"))
         if "BroadcastNestedLoopJoin" in plan and name not in _BOUNDED_BNLJ:
             offenders.append((name, "BroadcastNestedLoopJoin"))
+        if (
+            "SinglePartition" in plan
+            and name not in _BOUNDED_SINGLE_PARTITION
+        ):
+            offenders.append((name, "Exchange SinglePartition"))
     assert not offenders, offenders
 
 
