@@ -356,6 +356,26 @@ _BOUNDED_SINGLE_PARTITION = {
 }
 
 
+# Queries whose plan crosses the Python boundary — all Arrow-batched
+# (MapInPandas for the multimodal byte-column codecs, grouped
+# FlatMapGroupsInPandas for the two genuinely-stateful per-group
+# shapes, ArrowEvalPython for the UDTF demo). Audited r4: everything
+# else in the registry is pure JVM Column expressions, and NOTHING —
+# on or off this list — may plan a row-at-a-time BatchEvalPython,
+# which forfeits both vectorization and whole-stage codegen.
+_ARROW_PYTHON_BOUNDARY = {
+    "audio_header_decode",
+    "ema_user_values",
+    "frame_sample_plan",
+    "image_header_decode",
+    "image_resize_plan",
+    "multimodal_features",
+    "udtf_tokenize_docs",
+    "video_header_decode",
+    "whitened_embeddings_by_label",
+}
+
+
 def test_registry_has_no_unbounded_join_smells(spark, sf_dir):
     # breadth gate over the ENTIRE registry (not just the driver's
     # sampled prefix): no CartesianProduct anywhere, no
@@ -379,6 +399,19 @@ def test_registry_has_no_unbounded_join_smells(spark, sf_dir):
             and name not in _BOUNDED_SINGLE_PARTITION
         ):
             offenders.append((name, "Exchange SinglePartition"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython (row-wise UDF)"))
+        if name not in _ARROW_PYTHON_BOUNDARY and any(
+            m in plan
+            for m in (
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+                "MapInArrow",
+                "PythonUDTF",
+            )
+        ):
+            offenders.append((name, "unaudited Python boundary"))
     assert not offenders, offenders
 
 
