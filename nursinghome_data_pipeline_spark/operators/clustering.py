@@ -14,13 +14,16 @@ holds when the corpus no longer fits a sample —
   bit-equal across engines and partition layouts, which is what makes
   a k-means run hash-checkable against a SQL oracle at all — then
   rebuild each centroid array sorted by dim.
-- each iteration ``localCheckpoint``s the new centroids: k·dim tiny
-  rows, and the lineage stays O(1) deep instead of growing by a
-  cross-join + two aggregations per iteration.
+- each iteration COLLECTS the k·dim quantized means (a model
+  constant, never data-sized) and builds the next round's plan from
+  literals, so lineage never grows and a round is exactly one
+  map-side-combined job.
 
 Convergence is NOT tested by the oracle (fixed iteration count,
-unrolled in the oracle SQL); at 100 TB the loop adds a movement-delta
-stop condition — the per-iteration plan is unchanged.
+unrolled in the oracle SQL); ``tol`` adds the movement-delta stop
+condition production runs use at scale — centroids are already on the
+driver every round, so the check is free and the per-iteration plan
+is unchanged.
 """
 
 from __future__ import annotations
@@ -123,12 +126,15 @@ def kmeans_lloyd(
     iterations: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tol: float | None = None,
 ) -> DataFrame:
-    """Run ``iterations`` Lloyd steps; return (cid, dim, c_val,
-    n_assigned) — the final centroids exploded to scalar rows (driver-
-    hashable) plus each cluster's final population."""
+    """Run ``iterations`` Lloyd steps (or fewer: ``tol`` stops early
+    on centroid movement ≤ tol, see :func:`lloyd_train`); return
+    (cid, dim, c_val, n_assigned) — the final centroids exploded to
+    scalar rows (driver-hashable) plus each cluster's final
+    population."""
     centroids = lloyd_train(
-        df, init_centroids, iterations=iterations, vec_col=vec_col
+        df, init_centroids, iterations=iterations, vec_col=vec_col, tol=tol
     )
     # final-iteration assignment (vs the PRE-update centroids of the
     # last round — the same rows the last update aggregated)
@@ -150,12 +156,31 @@ def kmeans_lloyd(
     )
 
 
+def max_centroid_movement(
+    before: list[tuple[int, list[float]]],
+    after: list[tuple[int, list[float]]],
+) -> float:
+    """L∞ distance between two centroid snapshots (driver-side, k·dim).
+
+    Returns ``inf`` when the centroid id sets differ (a cluster lost
+    every member and was dropped) — that round is never "converged".
+    """
+    b, a = dict(before), dict(after)
+    if set(b) != set(a):
+        return float("inf")
+    return max(
+        (abs(x - y) for c in b for x, y in zip(b[c], a[c])),
+        default=0.0,
+    )
+
+
 def lloyd_train(
     df: DataFrame,
     init_centroids: DataFrame,
     *,
     iterations: int,
     vec_col: str = "embedding",
+    tol: float | None = None,
 ) -> DataFrame:
     """``iterations`` fused Lloyd steps → (cid, clist) centroids.
 
@@ -174,6 +199,14 @@ def lloyd_train(
     the oracle's unrolled CTEs; assembling ``clist`` dim-sorted on the
     driver is the same array ``array_sort(collect_list)`` produced.
 
+    ``tol`` (production stop condition): when set, training stops
+    after the first round whose centroid movement
+    (:func:`max_centroid_movement`, L∞ over the collected k·dim
+    literals — free, no extra job) is ≤ ``tol``, with ``iterations``
+    as the round CAP. The oracle-checked registry entries pass
+    ``tol=None`` so their round count stays exactly the unrolled CTE
+    depth.
+
     The returned (cid, clist) DataFrame is a ``createDataFrame`` of
     the final literals and carries ``_last_assign_rows`` — the final
     round's PRE-update centroid literals — for callers that need the
@@ -181,6 +214,7 @@ def lloyd_train(
     """
     rows = _collect_centroids(init_centroids)
     last_rows = rows
+    rounds_run = 0
     for _ in range(iterations):
         # two steps: a generator (posexplode) and the argmin struct
         # access cannot share one select — the Generate analysis path
@@ -201,10 +235,14 @@ def lloyd_train(
         rows = sorted(
             (c, [v for _, v in sorted(dims)]) for c, dims in by_cid.items()
         )
+        rounds_run += 1
+        if tol is not None and max_centroid_movement(last_rows, rows) <= tol:
+            break
     centroids = df.sparkSession.createDataFrame(
         [(c, list(cl)) for c, cl in rows],
         "cid long, clist array<double>",
     )
     centroids._last_assign_rows = last_rows
     centroids._trained_rows = rows
+    centroids._rounds_run = rounds_run
     return centroids

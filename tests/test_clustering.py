@@ -69,3 +69,32 @@ def test_update_is_partition_layout_invariant(spark):
     assert [(r["cid"], r["clist"]) for r in a] == [
         (r["cid"], r["clist"]) for r in b
     ]
+
+
+def test_tol_stops_early_at_fixed_point(spark):
+    # after round 1 the two tight clusters are separated and round 2
+    # reproduces the same quantized means exactly — movement 0, so a
+    # tol run must stop at the round-2 check and still match the
+    # full fixed-iteration result bit-for-bit
+    from nursinghome_data_pipeline_spark.operators.clustering import (
+        lloyd_train,
+    )
+
+    pts, init = _points(spark), _init(spark)
+    fixed = lloyd_train(pts, init, iterations=5)
+    early = lloyd_train(pts, init, iterations=5, tol=0.0)
+    assert early._trained_rows == fixed._trained_rows
+    assert fixed._rounds_run == 5
+    assert early._rounds_run < 5  # the stop condition actually fired
+
+
+def test_max_centroid_movement_edge_cases():
+    from nursinghome_data_pipeline_spark.operators.clustering import (
+        max_centroid_movement,
+    )
+
+    a = [(1, [0.0, 1.0]), (2, [5.0, 5.0])]
+    assert max_centroid_movement(a, a) == 0.0
+    assert max_centroid_movement(a, [(1, [0.0, 1.5]), (2, [5.0, 5.0])]) == 0.5
+    # a dropped (emptied) cluster is never "converged"
+    assert max_centroid_movement(a, [(1, [0.0, 1.0])]) == float("inf")
