@@ -117,3 +117,70 @@ def test_fixed_ivf_plan_is_map_only_scan(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_partitioned_index_matches_in_memory_plan(spark, sf_dir, tmp_path):
+    """write_ivf_index + knn_ivf_partitioned must return exactly the
+    rows/scores of knn_ivf_fixed on the same seeds and query — only
+    the storage layout differs."""
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        fixed_ivf_seeds,
+        knn_ivf_fixed,
+        knn_ivf_partitioned,
+        write_ivf_index,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    cands = emb.where(F.col("vec_id") != 0)
+    seeds = fixed_ivf_seeds(cands, n_seeds=8)
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(cands, path, seeds)
+    mem = knn_ivf_fixed(cands, qvec, seeds, k=10, n_probe=2).collect()
+    disk = knn_ivf_partitioned(
+        spark, path, qvec, seeds, k=10, n_probe=2
+    ).collect()
+    assert [(r.vec_id, r.cell) for r in mem] == [
+        (r.vec_id, r.cell) for r in disk
+    ]
+    for a, b in zip(mem, disk):
+        assert abs(a.cosine_sim - b.cosine_sim) < 1e-12
+
+
+def test_partitioned_index_prunes_at_file_level(spark, sf_dir, tmp_path):
+    """The probe filter must land in the scan's PartitionFilters and
+    the query must touch ONLY the probed cells' files — the read-path
+    payoff of the partitioned layout."""
+    import re
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        fixed_ivf_seeds,
+        ivf_probe_cells,
+        knn_ivf_partitioned,
+        write_ivf_index,
+    )
+    from nursinghome_data_pipeline_spark.plans import formatted_plan
+
+    emb = _embeddings(spark, sf_dir)
+    cands = emb.where(F.col("vec_id") != 0)
+    seeds = fixed_ivf_seeds(cands, n_seeds=8)
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(cands, path, seeds)
+    topk = knn_ivf_partitioned(spark, path, qvec, seeds, k=10, n_probe=2)
+    plan = formatted_plan(topk)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0], plan
+    probes = set(ivf_probe_cells(seeds, qvec, n_probe=2))
+    # the executed scan must surface rows ONLY from the probed cells'
+    # directories (inputFiles() lists the pre-pruning relation, so
+    # observe the files that actually contribute rows instead)
+    touched = {
+        int(re.search(r"cell=(\d+)", r[0]).group(1))
+        for r in spark.read.parquet(path)
+        .where(F.col("cell").isin(list(probes)))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert touched and touched <= probes, (touched, probes)
