@@ -356,6 +356,124 @@ def _skew_probes(cores: int = 32, n: int = 4_000_000) -> dict:
     return out
 
 
+def _ivf_probes(cores: int = 32, inflate: int = 256) -> dict:
+    """IVF-index-at-rest probe: MEASURED byte pruning + wall time.
+
+    ``write_ivf_index`` claims the read-path payoff of cell-partitioned
+    storage: a probe query's ``cell IN (...)`` filter becomes a
+    PARTITION filter, so non-probed cells cost zero I/O. The plan gate
+    (``tests/test_ivf.py``) proves the filter lands in
+    ``PartitionFilters``; this probe measures what that buys at a
+    volume where scan cost is visible — the sf0.1 embeddings inflated
+    ``inflate``× (id-shifted copies, same technique as :func:`_inflate`).
+
+    Reports, for the SAME top-k query (results pinned identical by
+    test):
+
+    - ``fixed_fullscan_sec`` — :func:`knn_ivf_fixed` over flat parquet:
+      reads every byte, assigns cells on the fly, filters post-scan;
+    - ``partitioned_sec`` — :func:`knn_ivf_partitioned` over the index:
+      reads only the probed cells' directories;
+    - ``bytes_frac`` — probed-directory bytes / total index bytes, from
+      the filesystem (ground truth, not plan output). Expected ≈
+      n_probe/n_cells for balanced cells; the speedup should track it.
+
+    Run: python scripts/scaling_probe.py --ivf
+    """
+    import glob
+    import time
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        fixed_ivf_seeds,
+        ivf_probe_cells,
+        knn_brute_force,
+        knn_ivf_fixed,
+        knn_ivf_partitioned,
+        write_ivf_index,
+    )
+    from nursinghome_data_pipeline_spark.session import build_session
+
+    n_seeds, n_probe, k = 16, 2, 10
+    spark = build_session(
+        f"ivf-probe-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    base = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    emb = (
+        base.crossJoin(
+            spark.range(inflate).select(F.col("id").alias("__rep"))
+        )
+        .select(
+            (F.col("vec_id") + F.col("__rep") * (1 << 40)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+    flat_dir = os.path.join(
+        tempfile.gettempdir(), f"spark-graft-ivf-flat-x{inflate}"
+    )
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"spark-graft-ivf-index-x{inflate}"
+    )
+    emb.write.mode("overwrite").parquet(flat_dir)
+    flat = spark.read.parquet(flat_dir)
+    seeds = fixed_ivf_seeds(flat, n_seeds=n_seeds)
+    qvec = base.orderBy("vec_id").first()["embedding"]
+    t0 = time.perf_counter()
+    write_ivf_index(flat, index_dir, seeds)
+    write_sec = time.perf_counter() - t0
+
+    def _dir_bytes(pattern: str) -> int:
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(pattern, "*.parquet"))
+        )
+
+    probes = ivf_probe_cells(seeds, qvec, n_probe=n_probe)
+    bytes_total = sum(
+        _dir_bytes(d) for d in glob.glob(os.path.join(index_dir, "cell=*"))
+    )
+    bytes_probed = sum(
+        _dir_bytes(os.path.join(index_dir, f"cell={c}")) for c in probes
+    )
+    out: dict = {
+        "n_rows": flat.count(),
+        "n_cells": n_seeds,
+        "n_probe": n_probe,
+        "write_index_sec": round(write_sec, 3),
+        "bytes_total": bytes_total,
+        "bytes_probed": bytes_probed,
+        "bytes_frac": round(bytes_probed / bytes_total, 4),
+    }
+    qdf = spark.createDataFrame(
+        [([float(v) for v in qvec],)], "query_embedding array<float>"
+    )
+    timed = {
+        "brute_force": lambda: knn_brute_force(flat, qdf, k=k),
+        "fixed_fullscan": lambda: knn_ivf_fixed(
+            flat, qvec, seeds, k=k, n_probe=n_probe
+        ),
+        "partitioned": lambda: knn_ivf_partitioned(
+            spark, index_dir, qvec, seeds, k=k, n_probe=n_probe
+        ),
+    }
+    for label, mk in timed.items():
+        best = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t1)
+        out[f"{label}_sec"] = round(best, 3)
+    out["pruning_speedup"] = round(
+        out["fixed_fullscan_sec"] / out["partitioned_sec"], 2
+    )
+    spark.stop()
+    return out
+
+
 def _inflate(inflate: int) -> None:
     """One-time write of the inflated copy (reused across core runs)."""
     inflated = _inflated_dir(inflate)
@@ -438,9 +556,17 @@ def main() -> None:
         help="run only the adversarial-skew probes (point-mass global "
         "order, hot-key aggregation)",
     )
+    ap.add_argument(
+        "--ivf", action="store_true",
+        help="run only the IVF-index-at-rest probe (measured partition "
+        "pruning bytes + wall time vs full scan)",
+    )
     args = ap.parse_args()
     if args.skew:
         print(json.dumps(_skew_probes(), indent=2))
+        return
+    if args.ivf:
+        print(json.dumps(_ivf_probes(), indent=2))
         return
     if args._child is not None:
         print("CHILD" + json.dumps(_run_one(args._child, args.inflate)))
