@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "windowed_dedup_events",
     "incremental_ingest_dedup",
     "udtf_tokenize_docs",
+    # r4: plan touched by the pre-folded-norm cosine rework — benched
+    # so the pair-scoring change stays regression-visible
+    "embedding_near_dup_pairs",
 ]
 
 
@@ -155,10 +158,39 @@ def _hll_native(spark, sf_dir: str):
     return hll_rollup(events, key_cols=["event_type"], distinct_col="user_id")
 
 
+def _ivf_partitioned_probe(spark, sf_dir: str):
+    """Top-k probe latency over the AT-REST cell-partitioned IVF index
+    (operators/similarity.write_ivf_index). The index materializes once
+    per bench process into the system tempdir — build cost is the
+    amortized write path, measured separately by
+    ``scripts/scaling_probe.py --ivf`` — so the timed plan is the
+    production read path for vector search at rest: the
+    PartitionFilters-pruned scan of the probed cells plus the exact
+    cosine re-rank."""
+    import tempfile
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        fixed_ivf_seeds,
+        knn_ivf_partitioned,
+        write_ivf_index,
+    )
+    from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"bench-ivf-index-{tag}")
+    seeds = fixed_ivf_seeds(emb, n_seeds=8)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_ivf_index(emb, path, seeds)
+    qvec = emb.orderBy("vec_id").first()["embedding"]
+    return knn_ivf_partitioned(spark, path, qvec, seeds, k=10, n_probe=2)
+
+
 #: label -> callable(spark, sf_dir); non-registry bench entries
 EXTRA_BENCH = {
     "minhash_signatures_xxh64": _minhash_production,
     "hll_datasketches_native": _hll_native,
+    "knn_ivf_partitioned_probe": _ivf_partitioned_probe,
 }
 
 

@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import dot_product_col
+from ..functions.vectors import dot_product_col, l2_norm_col
 
 
 def lsh_planes(n_planes: int, dim: int, seed: int = 42):
@@ -42,6 +42,31 @@ def _cosine(a: Column | str, b: Column | str) -> Column:
     from ..functions.vectors import cosine_similarity_col
 
     return cosine_similarity_col(a, b)
+
+
+def _cosine_with_norms(
+    a: Column | str, b: Column | str, na: Column, nb: Column
+) -> Column:
+    """Cosine from PRE-FOLDED norm columns — bit-identical to
+    ``_cosine(a, b)`` when ``na``/``nb`` are
+    ``F.sqrt(dot_product_col(v, v))`` of the same vectors (the
+    denominator multiplies the same two doubles in the same order;
+    only WHERE the norm folds evaluate moves). The point: in a pair
+    join / anchor broadcast the naive form folds each vector's
+    self-dot once per PAIR — O(pairs) interpreted 64-element folds —
+    while the norm is a per-ROW quantity. Callers fold it once per
+    member (before the collect/broadcast/join) and pass the column
+    through, leaving one a·b fold per pair. Pass ``na`` = the LEFT
+    vector's norm to preserve the ``sqrt(aa)*sqrt(bb)`` operand
+    order. Zero-norm guard preserved: den == 0 → NULL, so all-zero
+    vectors still never win a top-k or pass a threshold filter."""
+    from ..functions.vectors import dot_product_col
+
+    den = na * nb
+    num = dot_product_col(a, b)
+    return F.when(den == 0.0, F.lit(None).cast("double")).otherwise(
+        num / den
+    )
 
 
 def _cosine_lit(a: Column | str, vals) -> Column:
@@ -94,12 +119,17 @@ def knn_brute_force(
 
     ``query`` must have a single column ``query_embedding``; it is
     broadcast so the scan side never shuffles. Deterministic tiebreak on
-    the id column.
+    the id column. The query's norm folds ONCE on the broadcast side
+    (:func:`_cosine_with_norms`) — the candidate side pays two folds
+    per row (a·b, a·a) instead of three.
     """
-    scored = candidates.crossJoin(F.broadcast(query)).select(
+    qdf = query.withColumn("__qn", l2_norm_col("query_embedding"))
+    scored = candidates.crossJoin(F.broadcast(qdf)).select(
         id_col,
         *extra_cols,
-        _cosine(vec_col, "query_embedding").alias("cosine_sim"),
+        _cosine_with_norms(
+            vec_col, "query_embedding", l2_norm_col(vec_col), qdf["__qn"]
+        ).alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
@@ -152,17 +182,26 @@ def embedding_near_duplicate_pairs(
     """
     from .dedup import _intra_bucket_pairs
 
+    # norms fold once per MEMBER here, before collect_list — inside
+    # make_pair they'd fold once per PAIR (O(m²) per bucket)
     bucketed = random_projection_buckets(
         df, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
-    ).select(F.col(id_col), F.col(vec_col), F.col("bucket"))
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm_col(vec_col).alias("__nrm"),
+        F.col("bucket"),
+    )
     pairs = _intra_bucket_pairs(
         bucketed,
         ["bucket"],
-        [id_col, vec_col],
+        [id_col, vec_col, "__nrm"],
         lambda x, y: F.struct(
             x[id_col].alias("id_a"),
             y[id_col].alias("id_b"),
-            _cosine(x[vec_col], y[vec_col]).alias("cosine_sim"),
+            _cosine_with_norms(
+                x[vec_col], y[vec_col], x["__nrm"], y["__nrm"]
+            ).alias("cosine_sim"),
         ),
         lambda p: p["id_a"] < p["id_b"],
     )
@@ -468,10 +507,22 @@ def knn_lsh(
         dim=dim,
         n_planes=n_planes,
         seed=seed,
-    ).select(F.col(vec_col).alias("query_embedding"), F.col("bucket").alias("qbucket"))
+    ).select(
+        F.col(vec_col).alias("query_embedding"),
+        l2_norm_col(vec_col).alias("__qn"),
+        F.col("bucket").alias("qbucket"),
+    )
     scored = (
         bucketed.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
-        .select(id_col, _cosine(vec_col, "query_embedding").alias("cosine_sim"))
+        .select(
+            id_col,
+            _cosine_with_norms(
+                vec_col,
+                "query_embedding",
+                l2_norm_col(vec_col),
+                F.col("__qn"),
+            ).alias("cosine_sim"),
+        )
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 

@@ -6680,8 +6680,6 @@ _HNM_ANCHORS = 16
     "operators/similarity.",
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import _cosine
-
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     q = (
         embeddings.orderBy(
@@ -6694,13 +6692,23 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("qe"),
         )
     )
-    scored = embeddings.join(
-        F.broadcast(q), F.col("label") != F.col("q_label")
+    # norms pre-folded per ROW / per ANCHOR (bit-equal, see
+    # operators.similarity._cosine_with_norms): the join output is
+    # O(k·|T|) rows but each row's self-dot is a per-row quantity —
+    # folding it inside the pair expression would cost k folds per row
+    from .functions.vectors import l2_norm_col
+    from .operators.similarity import _cosine_with_norms
+
+    scored = embeddings.withColumn("__nrm", l2_norm_col("embedding")).join(
+        F.broadcast(q.withColumn("__qn", l2_norm_col("qe"))),
+        F.col("label") != F.col("q_label"),
     ).select(
         "q_id",
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("neg_label"),
-        _cosine("embedding", "qe").alias("cosine_sim"),
+        _cosine_with_norms(
+            "embedding", "qe", F.col("__nrm"), F.col("__qn")
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "neg_id")
     return (
