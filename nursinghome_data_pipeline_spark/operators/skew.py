@@ -181,6 +181,7 @@ def bucketed_global_order(
     n_buckets: int = 4096,
     descending: bool = False,
     debug_stats: dict | None = None,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Global rank + running quantized sum WITHOUT a global window.
 
@@ -196,11 +197,13 @@ def bucketed_global_order(
        bucket_width`` — a pure function of the row, monotone in the
        sort order);
     2. aggregate per-bucket counts and quantized sums (one narrow
-       shuffle), then prefix-sum the offsets with a window over the
-       BUCKET table — global, but over ``domain/bucket_width`` rows,
-       a constant independent of data size;
-    3. broadcast the offsets back and run the rank/running-sum window
-       PARTITIONED BY bucket: ``i = bucket_count_offset +
+       shuffle) and COLLECT them — ``domain/bucket_width`` rows, a
+       constant independent of data size — then exclusive-prefix-sum
+       the offsets driver-side in exact integer arithmetic (counts
+       are long, sums DECIMAL(38,0); no window, no extra job, no
+       single-partition exchange anywhere in the plan);
+    3. broadcast the literal offsets back and run the rank/running-sum
+       window PARTITIONED BY bucket: ``i = bucket_count_offset +
        row_number-within-bucket``, ``cum_q = bucket_sum_offset +
        running-sum-within-bucket``.
 
@@ -244,6 +247,16 @@ def bucketed_global_order(
     wide-spread values and collapsing to one bucket on narrow ones.
     min/max is exact aggregation, not sampling, so the layout is
     deterministic under stage retry like everything else here.
+
+    The operator makes 2-3 passes over ``df`` (width min/max, stats,
+    the final window; +1 per refinement round). When ``df`` is itself
+    an expensive subtree — a group-by of a much larger fact table,
+    the typical rank-the-aggregate shape — every pass replays that
+    subtree; ``materialize_input=True`` localCheckpoints ``df`` once
+    so the passes re-read the (aggregate-sized) materialization
+    instead. Leave False when ``df`` is a cheap scan of data near the
+    full input's size: materializing it would store ~the whole input
+    in the block manager for no replay savings.
     """
     from pyspark.sql.window import Window
 
@@ -260,6 +273,8 @@ def bucketed_global_order(
             f"{sorted(reserved | out_cols)}; input already has "
             f"{sorted(clash)} — rename them first"
         )
+    if materialize_input:
+        df = df.localCheckpoint(eager=True)
 
     qv_long = F.floor(F.col(value_col) * q).cast("long")
     qv_dec = F.floor(F.col(value_col) * q).cast("decimal(38,0)")
@@ -305,24 +320,28 @@ def bucketed_global_order(
         F.max(qtb).alias("__tmax"),
     ]
     spark = df.sparkSession
-    per_key = None
+    per_key_rows = None
     rounds = 0
     refined_groups = 0
     for round_i in range(3):
-        stats = (
-            rows.groupBy("__bkt", "__sub").agg(*stats_aggs)
-            .localCheckpoint(eager=True)
-        )
+        # ONE bounded collect per round: the group-stats table is
+        # ≤ occupied-buckets rows (~n_buckets; ≤ heavy×(N_SUB+2) more
+        # per refinement round) — small enough that the heavy-group
+        # scan, the mean, AND the exclusive prefix sums the offsets
+        # need are all driver-side Python over exact values (counts
+        # are long, sums DECIMAL(38,0), min/max exact), replacing the
+        # former per-round localCheckpoint + two auxiliary jobs + a
+        # single-partition offsets window with zero extra jobs.
+        stats_rows = rows.groupBy("__bkt", "__sub").agg(*stats_aggs).collect()
         rounds += 1
-        trow = stats.agg(
-            F.sum("__cnt").alias("t"), F.count(F.lit(1)).alias("o")
-        ).first()
-        mean_cnt = (trow["t"] or 0) / max(trow["o"] or 1, 1)
+        mean_cnt = sum(r["__cnt"] for r in stats_rows) / max(
+            len(stats_rows), 1
+        )
         heavy = (
-            stats.where(F.col("__cnt") > F.lit(4.0 * mean_cnt))
-            .orderBy(F.desc("__cnt"), "__bkt", "__sub")
-            .limit(1024)  # deterministic cap on the broadcast plan
-            .collect()
+            sorted(
+                (r for r in stats_rows if r["__cnt"] > 4.0 * mean_cnt),
+                key=lambda r: (-r["__cnt"], r["__bkt"], r["__sub"]),
+            )[:1024]  # deterministic cap on the broadcast plan
             if round_i < 2
             else []
         )
@@ -353,11 +372,19 @@ def bucketed_global_order(
                 )
             # else: duplicated (value, tiebreak) pairs — irreducible
         if not plans:
-            per_key = stats.select("__bkt", "__sub", "__cnt", "__sum")
+            per_key_rows = stats_rows
             break
         refined_groups += len(plans)
+        import pandas as pd
+
+        # pandas → Arrow → JVM LocalTableScan (see the offsets note:
+        # a list-backed relation would re-pay a Python-worker round
+        # trip on every downstream action that replays this lineage)
         plan_df = spark.createDataFrame(
-            plans, "__bkt long, __sub long, __mode int, __base double, __w double"
+            pd.DataFrame(
+                plans, columns=["__bkt", "__sub", "__mode", "__base", "__w"]
+            ),
+            "__bkt long, __sub long, __mode int, __base double, __w double",
         )
         # order-preserving local index per mode; +1 shifts null-tiebreak
         # rows to 0 so they sort first, matching asc-nulls-first
@@ -401,26 +428,58 @@ def bucketed_global_order(
         debug_stats["refined_groups"] = refined_groups
 
     keys = ["__bkt", "__sub"]
-    border = [
-        F.desc("__bkt") if descending else F.asc("__bkt"),
-        F.asc("__sub"),  # locals are direction-encoded, so always ASC
-    ]
-    prior = (
-        Window.orderBy(*border)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # exclusive prefix sums over the bucket order (__bkt DESC if
+    # descending else ASC; __sub always ASC — locals are direction-
+    # encoded) computed driver-side: exact integer arithmetic over the
+    # bounded collected stats, then shipped back as a literal relation
+    # for the broadcast join — no window, no extra job, and stage
+    # retries replay the same literals by construction.
+    from decimal import Decimal
+
+    ordered = sorted(
+        per_key_rows,
+        key=lambda r: (-r["__bkt"] if descending else r["__bkt"], r["__sub"]),
     )
-    everything = Window.orderBy(*border).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    n_total = sum(r["__cnt"] for r in ordered)
+    q_total = sum(int(r["__sum"]) for r in ordered)
+    off_rows = []
+    cnt_off, sum_off = 0, 0
+    for r in ordered:
+        off_rows.append(
+            (
+                r["__bkt"],
+                r["__sub"],
+                cnt_off,
+                Decimal(sum_off),
+                n_total,
+                Decimal(q_total),
+            )
+        )
+        cnt_off += r["__cnt"]
+        sum_off += int(r["__sum"])
+    off_schema = (
+        "__bkt long, __sub long, __cnt_off long, "
+        "__sum_off decimal(38,0), n long, total_q decimal(38,0)"
     )
-    offsets = per_key.select(
-        *keys,
-        F.coalesce(F.sum("__cnt").over(prior), F.lit(0)).alias("__cnt_off"),
-        F.coalesce(
-            F.sum("__sum").over(prior), F.lit(0).cast("decimal(38,0)")
-        ).alias("__sum_off"),
-        F.sum("__cnt").over(everything).alias("n"),
-        F.sum("__sum").over(everything).alias("total_q"),
-    )
+    if off_rows:
+        import pandas as pd
+
+        # via pandas: Arrow conversion yields a JVM LocalTableScan;
+        # a plain Python list backs the relation with a pickled RDD
+        # whose every evaluation pays a Python-worker round trip
+        # (measured 1.5 s vs 0.2 s on a 2.4k-row offsets table)
+        offsets = spark.createDataFrame(
+            pd.DataFrame(
+                off_rows,
+                columns=[
+                    "__bkt", "__sub", "__cnt_off", "__sum_off",
+                    "n", "total_q",
+                ],
+            ),
+            off_schema,
+        )
+    else:  # empty input
+        offsets = spark.createDataFrame([], off_schema)
 
     vorder = F.desc(value_col) if descending else F.asc(value_col)
     within = Window.partitionBy(*keys).orderBy(vorder, F.asc(tiebreak_col))

@@ -8260,7 +8260,13 @@ def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the oracle's one-window form, but the wide window is
     # partitioned by value bucket
     ranked = bucketed_global_order(
-        cust, value_col="rev", tiebreak_col="o_custkey", descending=True
+        cust,
+        value_col="rev",
+        tiebreak_col="o_custkey",
+        descending=True,
+        # the input is an aggregate far smaller than orders: checkpoint
+        # it once instead of replaying the groupBy per operator pass
+        materialize_input=True,
     ).select(
         "i",
         "n",
@@ -8853,7 +8859,10 @@ def revenue_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     # via the bucket-offset pattern (operators/skew.bucketed_global_order)
     # so no single-reducer window touches the |customers|-row frame
     ranked = bucketed_global_order(
-        cust, value_col="rev", tiebreak_col="o_custkey"
+        cust,
+        value_col="rev",
+        tiebreak_col="o_custkey",
+        materialize_input=True,  # aggregate input — see pareto twin
     ).select("rev", "i", "n")
     q = float(1 << 20)
     iw_sum = (

@@ -343,10 +343,10 @@ _BOUNDED_SINGLE_PARTITION = {
     "inactive_customer_balance",     # (a) scalar avg-balance subquery
     "lift_event_pairs",              # (a) scalar total-sessions
     "null_safe_join_props",          # (a) equi/nullsafe scalar counts
-    "pareto_8020_customers",         # (c) n_buckets-row offset window
+    "pareto_8020_customers",         # (a) scalar 80/20 threshold agg
     "promo_revenue",                 # (a) scalar promo share
     "referential_integrity_check",   # (b) 4-row report ORDER BY
-    "revenue_gini_coefficient",      # (c) n_buckets-row offset window
+    "revenue_gini_coefficient",      # (a) scalar gini moment agg
     "small_quantity_order_revenue",  # (a) scalar revenue total
     "tfidf_topk_docs",               # (a) scalar corpus size
     "top_supplier_revenue",          # (b) ties-of-max final sort
