@@ -492,28 +492,46 @@ def knn_lsh(
     dim: int,
     n_planes: int = 8,
     seed: int = 42,
+    n_probe_buckets: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: restrict brute force to the query's LSH bucket.
+    """Approximate top-k: restrict brute force to the query's LSH
+    bucket(s).
 
-    Recall can be raised by probing more buckets (multi-probe); exact
-    when n_planes=0. Returned schema matches :func:`knn_brute_force`.
+    ``n_probe_buckets=1`` (default) scans exactly the query's own
+    bucket; raising it probes the buckets reached by flipping the
+    query's LEAST-CONFIDENT sign bits first (standard multi-probe
+    LSH — a near vector that landed across a hyperplane the query
+    barely cleared is the likeliest miss). The probe set is computed
+    driver-side over the bounded plane list with the same sequential
+    double fold as the engine's bucket expression, so the query's own
+    bucket matches the engine bit-for-bit (the :func:`ivf_probe_cells`
+    contract); probing all ``2^n_planes`` buckets is exactly brute
+    force (pinned by test). The bucket restriction is a literal IN
+    filter instead of the former bucket-equality broadcast join — over
+    bucket-partitioned storage it lands in ``PartitionFilters`` and
+    non-probed buckets cost zero I/O, the same at-rest story as
+    :func:`write_ivf_index`. Returned schema matches
+    :func:`knn_brute_force`.
     """
-    bucketed = random_projection_buckets(
-        candidates, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
-    )
-    qb = random_projection_buckets(
-        query.withColumnRenamed("query_embedding", vec_col),
-        vec_col=vec_col,
+    qrow = query.select("query_embedding").first()
+    if qrow is None:
+        raise ValueError("knn_lsh: query DataFrame is empty")
+    probes = lsh_probe_buckets(
+        qrow["query_embedding"],
         dim=dim,
         n_planes=n_planes,
         seed=seed,
-    ).select(
-        F.col(vec_col).alias("query_embedding"),
-        l2_norm_col(vec_col).alias("__qn"),
-        F.col("bucket").alias("qbucket"),
+        n_probe_buckets=n_probe_buckets,
+    )
+    bucketed = random_projection_buckets(
+        candidates, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
+    )
+    qdf = query.select(
+        "query_embedding", l2_norm_col("query_embedding").alias("__qn")
     )
     scored = (
-        bucketed.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+        bucketed.where(F.col("bucket").isin(probes))
+        .crossJoin(F.broadcast(qdf))
         .select(
             id_col,
             _cosine_with_norms(
@@ -525,6 +543,60 @@ def knn_lsh(
         )
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def lsh_probe_buckets(
+    query_vec,
+    *,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    n_probe_buckets: int = 1,
+) -> list[int]:
+    """Multi-probe bucket ids for a query: its own bucket first, then
+    buckets by ascending flip cost.
+
+    Flip cost of a bucket = the sum of ``|projection|`` over the sign
+    bits that differ from the query's bucket — the standard
+    multi-probe ranking (Lv et al., "Multi-Probe LSH", VLDB'07): a
+    plane the query barely cleared is cheap to flip because near
+    neighbors plausibly sit on its far side, while flipping a
+    high-margin plane buys almost no recall. Projections use the SAME
+    sequential left-to-right double fold as ``dot_product_col`` over
+    the SAME plane literals, so the zero-flip bucket is bit-identical
+    to the engine's ``bucket`` column for the query vector. Ties break
+    on (popcount, mask) for a deterministic probe order. Flip masks
+    are enumerated over the 16 least-confident planes (2^16 driver-
+    side costs at most — for wider codes the dropped high-margin
+    flips are precisely the ones multi-probe never wants)."""
+    planes = lsh_planes(n_planes, dim, seed)
+    projs = []
+    base = 0
+    for i in range(n_planes):
+        acc = 0.0
+        for x, y in zip(query_vec, planes[i]):
+            acc = acc + float(x) * float(y)
+        projs.append(acc)
+        if acc >= 0:
+            base |= 1 << i
+    if n_probe_buckets <= 1:
+        return [base]
+    flippable = sorted(range(n_planes), key=lambda i: (abs(projs[i]), i))[
+        :16
+    ]
+    costed = []
+    for m in range(1, 1 << len(flippable)):
+        cost = 0.0
+        bits = 0
+        mask = 0
+        for j, plane in enumerate(flippable):
+            if (m >> j) & 1:
+                cost += abs(projs[plane])
+                bits += 1
+                mask |= 1 << plane
+        costed.append((cost, bits, mask))
+    costed.sort()
+    return [base] + [base ^ mask for _, _, mask in costed[: n_probe_buckets - 1]]
 
 
 #: Moment quantization for whitening: floor(v * 2^20) per value keeps

@@ -227,6 +227,61 @@ def test_knn_lsh_matches_bucketed_subset(spark, sf_dir):
     assert approx[0].cosine_sim == pytest.approx(1.0)
 
 
+def test_lsh_probe_zero_flip_matches_engine_bucket(spark, sf_dir):
+    # the single-probe bucket pick is driver-side; it must equal the
+    # engine's bucket column for the same vector bit-for-bit, or the
+    # probe scans the wrong bucket entirely
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        lsh_probe_buckets,
+        random_projection_buckets,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = random_projection_buckets(
+        emb.orderBy("vec_id").limit(20), dim=64, n_planes=8
+    ).select("embedding", "bucket").collect()
+    for r in rows:
+        (probe,) = lsh_probe_buckets(
+            r["embedding"], dim=64, n_planes=8, n_probe_buckets=1
+        )
+        assert probe == r["bucket"]
+
+
+def test_lsh_multi_probe_recall_monotone(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.where(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    exact = {r.vec_id for r in knn_brute_force(emb, query, k=10).collect()}
+
+    def recall(nb: int) -> float:
+        got = {
+            r.vec_id
+            for r in knn_lsh(
+                emb, query, k=10, dim=64, n_planes=6, n_probe_buckets=nb
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r4, r_all = recall(1), recall(4), recall(1 << 6)
+    assert r1 <= r4 <= r_all
+    assert r_all == 1.0  # probing every bucket IS brute force
+
+
+def test_lsh_probe_all_buckets_equals_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.where(F.col("vec_id") == 3).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    exact = knn_brute_force(emb, query, k=7).collect()
+    full = knn_lsh(
+        emb, query, k=7, dim=64, n_planes=4, n_probe_buckets=1 << 4
+    ).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in full] == [
+        (r.vec_id, r.cosine_sim) for r in exact
+    ]
+
+
 def test_passage_dedup_drops_cross_doc_boilerplate(spark):
     from nursinghome_data_pipeline_spark.operators.dedup import passage_dedup
 
