@@ -238,8 +238,17 @@ def lloyd_train(
         rounds_run += 1
         if tol is not None and max_centroid_movement(last_rows, rows) <= tol:
             break
+    import pandas as pd
+
+    # pandas → Arrow → JVM LocalTableScan: a Python-list relation is
+    # backed by a pickled RDD whose scan pays a Python-worker round
+    # trip on EVERY downstream action — and this frame is the build
+    # side of the kmeans output join (operators/skew.py measured the
+    # same swap at 1.5 s vs 0.2 s for a small literal table)
     centroids = df.sparkSession.createDataFrame(
-        [(c, list(cl)) for c, cl in rows],
+        pd.DataFrame(
+            [(c, list(cl)) for c, cl in rows], columns=["cid", "clist"]
+        ),
         "cid long, clist array<double>",
     )
     centroids._last_assign_rows = last_rows

@@ -7685,8 +7685,15 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y"
         ),
     )
+    # pandas → Arrow → JVM LocalTableScan (a list-backed relation
+    # re-pays a Python-worker round trip per action; see
+    # operators/skew.py offsets note)
     offs = pts.sparkSession.createDataFrame(
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], ["dx", "dy"]
+        pd.DataFrame(
+            [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+            columns=["dx", "dy"],
+        ),
+        "dx long, dy long",
     )
     cells = pts.crossJoin(F.broadcast(offs)).select(
         F.col("id").alias("id_b"),

@@ -303,6 +303,10 @@ _BOUNDED_BNLJ = {
     "hard_negative_mining",        # LIMIT'd (16-row) anchor set broadcast
     "geo_radius_join",             # 3x3 offset table (9 rows)
     "knn_cosine_topk",             # 1-row query-vector broadcast
+    "knn_lsh_topk",                # 1-row query-vector broadcast (r4:
+                                   # bucket IN filter replaced the
+                                   # bucket-equality join, so the query
+                                   # attaches via bounded crossJoin)
     "tfidf_topk_docs",             # scalar corpus-size broadcast (1 row)
     "hourly_events_gapfill",       # literal hour spine x distinct-type dim
     "funnel_signup_click_purchase",  # scalar per-stage counts (1 row each)
@@ -435,3 +439,46 @@ def test_collect_aggregate_sites_are_plan_bounded(spark, sf_dir):
     prof = q["user_event_profile_strings"](spark, sf_dir)
     mx2 = prof.agg(F.max("n_types")).first()[0]
     assert mx2 is None or mx2 <= 50  # |event_type| domain
+
+
+def test_no_list_backed_literal_relations_in_engine_source():
+    """Source lint: every engine ``createDataFrame`` must ship its
+    driver-built rows via pandas/Arrow (JVM ``LocalTableScan``) or be
+    an empty-relation constructor.
+
+    A Python-LIST ``createDataFrame`` backs the relation with a
+    pickled RDD whose scan re-pays a Python-worker round trip on
+    EVERY action that replays the lineage (late-r4 measurement: 1.5 s
+    vs 0.2 s per action for a 2.4k-row offsets table — and the kmeans
+    output join and geo offset spine were silently paying it). The
+    plan string cannot gate this (``localCheckpoint`` JVM scans print
+    the same ``Scan ExistingRDD``), so gate at the source level.
+    """
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / (
+        "nursinghome_data_pipeline_spark"
+    )
+    allowed = {
+        # write-once 1-row audit insert: the tax applies once per DQ
+        # check, never per downstream action (no lineage consumers)
+        "catalog.py",
+    }
+    offenders = []
+    for path in sorted(root.rglob("*.py")):
+        src = path.read_text()
+        for m in re.finditer(r"createDataFrame\(", src):
+            tail = src[m.end() : m.end() + 120]
+            ok = (
+                tail.lstrip().startswith("[]")  # empty relation
+                or "pd.DataFrame" in tail
+                or "pandas.DataFrame" in tail
+            )
+            if not ok and path.name not in allowed:
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{path.relative_to(root)}:{line}")
+    assert not offenders, (
+        "list-backed createDataFrame (pickled-RDD relation) — build "
+        f"via pd.DataFrame instead: {offenders}"
+    )
