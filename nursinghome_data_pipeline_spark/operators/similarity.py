@@ -599,6 +599,77 @@ def lsh_probe_buckets(
     return [base] + [base ^ mask for _, _, mask in costed[: n_probe_buckets - 1]]
 
 
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist vectors as parquet PARTITIONED BY LSH bucket.
+
+    The LSH twin of :func:`write_ivf_index`: with one directory per
+    sign-projection bucket, a probe query's ``bucket IN (...)``
+    becomes a PARTITION filter, so a ``b``-of-``2^n_planes``-bucket
+    multi-probe reads ~``b/2^n_planes`` of the bytes — file-level
+    pruning before any row decodes. Bucketing is the same
+    plane-literal projection the query path uses
+    (:func:`random_projection_buckets`), so index and query always
+    agree on routing; the write is shuffle-free (compact with
+    ``df.repartition("bucket")`` first if file count matters more
+    than write parallelism)."""
+    random_projection_buckets(
+        df, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
+    ).select(id_col, vec_col, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def knn_lsh_partitioned(
+    spark,
+    path: str,
+    query_vec,
+    *,
+    k: int = 10,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    n_probe_buckets: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a :func:`write_lsh_index` layout — scan-pruned probes.
+
+    Identical results to :func:`knn_lsh` on the same planes/seed
+    (pinned by test): the probe picks (:func:`lsh_probe_buckets`) and
+    the exact cosine re-rank are the same code; only WHERE the bucket
+    filter applies changes — here it lands in the scan's
+    ``PartitionFilters`` (plan-gated), so non-probed buckets
+    contribute zero I/O. Multi-probe raises recall at a directly
+    visible byte cost: each extra probed bucket is one more
+    directory read."""
+    probes = lsh_probe_buckets(
+        query_vec,
+        dim=dim,
+        n_planes=n_planes,
+        seed=seed,
+        n_probe_buckets=n_probe_buckets,
+    )
+    return (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(probes))
+        .select(
+            id_col,
+            _cosine_lit(F.col(vec_col), query_vec).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 #: Moment quantization for whitening: floor(v * 2^20) per value keeps
 #: the per-dimension sums in exact int64 arithmetic, so the moments are
 #: ORDER-INDEPENDENT (integer addition is associative) and bit-equal on

@@ -268,6 +268,69 @@ def test_lsh_multi_probe_recall_monotone(spark, sf_dir):
     assert r_all == 1.0  # probing every bucket IS brute force
 
 
+def test_lsh_partitioned_index_matches_in_memory_plan(spark, sf_dir, tmp_path):
+    """write_lsh_index + knn_lsh_partitioned must return exactly the
+    in-memory knn_lsh results for the same planes/probes — routing,
+    probe picks, and re-rank are shared code; only the filter's
+    placement moves."""
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        knn_lsh_partitioned,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.where(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    qvec = query.first()["query_embedding"]
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(emb, path, dim=64, n_planes=5)
+    for nb in (1, 3):
+        mem = knn_lsh(
+            emb, query, k=6, dim=64, n_planes=5, n_probe_buckets=nb
+        ).collect()
+        disk = knn_lsh_partitioned(
+            spark, path, qvec, k=6, dim=64, n_planes=5, n_probe_buckets=nb
+        ).collect()
+        assert [(r.vec_id, r.cosine_sim) for r in disk] == [
+            (r.vec_id, r.cosine_sim) for r in mem
+        ]
+
+
+def test_lsh_partitioned_index_prunes_at_file_level(spark, sf_dir, tmp_path):
+    import re
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        knn_lsh_partitioned,
+        lsh_probe_buckets,
+        write_lsh_index,
+    )
+    from nursinghome_data_pipeline_spark.plans import formatted_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 7).first()["embedding"]
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(emb, path, dim=64, n_planes=5)
+    topk = knn_lsh_partitioned(
+        spark, path, qvec, k=6, dim=64, n_planes=5, n_probe_buckets=2
+    )
+    plan = formatted_plan(topk)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "bucket" in pf[0], plan
+    probes = set(
+        lsh_probe_buckets(qvec, dim=64, n_planes=5, n_probe_buckets=2)
+    )
+    touched = {
+        int(re.search(r"bucket=(\d+)", r[0]).group(1))
+        for r in spark.read.parquet(path)
+        .where(F.col("bucket").isin(list(probes)))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert touched and touched <= probes, (touched, probes)
+
+
 def test_lsh_probe_all_buckets_equals_brute_force(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     query = emb.where(F.col("vec_id") == 3).select(
