@@ -186,11 +186,37 @@ def _ivf_partitioned_probe(spark, sf_dir: str):
     return knn_ivf_partitioned(spark, path, qvec, seeds, k=10, n_probe=2)
 
 
+def _lsh_partitioned_probe(spark, sf_dir: str):
+    """Multi-probe top-k latency over the AT-REST bucket-partitioned
+    LSH index (operators/similarity.write_lsh_index) — the LSH twin of
+    ``knn_ivf_partitioned_probe``: index materializes once per bench
+    process, the timed plan is the PartitionFilters-pruned scan of the
+    probed buckets plus the exact cosine re-rank."""
+    import tempfile
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        knn_lsh_partitioned,
+        write_lsh_index,
+    )
+    from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"bench-lsh-index-{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_lsh_index(emb, path, dim=64, n_planes=6)
+    qvec = emb.orderBy("vec_id").first()["embedding"]
+    return knn_lsh_partitioned(
+        spark, path, qvec, k=10, dim=64, n_planes=6, n_probe_buckets=4
+    )
+
+
 #: label -> callable(spark, sf_dir); non-registry bench entries
 EXTRA_BENCH = {
     "minhash_signatures_xxh64": _minhash_production,
     "hll_datasketches_native": _hll_native,
     "knn_ivf_partitioned_probe": _ivf_partitioned_probe,
+    "knn_lsh_partitioned_probe": _lsh_partitioned_probe,
 }
 
 
