@@ -474,6 +474,133 @@ def _ivf_probes(cores: int = 32, inflate: int = 256) -> dict:
     return out
 
 
+def _lsh_probes(cores: int = 32, inflate: int = 256) -> dict:
+    """Multi-probe LSH at rest: the measured recall-vs-bytes curve.
+
+    Multi-probe exists to spend I/O for recall; over a
+    ``write_lsh_index`` layout each extra probed bucket is one more
+    directory read, so the trade is directly measurable. For
+    ``n_probe_buckets`` in 1/2/4/8 over the 256×-inflated embeddings
+    (64 buckets, n_planes=6) this records the probed-bytes fraction
+    (filesystem ground truth), wall time, and recall@10 against the
+    brute-force top-k. Reuses the ``--ivf`` probe's inflated flat
+    parquet staging.
+
+    Run: python scripts/scaling_probe.py --lsh
+    """
+    import glob
+    import time
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        knn_brute_force,
+        knn_lsh_partitioned,
+        lsh_probe_buckets,
+        write_lsh_index,
+    )
+    from nursinghome_data_pipeline_spark.session import build_session
+
+    n_planes, k = 6, 10
+    spark = build_session(
+        f"lsh-probe-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    base = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    flat_dir = os.path.join(
+        tempfile.gettempdir(), f"spark-graft-ivf-flat-x{inflate}"
+    )
+    if not os.path.exists(os.path.join(flat_dir, "_SUCCESS")):
+        base.crossJoin(
+            spark.range(inflate).select(F.col("id").alias("__rep"))
+        ).select(
+            (F.col("vec_id") + F.col("__rep") * (1 << 40)).alias("vec_id"),
+            "embedding",
+            "label",
+        ).write.mode("overwrite").parquet(flat_dir)
+    flat = spark.read.parquet(flat_dir)
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"spark-graft-lsh-index-x{inflate}"
+    )
+    qvec = base.orderBy("vec_id").first()["embedding"]
+    t0 = time.perf_counter()
+    write_lsh_index(flat, index_dir, dim=len(qvec), n_planes=n_planes)
+    write_sec = time.perf_counter() - t0
+    import pandas as pd
+
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_embedding": [[float(v) for v in qvec]]}),
+        "query_embedding array<float>",
+    )
+    t0 = time.perf_counter()
+    knn_brute_force(flat, qdf, k=k).collect()
+    brute_sec = time.perf_counter() - t0
+    # recall is a property of the hash GEOMETRY, so it is measured on
+    # the distinct base vectors: the inflated corpus is id-shifted
+    # COPIES, where every true top-k is copies of one vector sharing
+    # one bucket and any recall curve degenerates to 0-or-1. Averaged
+    # over 8 query vectors for a stable estimate.
+    from nursinghome_data_pipeline_spark.operators.similarity import knn_lsh
+
+    qids = [int(r["vec_id"]) for r in base.orderBy("vec_id").limit(8).collect()]
+    recalls: dict[int, list[float]] = {1: [], 2: [], 4: [], 8: []}
+    for qid in qids:
+        q1 = base.where(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("query_embedding")
+        )
+        exact = {r["vec_id"] for r in knn_brute_force(base, q1, k=k).collect()}
+        for nb in recalls:
+            got = {
+                r["vec_id"]
+                for r in knn_lsh(
+                    base, q1, k=k, dim=len(qvec), n_planes=n_planes,
+                    n_probe_buckets=nb,
+                ).collect()
+            }
+            recalls[nb].append(len(got & exact) / k)
+
+    def _dir_bytes(pattern: str) -> int:
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(pattern, "*.parquet"))
+        )
+
+    bytes_total = sum(
+        _dir_bytes(d) for d in glob.glob(os.path.join(index_dir, "bucket=*"))
+    )
+    out: dict = {
+        "n_rows": flat.count(),
+        "n_buckets": 1 << n_planes,
+        "write_index_sec": round(write_sec, 3),
+        "brute_force_sec": round(brute_sec, 3),
+        "bytes_total": bytes_total,
+    }
+    for nb in (1, 2, 4, 8):
+        probes = lsh_probe_buckets(
+            qvec, dim=len(qvec), n_planes=n_planes, n_probe_buckets=nb
+        )
+        bytes_probed = sum(
+            _dir_bytes(os.path.join(index_dir, f"bucket={b}"))
+            for b in probes
+        )
+        best = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter()
+            knn_lsh_partitioned(
+                spark, index_dir, qvec, k=k, dim=len(qvec),
+                n_planes=n_planes, n_probe_buckets=nb,
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t1)
+        out[f"probe{nb}_bytes_frac"] = round(bytes_probed / bytes_total, 4)
+        out[f"probe{nb}_sec"] = round(best, 3)
+        out[f"probe{nb}_mean_recall_at_{k}"] = round(
+            sum(recalls[nb]) / len(recalls[nb]), 3
+        )
+    spark.stop()
+    return out
+
+
 def _inflate(inflate: int) -> None:
     """One-time write of the inflated copy (reused across core runs)."""
     inflated = _inflated_dir(inflate)
@@ -561,12 +688,20 @@ def main() -> None:
         help="run only the IVF-index-at-rest probe (measured partition "
         "pruning bytes + wall time vs full scan)",
     )
+    ap.add_argument(
+        "--lsh", action="store_true",
+        help="run only the multi-probe-LSH-at-rest probe (measured "
+        "recall-vs-bytes curve over the bucket-partitioned index)",
+    )
     args = ap.parse_args()
     if args.skew:
         print(json.dumps(_skew_probes(), indent=2))
         return
     if args.ivf:
         print(json.dumps(_ivf_probes(), indent=2))
+        return
+    if args.lsh:
+        print(json.dumps(_lsh_probes(), indent=2))
         return
     if args._child is not None:
         print("CHILD" + json.dumps(_run_one(args._child, args.inflate)))
