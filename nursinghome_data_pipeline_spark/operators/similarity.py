@@ -153,6 +153,16 @@ def random_projection_buckets(
     storage.
     """
     planes = lsh_planes(n_planes, dim, seed)
+    # One zip_with+aggregate fold per plane. Two rejected "faster"
+    # shapes, measured at sf0.1 (2k vectors, where DRIVER-side
+    # plan/codegen cost dominates): a fused struct-accumulator fold
+    # (one pass, n_planes fields) allocates an InternalRow per element
+    # per row and timed 1.9x WORSE; fully unrolling dim*n_planes
+    # getItem*literal chains produced a ~2,400-node expression tree
+    # whose per-action analyze/optimize/codegen cost timed 4.6x worse
+    # still. At 100 TB-scale row counts the unrolled chain's per-row
+    # codegen math would win — revisit if bucket compute (not plan
+    # overhead) ever shows up in a profile.
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
         plane_col = F.array(*[F.lit(float(v)) for v in planes[i]])
@@ -355,7 +365,13 @@ def ivf_probe_cells(
             num = num + float(x) * float(y)
             aa = aa + float(x) * float(x)
             bb = bb + float(y) * float(y)
-        probe_scores.append((num / (aa**0.5 * bb**0.5), sid))
+        if aa == 0.0 or bb == 0.0:
+            # engine cosine (_cosine/_cosine_lit) yields NULL for a
+            # zero-norm side; the driver-side twin scores it -inf so
+            # the seed sorts last instead of raising ZeroDivisionError
+            probe_scores.append((float("-inf"), sid))
+        else:
+            probe_scores.append((num / (aa**0.5 * bb**0.5), sid))
     return [
         sid
         for _, sid in sorted(probe_scores, key=lambda t: (-t[0], t[1]))[
@@ -484,7 +500,7 @@ def knn_ivf_partitioned(
 
 def knn_lsh(
     candidates: DataFrame,
-    query: DataFrame,
+    query,
     *,
     k: int = 10,
     id_col: str = "vec_id",
@@ -497,27 +513,53 @@ def knn_lsh(
     """Approximate top-k: restrict brute force to the query's LSH
     bucket(s).
 
+    ``query`` is either a plain vector (list/tuple of floats — the
+    preferred form: the whole plan is lazy, probes computed driver-side
+    over the bounded plane list) or a one-row DataFrame with a
+    ``query_embedding`` column (API parity with
+    :func:`knn_brute_force`).
+
     ``n_probe_buckets=1`` (default) scans exactly the query's own
     bucket; raising it probes the buckets reached by flipping the
     query's LEAST-CONFIDENT sign bits first (standard multi-probe
     LSH — a near vector that landed across a hyperplane the query
-    barely cleared is the likeliest miss). The probe set is computed
-    driver-side over the bounded plane list with the same sequential
-    double fold as the engine's bucket expression, so the query's own
-    bucket matches the engine bit-for-bit (the :func:`ivf_probe_cells`
-    contract); probing all ``2^n_planes`` buckets is exactly brute
-    force (pinned by test). The bucket restriction is a literal IN
-    filter instead of the former bucket-equality broadcast join — over
+    barely cleared is the likeliest miss). Probe sets use the same
+    sequential double fold as the engine's bucket expression, so the
+    query's own bucket matches the engine bit-for-bit (the
+    :func:`ivf_probe_cells` contract); probing all ``2^n_planes``
+    buckets is exactly brute force (pinned by test). With a literal
+    query the bucket restriction is a literal IN filter — over
     bucket-partitioned storage it lands in ``PartitionFilters`` and
     non-probed buckets cost zero I/O, the same at-rest story as
-    :func:`write_ivf_index`. Returned schema matches
-    :func:`knn_brute_force`.
+    :func:`write_ivf_index`. With a DataFrame query at the default
+    single probe, the plan stays FULLY LAZY: the query's bucket is the
+    same engine expression and the restriction is a bucket-equality
+    broadcast join — no driver-side job is ever triggered at
+    DataFrame-construction time (the round-4 bench regression was
+    exactly such an eager ``first()``). A DataFrame query with
+    multi-probe collects the vector ONCE and takes the literal path
+    (one bounded job, single evaluation of the query source).
+    Returned schema matches :func:`knn_brute_force`.
     """
-    qrow = query.select("query_embedding").first()
-    if qrow is None:
-        raise ValueError("knn_lsh: query DataFrame is empty")
+    if isinstance(query, DataFrame):
+        if n_probe_buckets > 1:
+            qrow = query.select("query_embedding").first()
+            if qrow is None:
+                raise ValueError("knn_lsh: query DataFrame is empty")
+            query = [float(v) for v in qrow["query_embedding"]]
+        else:
+            return _knn_lsh_lazy_join(
+                candidates,
+                query,
+                k=k,
+                id_col=id_col,
+                vec_col=vec_col,
+                dim=dim,
+                n_planes=n_planes,
+                seed=seed,
+            )
     probes = lsh_probe_buckets(
-        qrow["query_embedding"],
+        query,
         dim=dim,
         n_planes=n_planes,
         seed=seed,
@@ -526,21 +568,55 @@ def knn_lsh(
     bucketed = random_projection_buckets(
         candidates, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
     )
-    qdf = query.select(
-        "query_embedding", l2_norm_col("query_embedding").alias("__qn")
+    scored = bucketed.where(F.col("bucket").isin(probes)).select(
+        id_col,
+        _cosine_lit(F.col(vec_col), query).alias("cosine_sim"),
     )
-    scored = (
-        bucketed.where(F.col("bucket").isin(probes))
-        .crossJoin(F.broadcast(qdf))
-        .select(
-            id_col,
-            _cosine_with_norms(
-                vec_col,
-                "query_embedding",
-                l2_norm_col(vec_col),
-                F.col("__qn"),
-            ).alias("cosine_sim"),
-        )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def _knn_lsh_lazy_join(
+    candidates: DataFrame,
+    query: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    seed: int,
+) -> DataFrame:
+    """Single-probe LSH kNN with a DataFrame query, zero eager jobs.
+
+    Both sides compute ``bucket`` with the SAME engine expression over
+    the same plane literals, and the restriction is a bucket-equality
+    join against the broadcast one-row query — the plan Catalyst sees
+    is scan → map-only bucket projection → broadcast hash join →
+    TakeOrderedAndProject, entirely lazy."""
+    bucketed = random_projection_buckets(
+        candidates, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
+    )
+    qb = random_projection_buckets(
+        query.withColumnRenamed("query_embedding", vec_col),
+        vec_col=vec_col,
+        dim=dim,
+        n_planes=n_planes,
+        seed=seed,
+    ).select(
+        F.col(vec_col).alias("query_embedding"),
+        l2_norm_col(vec_col).alias("__qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = bucketed.join(
+        F.broadcast(qb), F.col("bucket") == F.col("qbucket")
+    ).select(
+        id_col,
+        _cosine_with_norms(
+            vec_col,
+            "query_embedding",
+            l2_norm_col(vec_col),
+            F.col("__qn"),
+        ).alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 

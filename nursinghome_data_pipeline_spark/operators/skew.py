@@ -426,6 +426,14 @@ def bucketed_global_order(
     if debug_stats is not None:
         debug_stats["rounds"] = rounds
         debug_stats["refined_groups"] = refined_groups
+        # REALIZED window-partition bound, measured from the final
+        # round's per-(__bkt,__sub) populations — not a derived
+        # even-split assumption (ADVICE r4): this is exactly the row
+        # count of the largest partition WindowExec will sort.
+        debug_stats["max_partition_rows"] = max(
+            (r["__cnt"] for r in per_key_rows), default=0
+        )
+        debug_stats["total_rows"] = sum(r["__cnt"] for r in per_key_rows)
 
     keys = ["__bkt", "__sub"]
     # exclusive prefix sums over the bucket order (__bkt DESC if

@@ -267,6 +267,7 @@ def _skew_probes(cores: int = 32, n: int = 4_000_000) -> dict:
             (F.col("ck") % 613_211).cast("double") / 7.0
         ),
     )
+    dbg_by_label: dict[str, dict] = {}
     for label, df in (("uniform", uniform), ("point_mass_90pct", point_mass)):
         src = df.localCheckpoint(eager=True)  # exclude generation cost
         best = float("inf")
@@ -278,19 +279,24 @@ def _skew_probes(cores: int = 32, n: int = 4_000_000) -> dict:
                 src, value_col="rev", tiebreak_col="ck", debug_stats=dbg
             ).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+        dbg_by_label[label] = dbg
         out[f"bgo_{label}_sec"] = round(best, 3)
         out[f"bgo_{label}_refine_rounds"] = dbg.get("rounds")
         out[f"bgo_{label}_refined_groups"] = dbg.get("refined_groups")
-    # realized max window-partition fraction under the point mass
-    # (reconstructed via the operator's own composite keys: rank runs
-    # of the heavy value split across sub-buckets ⇒ the largest
-    # WindowExec partition stays bounded instead of holding the 90%)
+    # realized max window-partition fraction under the point mass,
+    # MEASURED from the operator's own final per-(__bkt,__sub)
+    # populations (debug_stats.max_partition_rows) — not a derived
+    # even-split assumption (ADVICE r4). The unsplit fraction is the
+    # heavy value's share, counted on the ranked output.
     pm = point_mass.localCheckpoint(eager=True)
     ranked = bucketed_global_order(pm, value_col="rev", tiebreak_col="ck")
     heavy = ranked.where(F.col("rev") == 42.5).count()
     out["bgo_point_mass_heavy_rows"] = heavy
     out["bgo_unsplit_max_partition_frac"] = round(heavy / n, 3)
-    out["bgo_split_max_partition_frac"] = round(heavy / 64 / n, 4)
+    pm_dbg = dbg_by_label["point_mass_90pct"]
+    out["bgo_split_max_partition_frac"] = round(
+        pm_dbg["max_partition_rows"] / max(pm_dbg["total_rows"], 1), 4
+    )
 
     hot = spark.range(n).select(
         F.when(F.col("id") % 10 < 9, F.lit(0))

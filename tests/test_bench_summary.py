@@ -61,3 +61,35 @@ def test_small_set_is_emitted_in_full_at_two_decimals():
     d = json.loads(line)
     assert d["queries"] == {"a_query": 0.12, "b_query": 2.57}
     assert d["queries_omitted"] == 0
+
+
+def test_load_context_recorded_and_line_still_fits():
+    labels = list(bench.BENCH_QUERIES) + list(bench.EXTRA_BENCH)
+    timings = {name: 1.2345 for name in labels}
+    line = bench.summary_line(
+        timings, sum(timings.values()), 0.1, load1=(0.42, 31.87)
+    )
+    assert len(line) <= bench.LINE_BUDGET
+    d = json.loads(line)
+    assert d["load1"] == [0.4, 31.9]
+
+
+def test_index_cache_fingerprint_tracks_data_regeneration(tmp_path):
+    """The at-rest bench index cache is keyed on a content fingerprint
+    of the source table: regenerating the dataset under the same
+    directory name must change the key (ADVICE r4 — stale-index probe)."""
+    sf = tmp_path / "sf9"
+    sf.mkdir()
+    f = sf / "embeddings.parquet"
+    f.write_bytes(b"v1-bytes")
+    fp1 = bench._dataset_fingerprint(str(sf), "embeddings")
+    assert fp1 == bench._dataset_fingerprint(str(sf), "embeddings")
+    os.utime(f, ns=(1, 1))  # same bytes, regenerated timestamp
+    assert bench._dataset_fingerprint(str(sf), "embeddings") != fp1
+    # directory-shaped tables fingerprint their data files too
+    d = sf / "documents.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"a")
+    fpd = bench._dataset_fingerprint(str(sf), "documents")
+    (d / "part-0.parquet").write_bytes(b"ab")
+    assert bench._dataset_fingerprint(str(sf), "documents") != fpd

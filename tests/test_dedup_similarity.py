@@ -331,6 +331,69 @@ def test_lsh_partitioned_index_prunes_at_file_level(spark, sf_dir, tmp_path):
     assert touched and touched <= probes, (touched, probes)
 
 
+def test_knn_lsh_default_path_is_fully_lazy(spark, sf_dir, monkeypatch):
+    """The r4 bench regression: knn_lsh ran an eager query.first() job
+    at DataFrame-CONSTRUCTION time, paid on every invocation even at
+    the default single probe. Pin the fix: with a DataFrame query and
+    n_probe_buckets=1, building the plan must trigger no action at
+    all (first/collect/take forbidden), and the result must still be
+    the query's own bucket, exactly."""
+    from pyspark.sql import DataFrame
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.where(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("query_embedding")
+    )
+
+    def _boom(self, *a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("eager action during knn_lsh plan construction")
+
+    monkeypatch.setattr(DataFrame, "first", _boom)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(DataFrame, "take", _boom)
+    lazy = knn_lsh(emb, query, k=5, dim=64, n_planes=4)
+    monkeypatch.undo()
+    rows = lazy.collect()
+    assert rows[0].vec_id == 7
+    assert rows[0].cosine_sim == pytest.approx(1.0)
+
+
+def test_knn_lsh_literal_query_matches_dataframe_query(spark, sf_dir):
+    """Literal-vector and DataFrame overloads must return identical
+    rows AND identical doubles at single- and multi-probe — the three
+    internal paths (lazy join, literal IN, collect-once delegate)
+    share routing and bit-equal cosine folds."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.where(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    qvec = [float(v) for v in query.first()["query_embedding"]]
+    for nb in (1, 3):
+        via_df = knn_lsh(
+            emb, query, k=6, dim=64, n_planes=5, n_probe_buckets=nb
+        ).collect()
+        via_lit = knn_lsh(
+            emb, qvec, k=6, dim=64, n_planes=5, n_probe_buckets=nb
+        ).collect()
+        assert [(r.vec_id, r.cosine_sim) for r in via_lit] == [
+            (r.vec_id, r.cosine_sim) for r in via_df
+        ]
+
+
+def test_ivf_probe_cells_zero_norm_seed_sorts_last():
+    """Engine cosine yields NULL for a zero-norm side; the driver twin
+    must not ZeroDivisionError — a zero-norm seed (or query) scores
+    -inf and loses every probe slot it doesn't get by default."""
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        ivf_probe_cells,
+    )
+
+    seeds = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    assert ivf_probe_cells(seeds, [1.0, 1.0], n_probe=2) == [2, 3]
+    # zero-norm QUERY: every seed scores -inf; ties break to small ids
+    assert ivf_probe_cells(seeds, [0.0, 0.0], n_probe=2) == [1, 2]
+
+
 def test_lsh_probe_all_buckets_equals_brute_force(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     query = emb.where(F.col("vec_id") == 3).select(

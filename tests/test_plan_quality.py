@@ -303,10 +303,6 @@ _BOUNDED_BNLJ = {
     "hard_negative_mining",        # LIMIT'd (16-row) anchor set broadcast
     "geo_radius_join",             # 3x3 offset table (9 rows)
     "knn_cosine_topk",             # 1-row query-vector broadcast
-    "knn_lsh_topk",                # 1-row query-vector broadcast (r4:
-                                   # bucket IN filter replaced the
-                                   # bucket-equality join, so the query
-                                   # attaches via bounded crossJoin)
     "tfidf_topk_docs",             # scalar corpus-size broadcast (1 row)
     "hourly_events_gapfill",       # literal hour spine x distinct-type dim
     "funnel_signup_click_purchase",  # scalar per-stage counts (1 row each)

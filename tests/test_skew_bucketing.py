@@ -335,6 +335,11 @@ def test_bucketed_global_order_splits_point_mass_ties(spark):
     # both refinement rounds must have fired: value split isolates the
     # mass, tiebreak split spreads it
     assert dbg["rounds"] >= 2 and dbg["refined_groups"] >= 2, dbg
+    # MEASURED realized bound (not an even-split assumption): the
+    # largest final (__bkt,__sub) partition — exactly what WindowExec
+    # sorts — must hold a small fraction despite the 90% point mass
+    assert dbg["total_rows"] == 20_000, dbg
+    assert 0 < dbg["max_partition_rows"] <= 0.05 * dbg["total_rows"], dbg
     # the heavy value's rows must be spread over many sub-partitions:
     # reconstruct per-(rank-contiguous) run sizes via the i column —
     # equivalently assert the largest single window partition is small
