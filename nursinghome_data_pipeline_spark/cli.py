@@ -256,6 +256,94 @@ def _cmd_corpus_build(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_ann_index(args: argparse.Namespace) -> int:
+    """Build or probe an at-rest ANN index — the one-surface entry to
+    ``write_ivf_index``/``write_lsh_index`` and their partition-pruned
+    probe twins (SCALE.md "ANN indexes at rest"). ``build`` persists a
+    cell/bucket-partitioned parquet layout plus a ``_ann_meta.json``
+    sidecar; ``probe`` needs only the index path (kind and geometry
+    come from the sidecar) and a query vector, given either inline as
+    JSON or by id from the source table."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import (
+        fixed_ivf_seeds,
+        knn_ivf_partitioned,
+        knn_lsh_partitioned,
+        load_ann_meta,
+        write_ivf_index,
+        write_lsh_index,
+    )
+    from .sources.tpch import load_tables
+
+    spark = _session(args)
+    if args.action == "build":
+        if not args.kind:
+            print("ann-index build requires --kind ivf|lsh", file=sys.stderr)
+            return 2
+        emb = load_tables(spark, args.sf_dir, [args.table])[args.table]
+        if args.kind == "ivf":
+            seeds = fixed_ivf_seeds(
+                emb, n_seeds=args.n_seeds, id_col=args.id_col, vec_col=args.vec_col
+            )
+            write_ivf_index(
+                emb,
+                args.path,
+                seeds,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+                files_per_partition=args.files_per_partition,
+            )
+        else:
+            write_lsh_index(
+                emb,
+                args.path,
+                dim=args.dim,
+                n_planes=args.n_planes,
+                seed=args.seed,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+                files_per_partition=args.files_per_partition,
+            )
+        meta = load_ann_meta(args.path)
+        n = spark.read.parquet(args.path).count()
+        print(
+            f"built {meta['kind']} index at {args.path}: {n} vectors, "
+            + (
+                f"{len(meta['seeds'])} cells"
+                if meta["kind"] == "ivf"
+                else f"{1 << meta['n_planes']} buckets ({meta['n_planes']} planes)"
+            )
+        )
+        return 0
+    meta = load_ann_meta(args.path)
+    if args.query_vec:
+        qvec = [float(v) for v in _json.loads(args.query_vec)]
+    else:
+        emb = load_tables(spark, args.sf_dir, [args.table])[args.table]
+        row = (
+            emb.where(F.col(meta["id_col"]) == args.query_id)
+            .select(meta["vec_col"])
+            .first()
+        )
+        if row is None:
+            print(f"no row with {meta['id_col']}={args.query_id}", file=sys.stderr)
+            return 2
+        qvec = [float(v) for v in row[0]]
+    if meta["kind"] == "ivf":
+        topk = knn_ivf_partitioned(
+            spark, args.path, qvec, k=args.k, n_probe=args.n_probe
+        )
+    else:
+        topk = knn_lsh_partitioned(
+            spark, args.path, qvec, k=args.k, n_probe_buckets=args.n_probe
+        )
+    topk.show(args.k, truncate=False)
+    return 0
+
+
 def _cmd_dashboard(args: argparse.Namespace) -> int:
     """Static-HTML dashboard artifacts — the Streamlit twins
     (reference metrics_dashboard.py / streamlit_app.py) with the
@@ -346,6 +434,35 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--jaccard-threshold", type=float, default=0.5)
     _add_session_args(p)
     p.set_defaults(fn=_cmd_corpus_build)
+
+    p = sub.add_parser(
+        "ann-index",
+        help="build or probe an at-rest ANN index (IVF cell-partitioned "
+        "or LSH bucket-partitioned parquet + _ann_meta.json sidecar)",
+    )
+    p.add_argument("action", choices=["build", "probe"])
+    p.add_argument("path", help="index directory")
+    p.add_argument("--kind", choices=["ivf", "lsh"], default=None,
+                   help="build only; probe reads the sidecar")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--table", default="embeddings")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--n-seeds", type=int, default=8, help="ivf: coarse cells")
+    p.add_argument("--dim", type=int, default=64, help="lsh: vector dim")
+    p.add_argument("--n-planes", type=int, default=6, help="lsh: sign planes")
+    p.add_argument("--seed", type=int, default=42, help="lsh: plane RNG seed")
+    p.add_argument("--files-per-partition", type=int, default=None,
+                   help="bound files per cell/bucket dir (one build shuffle)")
+    p.add_argument("--query-id", type=int, default=0,
+                   help="probe: take the query vector from this source row")
+    p.add_argument("--query-vec", default=None,
+                   help="probe: JSON float array (overrides --query-id)")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--n-probe", type=int, default=2,
+                   help="probed cells (ivf) / buckets (lsh)")
+    _add_session_args(p)
+    p.set_defaults(fn=_cmd_ann_index)
 
     p = sub.add_parser(
         "dashboard",

@@ -439,6 +439,52 @@ def knn_ivf_fixed(
     )
 
 
+#: Sidecar filename for at-rest ANN index metadata. The leading
+#: underscore keeps it invisible to Spark's parquet discovery (the
+#: `_SUCCESS` convention), so `spark.read.parquet(path)` is unaffected.
+ANN_META_FILE = "_ann_meta.json"
+
+
+def _write_ann_meta(path: str, meta: dict) -> None:
+    """Persist index parameters next to the data so probes are
+    self-describing — a reader needs only the path, not a side-channel
+    of seeds/planes. Local-filesystem write; at real scale route this
+    through the object store client that owns ``path``."""
+    import json
+    import os
+
+    with open(os.path.join(path, ANN_META_FILE), "w") as f:
+        json.dump(meta, f)
+
+
+def load_ann_meta(path: str) -> dict:
+    """Read the ``_ann_meta.json`` sidecar written by
+    :func:`write_ivf_index` / :func:`write_lsh_index`."""
+    import json
+    import os
+
+    with open(os.path.join(path, ANN_META_FILE)) as f:
+        return json.load(f)
+
+
+def _compact_for_write(
+    df: DataFrame, partition_col: str, files_per_partition: int | None, id_col: str
+) -> DataFrame:
+    """Optional write-side compaction: shuffle rows so each partition
+    directory is produced by at most ``files_per_partition`` writer
+    tasks (salted hash of the id within the partition value). Without
+    it the write is shuffle-free but every input task may emit a file
+    into every directory — at 1000 executors that is 1000 files per
+    cell, a metadata tax on every future probe. One shuffle at build
+    time, paid once, bounds files-per-directory forever."""
+    if files_per_partition is None:
+        return df
+    return df.repartition(
+        F.col(partition_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_partition)),
+    )
+
+
 def write_ivf_index(
     df: DataFrame,
     path: str,
@@ -446,6 +492,7 @@ def write_ivf_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    files_per_partition: int | None = None,
 ) -> None:
     """Persist vectors as a parquet IVF index PARTITIONED BY cell.
 
@@ -458,19 +505,34 @@ def write_ivf_index(
     discarding 15/16 post-filter. Assignment is the same map-only
     :func:`ivf_cell_col` projection the query path uses, so index and
     query always agree on cell routing. The shuffle-free write keeps
-    each input partition writing its own per-cell files; compact with
-    ``df.repartition("cell")`` first if small-file count matters more
-    than write parallelism."""
-    df.select(
+    each input partition writing its own per-cell files; pass
+    ``files_per_partition`` to bound files per cell directory (one
+    build-time shuffle) when small-file count matters more than write
+    parallelism. Index parameters (seeds, columns) persist in a
+    ``_ann_meta.json`` sidecar so :func:`knn_ivf_partitioned` probes
+    need only the path."""
+    assigned = df.select(
         id_col, vec_col, ivf_cell_col(seeds, vec_col).alias("cell")
-    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    )
+    _compact_for_write(assigned, "cell", files_per_partition, id_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    _write_ann_meta(
+        path,
+        {
+            "kind": "ivf",
+            "seeds": [[int(s), [float(v) for v in vec]] for s, vec in seeds],
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+    )
 
 
 def knn_ivf_partitioned(
     spark,
     path: str,
     query_vec,
-    seeds: list[tuple[int, list[float]]],
+    seeds: list[tuple[int, list[float]]] | None = None,
     *,
     k: int = 10,
     n_probe: int = 2,
@@ -483,7 +545,15 @@ def knn_ivf_partitioned(
     (pinned by test): the probe pick, cell routing, and exact cosine
     re-rank are the same code; only WHERE the cell filter applies
     changes — here it lands in the scan's ``PartitionFilters`` (plan-
-    gated), so non-probed cells contribute zero I/O."""
+    gated), so non-probed cells contribute zero I/O. With
+    ``seeds=None`` the quantizer (and column names) load from the
+    index's ``_ann_meta.json`` sidecar — the probe is self-describing
+    from the path alone."""
+    if seeds is None:
+        meta = load_ann_meta(path)
+        seeds = [(int(s), vec) for s, vec in meta["seeds"]]
+        id_col = meta.get("id_col", id_col)
+        vec_col = meta.get("vec_col", vec_col)
     probes = ivf_probe_cells(seeds, query_vec, n_probe=n_probe)
     return (
         spark.read.parquet(path)
@@ -684,6 +754,7 @@ def write_lsh_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    files_per_partition: int | None = None,
 ) -> None:
     """Persist vectors as parquet PARTITIONED BY LSH bucket.
 
@@ -694,14 +765,29 @@ def write_lsh_index(
     pruning before any row decodes. Bucketing is the same
     plane-literal projection the query path uses
     (:func:`random_projection_buckets`), so index and query always
-    agree on routing; the write is shuffle-free (compact with
-    ``df.repartition("bucket")`` first if file count matters more
-    than write parallelism)."""
-    random_projection_buckets(
+    agree on routing; the write is shuffle-free (pass
+    ``files_per_partition`` to bound files per bucket directory — one
+    build-time shuffle — when file count matters more than write
+    parallelism). Plane parameters persist in a ``_ann_meta.json``
+    sidecar so :func:`knn_lsh_partitioned` probes need only the
+    path."""
+    bucketed = random_projection_buckets(
         df, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
-    ).select(id_col, vec_col, "bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(path)
+    ).select(id_col, vec_col, "bucket")
+    _compact_for_write(bucketed, "bucket", files_per_partition, id_col).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+    _write_ann_meta(
+        path,
+        {
+            "kind": "lsh",
+            "dim": dim,
+            "n_planes": n_planes,
+            "seed": seed,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+    )
 
 
 def knn_lsh_partitioned(
@@ -710,7 +796,7 @@ def knn_lsh_partitioned(
     query_vec,
     *,
     k: int = 10,
-    dim: int,
+    dim: int | None = None,
     n_planes: int = 8,
     seed: int = 42,
     n_probe_buckets: int = 1,
@@ -726,7 +812,16 @@ def knn_lsh_partitioned(
     ``PartitionFilters`` (plan-gated), so non-probed buckets
     contribute zero I/O. Multi-probe raises recall at a directly
     visible byte cost: each extra probed bucket is one more
-    directory read."""
+    directory read. With ``dim=None`` the hash geometry (and column
+    names) load from the index's ``_ann_meta.json`` sidecar — the
+    probe is self-describing from the path alone."""
+    if dim is None:
+        meta = load_ann_meta(path)
+        dim = int(meta["dim"])
+        n_planes = int(meta["n_planes"])
+        seed = int(meta["seed"])
+        id_col = meta.get("id_col", id_col)
+        vec_col = meta.get("vec_col", vec_col)
     probes = lsh_probe_buckets(
         query_vec,
         dim=dim,

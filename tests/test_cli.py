@@ -122,3 +122,64 @@ def test_cli_corpus_build(tmp_path, capsys):
     )
     splits = {e for e in os.listdir(out) if e.startswith("split=")}
     assert "split=train" in splits
+
+
+def test_cli_ann_index_build_and_probe(tmp_path, spark, capsys):
+    """One-surface at-rest ANN story (r4 verdict item #5): build writes
+    the partitioned layout + self-describing sidecar; probe needs only
+    the path and matches the in-memory twin exactly."""
+    from pyspark.sql import functions as F
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        knn_lsh,
+        load_ann_meta,
+    )
+
+    path = str(tmp_path / "lsh_idx")
+    rc = main(
+        ["ann-index", "build", path, "--kind", "lsh", "--sf-dir", SF_DIR,
+         "--n-planes", "4", "--files-per-partition", "1"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built lsh index" in out and "16 buckets" in out
+    meta = load_ann_meta(path)
+    assert meta["kind"] == "lsh" and meta["n_planes"] == 4
+    # compaction: at most files_per_partition data files per bucket dir
+    import glob as _glob
+    import os as _os
+
+    for d in _glob.glob(_os.path.join(path, "bucket=*")):
+        files = [f for f in _os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) <= 1, (d, files)
+
+    rc = main(
+        ["ann-index", "probe", path, "--sf-dir", SF_DIR, "--query-id", "7",
+         "--k", "5", "--n-probe", "2"]
+    )
+    assert rc == 0
+    probe_out = capsys.readouterr().out
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    expect = knn_lsh(
+        emb, qvec, k=5, dim=64, n_planes=4, n_probe_buckets=2
+    ).collect()
+    assert str(expect[0].vec_id) in probe_out
+
+
+def test_cli_ann_index_ivf_probe_self_describing(tmp_path, spark, capsys):
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        load_ann_meta,
+    )
+
+    path = str(tmp_path / "ivf_idx")
+    rc = main(
+        ["ann-index", "build", path, "--kind", "ivf", "--sf-dir", SF_DIR,
+         "--n-seeds", "4"]
+    )
+    assert rc == 0
+    assert "4 cells" in capsys.readouterr().out
+    assert len(load_ann_meta(path)["seeds"]) == 4
+    rc = main(["ann-index", "probe", path, "--sf-dir", SF_DIR, "--k", "3"])
+    assert rc == 0
+    assert "cosine_sim" in capsys.readouterr().out
