@@ -213,12 +213,13 @@ def bucketed_global_order(
     ``floor(value*q)`` as DECIMAL(38,0) — exact integers, so downstream
     double casts match a single-window plan bit-for-bit).
 
-    Skew bound — ITERATIVE REFINEMENT (≤ 2 extra rounds, adversarial
-    inputs only): after the level-0 bucketing, a per-group stats pass
-    (count + exact min/max of value/quantized value/tiebreak — exact
-    aggregates, so deterministic under stage retry) finds groups over
-    4× the mean population, and each is split by whichever key still
-    has room, order-preservingly:
+    Skew bound — ITERATIVE REFINEMENT (adversarial inputs only; ≤
+    ``MAX_REFINE_ROUNDS`` extra rounds, one bounded collect each):
+    after the level-0 bucketing, a per-group stats pass (count + exact
+    min/max of value/quantized value/tiebreak — exact aggregates, so
+    deterministic under stage retry) finds groups over 4× the mean
+    population, and each is split by whichever key still has room,
+    order-preservingly:
 
     - multiple quantized values → finer VALUE split (64 sub-ranges of
       the group's own qv span — the "narrow the width" move, applied
@@ -230,10 +231,20 @@ def bucketed_global_order(
       the tiebreak inside a single-value group; requires an integral
       ``tiebreak_col``.
 
-    A 90%-point-mass needs two rounds (value split isolates the mass,
-    tiebreak split spreads it); uniform data exits after the first
-    stats pass, which doubles as the offsets aggregate — the
-    well-behaved path costs exactly what the unrefined operator did.
+    A point mass needs one tiebreak round after however many VALUE
+    rounds it takes to isolate it: each mode-1 round divides the
+    group's qv span by 64, so the cascade depth is
+    ``log64(bucket_qv_span / neighbor_qv_spacing)`` — typically 1, but
+    a wide domain can put a neighboring quantized value inside the
+    first split's sub-bucket and require a second value round before
+    the tiebreak round (observed at the 4M-row skew probe; a fixed
+    2-round cap left the 90% mass UNSPLIT there, which is exactly why
+    the cap is now the loop's safety net rather than its schedule —
+    the loop exits when no heavy group is splittable, and
+    ``MAX_REFINE_ROUNDS`` only bounds adversarial nesting). Uniform
+    data exits after the first stats pass, which doubles as the
+    offsets aggregate — the well-behaved path costs exactly what the
+    unrefined operator did.
     Residual irreducible skew: a heavy group of duplicated
     (value, tiebreak) pairs — like any sort — or a non-integral
     tiebreak over a point mass.
@@ -323,7 +334,19 @@ def bucketed_global_order(
     per_key_rows = None
     rounds = 0
     refined_groups = 0
-    for round_i in range(3):
+    # Safety net, not a schedule: the loop exits as soon as no heavy
+    # group is splittable (uniform data: after ONE stats pass). Each
+    # mode-1 round divides a heavy group's qv span by 64, so the cap
+    # only binds on adversarially nested inputs; 8 levels cover span
+    # ratios of 64^8 ≈ 2.8e14 — wider than any long-valued qv domain
+    # the operator accepts. A fixed cap of 2 was measurably wrong: at
+    # the 4M-row probe the first value split left a neighboring
+    # quantized value inside the mass's sub-bucket, the second (last)
+    # round re-split by value, and the tiebreak round never ran —
+    # max window partition stayed at 90% while rounds/groups looked
+    # healthy. (Caught by measuring realized populations, ADVICE r4.)
+    MAX_REFINE_ROUNDS = 8
+    for round_i in range(MAX_REFINE_ROUNDS + 1):
         # ONE bounded collect per round: the group-stats table is
         # ≤ occupied-buckets rows (~n_buckets; ≤ heavy×(N_SUB+2) more
         # per refinement round) — small enough that the heavy-group
@@ -342,7 +365,7 @@ def bucketed_global_order(
                 (r for r in stats_rows if r["__cnt"] > 4.0 * mean_cnt),
                 key=lambda r: (-r["__cnt"], r["__bkt"], r["__sub"]),
             )[:1024]  # deterministic cap on the broadcast plan
-            if round_i < 2
+            if round_i < MAX_REFINE_ROUNDS
             else []
         )
         plans = []

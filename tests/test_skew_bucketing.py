@@ -452,3 +452,36 @@ def test_bucketed_global_order_nonintegral_tiebreak_and_empty(spark):
         bucketed_global_order(empty, value_col="rev", tiebreak_col="ck").count()
         == 0
     )
+
+
+def test_point_mass_split_survives_wide_domains(spark):
+    """r5 regression: with a wide value domain the first 64-way value
+    split can leave a NEIGHBORING quantized value inside the point
+    mass's sub-bucket, so the cascade is value -> value -> tiebreak —
+    three refinement rounds. The old fixed 2-round cap silently left
+    the 90% mass unsplit at this shape (rounds/groups looked healthy;
+    only measuring realized populations exposed it). The cap is now a
+    safety net: the loop runs until no heavy group is splittable."""
+    from nursinghome_data_pipeline_spark.operators.skew import (
+        bucketed_global_order,
+    )
+
+    n = 600_000
+    pm = (
+        spark.range(n)
+        .select(F.col("id").alias("ck"))
+        .withColumn(
+            "rev",
+            F.when(F.col("ck") % 10 < 9, F.lit(42.5)).otherwise(
+                (F.col("ck") % 613_211).cast("double") / 7.0
+            ),
+        )
+    )
+    dbg: dict = {}
+    out = bucketed_global_order(
+        pm, value_col="rev", tiebreak_col="ck", debug_stats=dbg
+    )
+    out.write.format("noop").mode("overwrite").save()
+    assert dbg["rounds"] >= 4, dbg  # value, value, tiebreak, final stats
+    assert dbg["total_rows"] == n
+    assert dbg["max_partition_rows"] <= 0.01 * n, dbg
