@@ -224,8 +224,9 @@ def bucketed_global_order(
     - multiple quantized values → finer VALUE split (64 sub-ranges of
       the group's own qv span — the "narrow the width" move, applied
       only where needed so the offset table stays ~``n_buckets``);
-    - one quantized value but multiple raw values → raw-value split at
-      ``2^20`` finer resolution (monotone, so order-safe);
+    - one quantized value but multiple raw values → 64-way split of
+      the group's OWN raw span (adaptive — monotone, so order-safe;
+      shrinks the span ~64× per round down to double ulps);
     - one raw value (a true point mass) → TIEBREAK range split, valid
       exactly because the sort key ``(value, tiebreak)`` degenerates to
       the tiebreak inside a single-value group; requires an integral
@@ -371,9 +372,12 @@ def bucketed_global_order(
         plans = []
         for r in heavy:
             # mode 1: finer value split over the group's own qv span;
-            # mode 2: single qv, multiple raw values → sub-quantize the
-            #   raw value at 2^20 extra resolution (span < 1/q, so the
-            #   scaled offset stays < 2^20 — no overflow);
+            # mode 2: single qv, multiple raw values → split the
+            #   group's OWN raw span 64 ways (adaptive, like mode 1 —
+            #   a FIXED extra resolution was measurably wrong: jitter
+            #   below its grid left the mass unsplit while burning
+            #   rounds with zero progress; splitting the observed span
+            #   guarantees ~64× shrink per round down to double ulps);
             # mode 3: true point mass → tiebreak range split.
             if r["__qmin"] < r["__qmax"]:
                 base = float(r["__qmax"] if descending else r["__qmin"])
@@ -381,8 +385,9 @@ def bucketed_global_order(
                 plans.append((r["__bkt"], r["__sub"], 1, base, float(w)))
             elif r["__vmin"] < r["__vmax"]:
                 base = float(r["__vmax"] if descending else r["__vmin"])
-                w = float((1 << 20) // N_SUB + 1)
-                plans.append((r["__bkt"], r["__sub"], 2, base, w))
+                w = (float(r["__vmax"]) - float(r["__vmin"])) / N_SUB
+                if w > 0.0:  # underflows to 0 only within ~64 ulps
+                    plans.append((r["__bkt"], r["__sub"], 2, base, w))
             elif (
                 tb_integral
                 and r["__tmax"] is not None
@@ -424,7 +429,7 @@ def bucketed_global_order(
                 F.col("__mode") == 2,
                 F.floor(
                     (F.col(value_col) - F.col("__base"))
-                    * F.lit(sign * float(q) * float(1 << 20))
+                    * F.lit(sign)
                     / F.col("__w")
                 ),
             )

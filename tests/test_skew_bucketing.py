@@ -485,3 +485,49 @@ def test_point_mass_split_survives_wide_domains(spark):
     assert dbg["rounds"] >= 4, dbg  # value, value, tiebreak, final stats
     assert dbg["total_rows"] == n
     assert dbg["max_partition_rows"] <= 0.01 * n, dbg
+
+
+def test_sub_quantization_point_mass_splits_by_observed_span(spark):
+    """r5 regression (mode 2): 90% of rows share one QUANTIZED value
+    but differ in raw doubles by ~2^-41 — below the old fixed 2^20
+    extra-resolution grid, which mapped every row to local 0 and
+    burned all refinement rounds with zero progress (realized share
+    stayed 0.9). Mode 2 now splits the group's OWN raw span 64 ways,
+    so progress is guaranteed down to double ulps."""
+    from pyspark.sql.window import Window
+
+    from nursinghome_data_pipeline_spark.operators.skew import (
+        bucketed_global_order,
+    )
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id").alias("ck"),
+        F.when(
+            F.col("id") % 10 < 9,
+            F.lit(42.5)
+            + (F.col("id") % 997).cast("double") / F.lit(float(1 << 41)),
+        )
+        .otherwise((F.col("id") % 613).cast("double") / 7.0)
+        .alias("rev"),
+    )
+    dbg: dict = {}
+    out = bucketed_global_order(
+        df, value_col="rev", tiebreak_col="ck", debug_stats=dbg
+    )
+    got = {r.ck: (r.i, int(r.cum_q)) for r in out.select("ck", "i", "cum_q").collect()}
+    assert dbg["max_partition_rows"] <= 0.01 * n, dbg
+    assert dbg["rounds"] <= 4, dbg  # adaptive span: no wasted rounds
+    w = Window.orderBy(F.asc("rev"), F.asc("ck"))
+    term = F.floor(F.col("rev") * (1 << 20)).cast("decimal(38,0)")
+    ref = {
+        r.ck: (r.i, int(r.cum_q))
+        for r in df.select(
+            "ck",
+            F.row_number().over(w).alias("i"),
+            F.sum(term)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum_q"),
+        ).collect()
+    }
+    assert got == ref
