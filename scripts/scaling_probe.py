@@ -607,6 +607,89 @@ def _lsh_probes(cores: int = 32, inflate: int = 256) -> dict:
     return out
 
 
+def _compaction_probes(cores: int = 32, inflate: int = 256) -> dict:
+    """Measured effect of ``files_per_partition`` on the at-rest LSH
+    index: files per bucket directory, build wall, and probe wall,
+    fragmented (shuffle-free default — every writer task may emit into
+    every directory) vs compacted (one build-time shuffle bounding
+    writers per directory). The SAME top-k rows come back from both
+    layouts; only file counts and walls differ.
+
+    Run: python scripts/scaling_probe.py --compaction
+    """
+    import glob
+    import time
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        knn_lsh_partitioned,
+        write_lsh_index,
+    )
+    from nursinghome_data_pipeline_spark.session import build_session
+
+    n_planes = 6
+    spark = build_session(
+        f"compaction-probe-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    base = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    flat_dir = os.path.join(
+        tempfile.gettempdir(), f"spark-graft-ivf-flat-x{inflate}"
+    )
+    if not os.path.exists(os.path.join(flat_dir, "_SUCCESS")):
+        base.crossJoin(
+            spark.range(inflate).select(F.col("id").alias("__rep"))
+        ).select(
+            (F.col("vec_id") + F.col("__rep") * (1 << 40)).alias("vec_id"),
+            "embedding",
+            "label",
+        ).write.mode("overwrite").parquet(flat_dir)
+    # Stage the corpus across MANY partitions (materialized, excluded
+    # from build timing): the fragmentation failure mode is one file
+    # per (writer task x bucket dir), so it only shows when the build
+    # input has many tasks — exactly the 1000-executor situation the
+    # compaction option exists for. 128 input tasks x 64 buckets
+    # without compaction => up to 128 files per directory.
+    flat = (
+        spark.read.parquet(flat_dir).repartition(128).localCheckpoint(eager=True)
+    )
+    qvec = [float(v) for v in base.orderBy("vec_id").first()["embedding"]]
+    out: dict = {"cores": cores, "inflate": inflate, "input_tasks": 128}
+
+    def _files_per_dir(path: str) -> tuple[int, float]:
+        per = [
+            len([f for f in os.listdir(d) if f.endswith(".parquet")])
+            for d in glob.glob(os.path.join(path, "bucket=*"))
+        ]
+        return max(per), round(sum(per) / len(per), 1)
+
+    for label, fpp in (("fragmented", None), ("compacted", 2)):
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark-graft-lsh-{label}-x{inflate}"
+        )
+        t0 = time.perf_counter()
+        write_lsh_index(
+            flat, path, dim=len(qvec), n_planes=n_planes,
+            files_per_partition=fpp,
+        )
+        out[f"{label}_build_sec"] = round(time.perf_counter() - t0, 2)
+        mx, mean = _files_per_dir(path)
+        out[f"{label}_max_files_per_dir"] = mx
+        out[f"{label}_mean_files_per_dir"] = mean
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            knn_lsh_partitioned(
+                spark, path, qvec, k=10, n_probe_buckets=4
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{label}_probe_sec"] = round(best, 3)
+    spark.stop()
+    return out
+
+
 def _inflate(inflate: int) -> None:
     """One-time write of the inflated copy (reused across core runs)."""
     inflated = _inflated_dir(inflate)
@@ -699,7 +782,15 @@ def main() -> None:
         help="run only the multi-probe-LSH-at-rest probe (measured "
         "recall-vs-bytes curve over the bucket-partitioned index)",
     )
+    ap.add_argument(
+        "--compaction", action="store_true",
+        help="run only the index-compaction probe (files per bucket "
+        "dir + probe wall, fragmented vs files_per_partition-bounded)",
+    )
     args = ap.parse_args()
+    if args.compaction:
+        print(json.dumps(_compaction_probes(), indent=2))
+        return
     if args.skew:
         print(json.dumps(_skew_probes(), indent=2))
         return
