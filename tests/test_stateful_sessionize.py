@@ -77,3 +77,57 @@ def test_sessionize_group_spanning_arrow_chunks(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sessions_chunked").collect()
     }
     assert got == {(7, 1): 6, (7, 2): 6}
+
+
+def test_sessionize_state_is_measurably_evicted(spark, tmp_path):
+    """The fold's state.remove() on timeout is the bounded-state
+    guarantee at 100 TB — measure it from the state operator's own
+    progress numbers rather than trusting the code path: with event
+    time advancing far past watermark+gap each batch, end state must
+    hold only the recent users, not every user ever seen."""
+    import json
+    import os
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    stream = spark.readStream.schema("user_id long, ts timestamp").json(str(src))
+    sessions = sessionize_stream(stream, gap_minutes=1, watermark="10 seconds")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            sessions.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("sess_state_probe")
+            .start()
+        )
+        try:
+            n_batches, users_per_batch = 6, 40
+            for b in range(n_batches):
+                # fresh users each batch; event time jumps 10 min per
+                # batch — far past gap(1m)+watermark(10s), so every
+                # prior batch's sessions time out and evict
+                with open(os.path.join(str(src), f"b{b}.json"), "w") as f:
+                    for u in range(users_per_batch):
+                        f.write(
+                            json.dumps(
+                                {
+                                    "user_id": b * users_per_batch + u,
+                                    "ts": f"2024-01-01T{b:02d}:00:00",
+                                }
+                            )
+                            + "\n"
+                        )
+                q.processAllAvailable()
+            ops = q.lastProgress["stateOperators"]
+            assert ops, "no state operator reported progress"
+            total_users = n_batches * users_per_batch
+            num_rows = ops[0]["numRowsTotal"]
+            # recent frontier only: current batch (+ at most one more
+            # awaiting its timer) — nowhere near all 240 users
+            assert 0 < num_rows <= 2 * users_per_batch, ops
+            assert spark.table("sess_state_probe").count() == total_users
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
