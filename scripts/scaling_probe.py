@@ -690,6 +690,84 @@ def _compaction_probes(cores: int = 32, inflate: int = 256) -> dict:
     return out
 
 
+def _zorder_probes(cores: int = 32, n: int = 4_000_000, n_files: int = 64) -> dict:
+    """MEASURE the z-order data-skipping claim instead of deriving it.
+
+    The registry's ``zorder_key_events`` docstring claims: sorting by
+    the Morton key clusters BOTH dimensions so parquet min/max stats
+    prune files for range predicates on either column, while a
+    single-column sort prunes only itself. This probe writes the same
+    uniform 2-d data (x, y ~ U[0, 2^16)) in three 64-file layouts —
+    unsorted, sorted by x, sorted by morton(x, y) — then computes each
+    file's realized (min, max) of x and y (exactly the stats parquet
+    footer pruning consults) and counts the files a 1%-per-dimension
+    range predicate cannot rule out. Fractions of files touched, per
+    layout x predicate, are the output.
+
+    Run: python scripts/scaling_probe.py --zorder
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nursinghome_data_pipeline_spark.functions.zorder import morton2_col
+    from nursinghome_data_pipeline_spark.session import build_session
+
+    spark = build_session(
+        f"zorder-probe-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    dom = 1 << 16
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.xxhash64(F.col("id")) % dom + dom) % dom,
+        (F.xxhash64(F.col("id"), F.lit(1)) % dom + dom) % dom,
+    ).toDF("rid", "x", "y")
+    z = morton2_col("x", "y")
+    out: dict = {"n_rows": n, "n_files": n_files, "cores": cores}
+    lo, hi = dom // 2, dom // 2 + dom // 100  # 1% band per dimension
+    preds = {
+        "x_range": (F.col("fxmin") <= hi) & (F.col("fxmax") >= lo),
+        "y_range": (F.col("fymin") <= hi) & (F.col("fymax") >= lo),
+        "xy_box": (F.col("fxmin") <= hi)
+        & (F.col("fxmax") >= lo)
+        & (F.col("fymin") <= hi)
+        & (F.col("fymax") >= lo),
+    }
+    for label, key in (
+        ("unsorted", None),
+        ("sorted_by_x", F.col("x")),
+        ("sorted_by_morton", z.alias("__z")),
+    ):
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark-graft-zorder-{label}-{n}"
+        )
+        t0 = time.perf_counter()
+        src = df
+        if key is not None:
+            src = df.repartitionByRange(n_files, key).sortWithinPartitions(key)
+        else:
+            src = df.repartition(n_files)
+        src.select("rid", "x", "y").write.mode("overwrite").parquet(path)
+        out[f"{label}_write_sec"] = round(time.perf_counter() - t0, 2)
+        stats = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("x").alias("fxmin"), F.max("x").alias("fxmax"),
+                F.min("y").alias("fymin"), F.max("y").alias("fymax"),
+            )
+        ).cache()
+        total = stats.count()
+        for pname, cond in preds.items():
+            frac = stats.where(cond).count() / total
+            out[f"{label}_{pname}_file_frac"] = round(frac, 3)
+        stats.unpersist()
+    spark.stop()
+    return out
+
+
 def _inflate(inflate: int) -> None:
     """One-time write of the inflated copy (reused across core runs)."""
     inflated = _inflated_dir(inflate)
@@ -787,9 +865,17 @@ def main() -> None:
         help="run only the index-compaction probe (files per bucket "
         "dir + probe wall, fragmented vs files_per_partition-bounded)",
     )
+    ap.add_argument(
+        "--zorder", action="store_true",
+        help="run only the z-order data-skipping probe (realized "
+        "per-file min/max pruning, three layouts x three predicates)",
+    )
     args = ap.parse_args()
     if args.compaction:
         print(json.dumps(_compaction_probes(), indent=2))
+        return
+    if args.zorder:
+        print(json.dumps(_zorder_probes(), indent=2))
         return
     if args.skew:
         print(json.dumps(_skew_probes(), indent=2))
