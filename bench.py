@@ -158,6 +158,28 @@ def _hll_native(spark, sf_dir: str):
     return hll_rollup(events, key_cols=["event_type"], distinct_col="user_id")
 
 
+def _cpu_calibration() -> float:
+    """Single-thread host-speed index: best-of-3 wall for a fixed
+    200k-iteration md5 chain. Recorded alongside the timings so a run
+    on a slower/noisier host is NORMALIZABLE instead of reading as a
+    code regression — the r4->r5 grading incident was a ~23% uniform
+    environmental slowdown that load average could not see (proven by
+    re-running the r3 tree on the same host; see SCALE.md 'Bench host
+    calibration'). Pure CPU, no allocation churn, deterministic work:
+    the ratio of two runs' calib values approximates their hosts'
+    single-thread speed ratio."""
+    import hashlib
+
+    best = float("inf")
+    for _ in range(3):
+        h = b"x" * 64
+        t0 = time.perf_counter()
+        for _ in range(200_000):
+            h = hashlib.md5(h).digest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def _dataset_fingerprint(sf_dir: str, table: str) -> str:
     """Content fingerprint (name+size+mtime of every data file) for the
     at-rest index caches: if the dataset under the same sf-dir name is
@@ -256,6 +278,7 @@ def summary_line(
     total: float,
     sf: float | None,
     load1: tuple[float, float] | None = None,
+    calib: float | None = None,
 ) -> str:
     """ONE compact JSON line that fits :data:`LINE_BUDGET`.
 
@@ -267,6 +290,9 @@ def summary_line(
     "load1" is the host's 1-min load average at [start, end] — a run
     recorded under contention grades as dirty instead of silently
     inflating round-over-round comparisons (r4 verdict item #3).
+    "calib" is the single-thread CPU index (:func:`_cpu_calibration`):
+    divide two rounds' totals by their calib ratio before calling a
+    uniform shift a regression.
     """
     by_cost = sorted(timings, key=timings.__getitem__, reverse=True)
     kept = {n: round(timings[n], 2) for n in by_cost}
@@ -283,6 +309,8 @@ def summary_line(
         }
         if load1 is not None:
             payload["load1"] = [round(load1[0], 1), round(load1[1], 1)]
+        if calib is not None:
+            payload["calib"] = calib
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= LINE_BUDGET or not kept:
             return line
@@ -302,6 +330,7 @@ def main() -> None:
     # dirty in bench_full.json, and warn loudly (stderr, so the JSON
     # line contract is untouched) when the host is already busy.
     cpus = os.cpu_count() or 1
+    calib = _cpu_calibration()
     load_start = os.getloadavg()[0]
     if load_start > cpus / 4:
         print(
@@ -352,12 +381,17 @@ def main() -> None:
                     "load1_start": round(load_start, 2),
                     "load1_end": round(load_end, 2),
                     "dirty_start": load_start > cpus / 4,
+                    "cpu_calib_sec": calib,
                 },
             },
             f,
             indent=2,
         )
-    print(summary_line(timings, total, sf, load1=(load_start, load_end)))
+    print(
+        summary_line(
+            timings, total, sf, load1=(load_start, load_end), calib=calib
+        )
+    )
     spark.stop()
 
 

@@ -67,11 +67,12 @@ def test_load_context_recorded_and_line_still_fits():
     labels = list(bench.BENCH_QUERIES) + list(bench.EXTRA_BENCH)
     timings = {name: 1.2345 for name in labels}
     line = bench.summary_line(
-        timings, sum(timings.values()), 0.1, load1=(0.42, 31.87)
+        timings, sum(timings.values()), 0.1, load1=(0.42, 31.87), calib=0.1234
     )
     assert len(line) <= bench.LINE_BUDGET
     d = json.loads(line)
     assert d["load1"] == [0.4, 31.9]
+    assert d["calib"] == 0.1234
 
 
 def test_index_cache_fingerprint_tracks_data_regeneration(tmp_path):
