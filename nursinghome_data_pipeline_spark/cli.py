@@ -269,6 +269,7 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
     from .operators.similarity import (
+        append_to_ann_index,
         fixed_ivf_seeds,
         knn_ivf_partitioned,
         knn_lsh_partitioned,
@@ -279,6 +280,13 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
     from .sources.tpch import load_tables
 
     spark = _session(args)
+    if args.action == "append":
+        emb = load_tables(spark, args.sf_dir, [args.table])[args.table]
+        append_to_ann_index(emb, args.path)
+        meta = load_ann_meta(args.path)
+        n = spark.read.parquet(args.path).count()
+        print(f"appended to {meta['kind']} index at {args.path}: now {n} vectors")
+        return 0
     if args.action == "build":
         if not args.kind:
             print("ann-index build requires --kind ivf|lsh", file=sys.stderr)
@@ -440,7 +448,7 @@ def main(argv: list[str] | None = None) -> int:
         help="build or probe an at-rest ANN index (IVF cell-partitioned "
         "or LSH bucket-partitioned parquet + _ann_meta.json sidecar)",
     )
-    p.add_argument("action", choices=["build", "probe"])
+    p.add_argument("action", choices=["build", "probe", "append"])
     p.add_argument("path", help="index directory")
     p.add_argument("--kind", choices=["ivf", "lsh"], default=None,
                    help="build only; probe reads the sidecar")

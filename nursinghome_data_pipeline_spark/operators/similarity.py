@@ -528,6 +528,38 @@ def write_ivf_index(
     )
 
 
+def append_to_ann_index(df: DataFrame, path: str) -> None:
+    """Incrementally add vectors to an existing at-rest ANN index —
+    the production ingest path: a 100 TB corpus grows daily, and a
+    full index rebuild per batch is a non-starter. New rows are routed
+    with the SIDECAR's own geometry (the IVF seeds / LSH planes the
+    index was built with — never recomputed, so old and new rows
+    always agree on cell/bucket routing) and appended as new files
+    under the matching partition directories; existing files are
+    untouched and probes see the union immediately (same
+    ``PartitionFilters`` pruning). Works for both index kinds. Pair
+    with ``operators/skew.compact_files`` per-directory when the
+    append cadence accumulates small files."""
+    meta = load_ann_meta(path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if meta["kind"] == "ivf":
+        seeds = [(int(s), vec) for s, vec in meta["seeds"]]
+        routed = df.select(
+            id_col, vec_col, ivf_cell_col(seeds, vec_col).alias("cell")
+        )
+        part = "cell"
+    else:
+        routed = random_projection_buckets(
+            df,
+            vec_col=vec_col,
+            dim=int(meta["dim"]),
+            n_planes=int(meta["n_planes"]),
+            seed=int(meta["seed"]),
+        ).select(id_col, vec_col, "bucket")
+        part = "bucket"
+    routed.write.mode("append").partitionBy(part).parquet(path)
+
+
 def knn_ivf_partitioned(
     spark,
     path: str,

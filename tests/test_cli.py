@@ -183,3 +183,16 @@ def test_cli_ann_index_ivf_probe_self_describing(tmp_path, spark, capsys):
     rc = main(["ann-index", "probe", path, "--sf-dir", SF_DIR, "--k", "3"])
     assert rc == 0
     assert "cosine_sim" in capsys.readouterr().out
+
+
+def test_cli_ann_index_append(tmp_path, spark, capsys):
+    path = str(tmp_path / "lsh_grow")
+    assert main(
+        ["ann-index", "build", path, "--kind", "lsh", "--sf-dir", SF_DIR,
+         "--n-planes", "4"]
+    ) == 0
+    n0 = spark.read.parquet(path).count()
+    capsys.readouterr()
+    assert main(["ann-index", "append", path, "--sf-dir", SF_DIR]) == 0
+    out = capsys.readouterr().out
+    assert f"now {2 * n0} vectors" in out

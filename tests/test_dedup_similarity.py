@@ -548,3 +548,50 @@ def test_connected_components_survives_lost_observation(spark, monkeypatch):
         for r in dedup.connected_components(nodes, edges).collect()
     }
     assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+
+
+def test_append_to_ann_index_routes_with_sidecar_geometry(spark, sf_dir, tmp_path):
+    """Incremental ingest: vectors appended later must route with the
+    INDEX's own geometry (sidecar planes/seeds, never recomputed) so
+    probes see old+new as one corpus. LSH: appended index must equal a
+    full rebuild exactly (planes are seed-deterministic). IVF: an
+    appended vector identical to the query must come back rank-1."""
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        append_to_ann_index,
+        fixed_ivf_seeds,
+        knn_ivf_partitioned,
+        knn_lsh_partitioned,
+        write_ivf_index,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+
+    lsh_inc = str(tmp_path / "lsh_inc")
+    write_lsh_index(old, lsh_inc, dim=64, n_planes=5)
+    append_to_ann_index(new, lsh_inc)
+    lsh_full = str(tmp_path / "lsh_full")
+    write_lsh_index(emb, lsh_full, dim=64, n_planes=5)
+    got = knn_lsh_partitioned(
+        spark, lsh_inc, qvec, k=6, n_probe_buckets=3
+    ).collect()
+    want = knn_lsh_partitioned(
+        spark, lsh_full, qvec, k=6, n_probe_buckets=3
+    ).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in got] == [
+        (r.vec_id, r.cosine_sim) for r in want
+    ]
+    # vec_id 7 is odd — it arrived via append and must rank first
+    assert got[0].vec_id == 7 and got[0].cosine_sim == pytest.approx(1.0)
+
+    ivf_inc = str(tmp_path / "ivf_inc")
+    seeds = fixed_ivf_seeds(old, n_seeds=4)
+    write_ivf_index(old, ivf_inc, seeds)
+    append_to_ann_index(new, ivf_inc)
+    top = knn_ivf_partitioned(spark, ivf_inc, qvec, k=5, n_probe=4).collect()
+    assert top[0].vec_id == 7 and top[0].cosine_sim == pytest.approx(1.0)
+    # count integrity: append added rows, replaced nothing
+    assert spark.read.parquet(ivf_inc).count() == emb.count()
