@@ -184,3 +184,30 @@ def test_partitioned_index_prunes_at_file_level(spark, sf_dir, tmp_path):
         .collect()
     }
     assert touched and touched <= probes, (touched, probes)
+
+
+def test_sidecar_probe_equals_explicit_seeds_probe(spark, sf_dir, tmp_path):
+    """Self-describing probes (seeds/geometry loaded from the index's
+    _ann_meta.json sidecar) must return bit-identical rows to probes
+    given the same parameters explicitly — the sidecar IS the
+    parameters, not an approximation of them."""
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        fixed_ivf_seeds,
+        knn_ivf_partitioned,
+        load_ann_meta,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = fixed_ivf_seeds(emb, n_seeds=4)
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "ivf_meta_idx")
+    write_ivf_index(emb, path, seeds)
+    assert [(int(s), v) for s, v in load_ann_meta(path)["seeds"]] == seeds
+    explicit = knn_ivf_partitioned(
+        spark, path, qvec, seeds, k=8, n_probe=2
+    ).collect()
+    from_meta = knn_ivf_partitioned(spark, path, qvec, k=8, n_probe=2).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in from_meta] == [
+        (r.vec_id, r.cosine_sim) for r in explicit
+    ]
