@@ -367,6 +367,7 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     load_end = os.getloadavg()[0]
+    calib_end = _cpu_calibration()  # within-run drift detector
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     with open(full_path, "w") as f:
         json.dump(
@@ -382,6 +383,7 @@ def main() -> None:
                     "load1_end": round(load_end, 2),
                     "dirty_start": load_start > cpus / 4,
                     "cpu_calib_sec": calib,
+                    "cpu_calib_sec_end": calib_end,
                 },
             },
             f,
