@@ -287,6 +287,15 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
         n = spark.read.parquet(args.path).count()
         print(f"appended to {meta['kind']} index at {args.path}: now {n} vectors")
         return 0
+    if args.action == "compact":
+        from .operators.similarity import compact_ann_index
+
+        n_files = compact_ann_index(
+            spark, args.path,
+            files_per_partition=args.files_per_partition or 1,
+        )
+        print(f"compacted index at {args.path}: {n_files} data files")
+        return 0
     if args.action == "build":
         if not args.kind:
             print("ann-index build requires --kind ivf|lsh", file=sys.stderr)
@@ -448,7 +457,7 @@ def main(argv: list[str] | None = None) -> int:
         help="build or probe an at-rest ANN index (IVF cell-partitioned "
         "or LSH bucket-partitioned parquet + _ann_meta.json sidecar)",
     )
-    p.add_argument("action", choices=["build", "probe", "append"])
+    p.add_argument("action", choices=["build", "probe", "append", "compact"])
     p.add_argument("path", help="index directory")
     p.add_argument("--kind", choices=["ivf", "lsh"], default=None,
                    help="build only; probe reads the sidecar")

@@ -560,6 +560,48 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
     routed.write.mode("append").partitionBy(part).parquet(path)
 
 
+def compact_ann_index(
+    spark, path: str, *, files_per_partition: int = 1
+) -> int:
+    """Rewrite an at-rest ANN index with bounded files per partition
+    directory, preserving rows, routing, and the sidecar. Returns the
+    new data-file count.
+
+    Closes the index lifecycle: repeated :func:`append_to_ann_index`
+    batches each add files to the probed directories, and at some
+    cadence the accumulated footer/listing tax exceeds one rewrite
+    (the compaction probe measured fragmented probes 27% slower and
+    8,192-file layouts at 128-task builds — SCALE.md). Same temp-dir +
+    atomic-swap + crash-recovery protocol as
+    ``operators/skew.compact_files``: a compaction that dies mid-swap
+    never leaves the index half-rewritten, and the next call repairs
+    the leftover state before touching anything."""
+    import glob as _glob
+    import os
+    import shutil
+
+    old = path.rstrip("/") + ".compact.old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    meta = load_ann_meta(path)
+    part = "cell" if meta["kind"] == "ivf" else "bucket"
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    _compact_for_write(
+        df, part, files_per_partition, meta["id_col"]
+    ).write.mode("overwrite").partitionBy(part).parquet(tmp)
+    _write_ann_meta(tmp, meta)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(
+        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+
+
 def knn_ivf_partitioned(
     spark,
     path: str,

@@ -196,3 +196,22 @@ def test_cli_ann_index_append(tmp_path, spark, capsys):
     assert main(["ann-index", "append", path, "--sf-dir", SF_DIR]) == 0
     out = capsys.readouterr().out
     assert f"now {2 * n0} vectors" in out
+
+
+def test_cli_ann_index_compact(tmp_path, spark, capsys):
+    path = str(tmp_path / "lsh_compact")
+    assert main(
+        ["ann-index", "build", path, "--kind", "lsh", "--sf-dir", SF_DIR,
+         "--n-planes", "4"]
+    ) == 0
+    assert main(["ann-index", "append", path, "--sf-dir", SF_DIR]) == 0
+    capsys.readouterr()
+    assert main(
+        ["ann-index", "compact", path, "--files-per-partition", "1"]
+    ) == 0
+    assert "compacted index" in capsys.readouterr().out
+    import glob as _glob
+    import os as _os
+
+    for d in _glob.glob(_os.path.join(path, "bucket=*")):
+        assert len([f for f in _os.listdir(d) if f.endswith(".parquet")]) <= 1

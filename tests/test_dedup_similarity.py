@@ -595,3 +595,49 @@ def test_append_to_ann_index_routes_with_sidecar_geometry(spark, sf_dir, tmp_pat
     assert top[0].vec_id == 7 and top[0].cosine_sim == pytest.approx(1.0)
     # count integrity: append added rows, replaced nothing
     assert spark.read.parquet(ivf_inc).count() == emb.count()
+
+
+def test_compact_ann_index_bounds_files_preserving_results(spark, sf_dir, tmp_path):
+    """Lifecycle close-out: append batches fragment the probed
+    directories; compaction rewrites them bounded, preserving rows,
+    sidecar, and probe results exactly (same swap/recovery protocol
+    as skew.compact_files)."""
+    import glob as _glob
+    import os as _os
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        append_to_ann_index,
+        compact_ann_index,
+        knn_lsh_partitioned,
+        load_ann_meta,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "lsh_lifecycle")
+    write_lsh_index(emb.where(F.col("vec_id") % 3 == 0), path, dim=64, n_planes=4)
+    append_to_ann_index(emb.where(F.col("vec_id") % 3 == 1), path)
+    append_to_ann_index(emb.where(F.col("vec_id") % 3 == 2), path)
+    meta_before = load_ann_meta(path)
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    before = knn_lsh_partitioned(
+        spark, path, qvec, k=6, n_probe_buckets=3
+    ).collect()
+    frag = max(
+        len([f for f in _os.listdir(d) if f.endswith(".parquet")])
+        for d in _glob.glob(_os.path.join(path, "bucket=*"))
+    )
+    assert frag >= 2  # the appends really fragmented some directory
+    n_files = compact_ann_index(spark, path, files_per_partition=1)
+    assert n_files <= 1 << 4
+    for d in _glob.glob(_os.path.join(path, "bucket=*")):
+        files = [f for f in _os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) <= 1, (d, files)
+    assert load_ann_meta(path) == meta_before  # sidecar survives the swap
+    after = knn_lsh_partitioned(
+        spark, path, qvec, k=6, n_probe_buckets=3
+    ).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in after] == [
+        (r.vec_id, r.cosine_sim) for r in before
+    ]
+    assert spark.read.parquet(path).count() == emb.count()
