@@ -215,3 +215,24 @@ def test_cli_ann_index_compact(tmp_path, spark, capsys):
 
     for d in _glob.glob(_os.path.join(path, "bucket=*")):
         assert len([f for f in _os.listdir(d) if f.endswith(".parquet")]) <= 1
+
+
+def test_cli_ann_index_probe_with_inline_query_vec(tmp_path, spark, capsys):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "lsh_qv")
+    assert main(
+        ["ann-index", "build", path, "--kind", "lsh", "--sf-dir", SF_DIR,
+         "--n-planes", "4"]
+    ) == 0
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    capsys.readouterr()
+    assert main(
+        ["ann-index", "probe", path, "--query-vec", _json.dumps(qvec),
+         "--k", "4", "--n-probe", "2"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "cosine_sim" in out and "|3 " in out.replace("| 3 ", "|3 ")

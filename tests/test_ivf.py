@@ -211,3 +211,30 @@ def test_sidecar_probe_equals_explicit_seeds_probe(spark, sf_dir, tmp_path):
     assert [(r.vec_id, r.cosine_sim) for r in from_meta] == [
         (r.vec_id, r.cosine_sim) for r in explicit
     ]
+
+
+def test_ivf_append_equals_full_rebuild_on_same_seeds(spark, sf_dir, tmp_path):
+    """IVF twin of the LSH append pin: building on half the corpus
+    then appending the rest must return bit-identical top-k to a full
+    rebuild over the SAME seeds (the sidecar's quantizer is the
+    routing contract, independent of arrival order)."""
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        append_to_ann_index,
+        fixed_ivf_seeds,
+        knn_ivf_partitioned,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = fixed_ivf_seeds(emb.where(F.col("vec_id") % 2 == 0), n_seeds=4)
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    inc = str(tmp_path / "ivf_inc2")
+    write_ivf_index(emb.where(F.col("vec_id") % 2 == 0), inc, seeds)
+    append_to_ann_index(emb.where(F.col("vec_id") % 2 == 1), inc)
+    full = str(tmp_path / "ivf_full2")
+    write_ivf_index(emb, full, seeds)
+    got = knn_ivf_partitioned(spark, inc, qvec, k=6, n_probe=3).collect()
+    want = knn_ivf_partitioned(spark, full, qvec, k=6, n_probe=3).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in got] == [
+        (r.vec_id, r.cosine_sim) for r in want
+    ]
