@@ -191,14 +191,33 @@ def _dataset_fingerprint(sf_dir: str, table: str) -> str:
     parts: list[str] = []
     if os.path.isdir(root):
         for dirpath, _dirs, files in os.walk(root):
-            for fn in sorted(files):
+            for fn in files:
                 p = os.path.join(dirpath, fn)
                 st = os.stat(p)
                 parts.append(f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}")
     else:
         st = os.stat(root)
         parts.append(f"{table}:{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:12]
+    # sort the assembled parts, not per-directory filenames: os.walk's
+    # subdirectory traversal order is filesystem-dependent, and an
+    # order-sensitive hash would rebuild the cache for identical data
+    return hashlib.sha256("\n".join(sorted(parts)).encode()).hexdigest()[:12]
+
+
+def _fresh_index_cache_path(kind: str, tag: str, fp: str) -> str:
+    """Cache path for an at-rest bench index, with stale-generation
+    cleanup: a regenerated dataset changes the fingerprint suffix, and
+    without cleanup every generation leaks a full index copy in the
+    temp dir."""
+    import glob
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), f"bench-{kind}-index-{tag}-")
+    for stale in glob.glob(base + "*"):
+        if stale != base + fp:
+            shutil.rmtree(stale, ignore_errors=True)
+    return base + fp
 
 
 def _ivf_partitioned_probe(spark, sf_dir: str):
@@ -221,8 +240,9 @@ def _ivf_partitioned_probe(spark, sf_dir: str):
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     tag = os.path.basename(sf_dir.rstrip("/"))
-    fp = _dataset_fingerprint(sf_dir, "embeddings")
-    path = os.path.join(tempfile.gettempdir(), f"bench-ivf-index-{tag}-{fp}")
+    path = _fresh_index_cache_path(
+        "ivf", tag, _dataset_fingerprint(sf_dir, "embeddings")
+    )
     seeds = fixed_ivf_seeds(emb, n_seeds=8)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_ivf_index(emb, path, seeds)
@@ -246,8 +266,9 @@ def _lsh_partitioned_probe(spark, sf_dir: str):
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     tag = os.path.basename(sf_dir.rstrip("/"))
-    fp = _dataset_fingerprint(sf_dir, "embeddings")
-    path = os.path.join(tempfile.gettempdir(), f"bench-lsh-index-{tag}-{fp}")
+    path = _fresh_index_cache_path(
+        "lsh", tag, _dataset_fingerprint(sf_dir, "embeddings")
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_lsh_index(emb, path, dim=64, n_planes=6)
     qvec = emb.orderBy("vec_id").first()["embedding"]

@@ -284,8 +284,13 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
         emb = load_tables(spark, args.sf_dir, [args.table])[args.table]
         append_to_ann_index(emb, args.path)
         meta = load_ann_meta(args.path)
-        n = spark.read.parquet(args.path).count()
-        print(f"appended to {meta['kind']} index at {args.path}: now {n} vectors")
+        # report the BATCH size, not a full-index count: a per-append
+        # O(index) scan would re-pay exactly the listing/footer tax
+        # the incremental path exists to avoid
+        print(
+            f"appended {emb.count()} vectors to {meta['kind']} index "
+            f"at {args.path}"
+        )
         return 0
     if args.action == "compact":
         from .operators.similarity import compact_ann_index

@@ -45,25 +45,29 @@ def get_metrics(
     recomputes), the waiter's result is preferred over the fallback's:
     it is the actual observed value of the action that ran, and free.
     """
-    state: dict[str, Any] = {}
+    # the waiter publishes a FULLY-BUILT dict with one atomic append —
+    # never a shared dict mutated in place, which a reader could catch
+    # half-populated between the timeout and a late delivery
+    delivered: list[dict[str, Any]] = []
 
     def _wait() -> None:
         try:
-            state.update(obs.get)
+            metrics = dict(obs.get)
         except Exception:
-            pass  # timeout path below reports/falls back
+            return  # timeout path below reports/falls back
+        delivered.append(metrics)
 
     waiter = threading.Thread(
         target=_wait, daemon=True, name="obs-metrics-waiter"
     )
     waiter.start()
     waiter.join(timeout=timeout)
-    if state:
-        return state
+    if delivered:
+        return delivered[0]
     if fallback is not None:
         recomputed = fallback()
         # prefer a late-delivered observation over the recompute
-        return dict(state) if state else recomputed
+        return delivered[0] if delivered else recomputed
     raise TimeoutError(
         f"Observation metrics not delivered within {timeout}s (async "
         "SQL listener event lost?) — the action may have completed; "

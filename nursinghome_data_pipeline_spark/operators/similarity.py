@@ -537,9 +537,13 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
     always agree on cell/bucket routing) and appended as new files
     under the matching partition directories; existing files are
     untouched and probes see the union immediately (same
-    ``PartitionFilters`` pruning). Works for both index kinds. Pair
-    with ``operators/skew.compact_files`` per-directory when the
-    append cadence accumulates small files."""
+    ``PartitionFilters`` pruning). Works for both index kinds. Id
+    uniqueness is the CALLER's contract — appending an id that already
+    exists stores both copies, exactly like any parquet append; run
+    the batch through ``operators/dedup.incremental_ingest`` style
+    anti-joins upstream when re-delivery is possible. Use
+    :func:`compact_ann_index` when the append cadence accumulates
+    small files."""
     meta = load_ann_meta(path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     if meta["kind"] == "ivf":
@@ -684,6 +688,13 @@ def knn_lsh(
     multi-probe collects the vector ONCE and takes the literal path
     (one bounded job, single evaluation of the query source).
     Returned schema matches :func:`knn_brute_force`.
+
+    DataFrame-query contract: ONE row. Extra rows are ignored (the
+    lazy path takes ``limit(1)``, the multi-probe path ``first()`` —
+    the same unordered-first semantics). An EMPTY query DataFrame
+    yields an empty top-k on the lazy path (laziness means no job
+    exists to raise from) and raises ``ValueError`` on the multi-probe
+    path, which must materialize the vector to pick probe buckets.
     """
     if isinstance(query, DataFrame):
         if n_probe_buckets > 1:
@@ -740,8 +751,14 @@ def _knn_lsh_lazy_join(
     bucketed = random_projection_buckets(
         candidates, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
     )
+    # select-then-alias (never withColumnRenamed on the whole frame):
+    # a query DataFrame also carrying a column named vec_col must not
+    # produce a duplicate-name AnalysisException. limit(1) pins the
+    # one-row contract LAZILY — extra rows are ignored exactly like
+    # the multi-probe path's first(); an empty query yields an empty
+    # top-k here (no job exists to raise from — see docstring).
     qb = random_projection_buckets(
-        query.withColumnRenamed("query_embedding", vec_col),
+        query.select(F.col("query_embedding").alias(vec_col)).limit(1),
         vec_col=vec_col,
         dim=dim,
         n_planes=n_planes,

@@ -94,3 +94,22 @@ def test_index_cache_fingerprint_tracks_data_regeneration(tmp_path):
     fpd = bench._dataset_fingerprint(str(sf), "documents")
     (d / "part-0.parquet").write_bytes(b"ab")
     assert bench._dataset_fingerprint(str(sf), "documents") != fpd
+
+
+def test_fresh_index_cache_path_reaps_stale_generations(tmp_path, monkeypatch):
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    old = tmp_path / "bench-lsh-index-sf9-aaaaaaaaaaaa"
+    old.mkdir()
+    (old / "part-0.parquet").write_bytes(b"stale")
+    p = bench._fresh_index_cache_path("lsh", "sf9", "bbbbbbbbbbbb")
+    assert p.endswith("bench-lsh-index-sf9-bbbbbbbbbbbb")
+    assert not old.exists()  # stale generation reaped
+    # calling again with the same fingerprint never deletes the target
+    import os as _os
+
+    _os.makedirs(p)
+    (tmp_path / "keepme").mkdir()  # unrelated dirs untouched
+    assert bench._fresh_index_cache_path("lsh", "sf9", "bbbbbbbbbbbb") == p
+    assert _os.path.isdir(p) and (tmp_path / "keepme").is_dir()

@@ -195,7 +195,9 @@ def test_cli_ann_index_append(tmp_path, spark, capsys):
     capsys.readouterr()
     assert main(["ann-index", "append", path, "--sf-dir", SF_DIR]) == 0
     out = capsys.readouterr().out
-    assert f"now {2 * n0} vectors" in out
+    # the message reports the O(batch) count, never a full-index scan
+    assert f"appended {n0} vectors" in out
+    assert spark.read.parquet(path).count() == 2 * n0
 
 
 def test_cli_ann_index_compact(tmp_path, spark, capsys):

@@ -641,3 +641,30 @@ def test_compact_ann_index_bounds_files_preserving_results(spark, sf_dir, tmp_pa
         (r.vec_id, r.cosine_sim) for r in before
     ]
     assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_knn_lsh_dataframe_query_contract_lazy_path(spark, sf_dir):
+    """One-row contract on the lazy path: extra query rows are ignored
+    (limit(1), same unordered-first semantics as multi-probe), a query
+    also carrying the candidate vec_col name doesn't collide, and an
+    empty query yields an empty top-k (no job exists to raise from)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # multi-row query: must score against exactly ONE query vector,
+    # so the self-match at similarity 1.0 appears exactly once
+    multi = emb.where(F.col("vec_id") < 3).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    rows = knn_lsh(emb, multi, k=8, dim=64, n_planes=3).collect()
+    assert len([r for r in rows if r.cosine_sim > 0.999999]) == 1
+    assert len({r.vec_id for r in rows}) == len(rows)  # no blended dups
+    # query carrying BOTH names: select-then-alias must not collide
+    clashing = emb.where(F.col("vec_id") == 7).select(
+        "embedding", F.col("embedding").alias("query_embedding")
+    )
+    top = knn_lsh(emb, clashing, k=3, dim=64, n_planes=3).collect()
+    assert top[0].vec_id == 7
+    # empty query: empty result, not a crash
+    empty = emb.where(F.col("vec_id") < 0).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    assert knn_lsh(emb, empty, k=3, dim=64, n_planes=3).count() == 0
