@@ -341,6 +341,12 @@ _BOUNDED_SINGLE_PARTITION = {
     "forecast_revenue_change",       # (a) regression moment scalars
     "funnel_signup_click_purchase",  # (a) per-stage scalar counts
     "inactive_customer_balance",     # (a) scalar avg-balance subquery
+    "knn_lsh_topk",                  # (d) GlobalLimit(1) pinning the
+                                     # one-row query contract on the
+                                     # broadcast BUILD side: the
+                                     # exchange moves <=1 filtered row
+                                     # into a subplan that collects to
+                                     # the driver for broadcast anyway
     "lift_event_pairs",              # (a) scalar total-sessions
     "null_safe_join_props",          # (a) equi/nullsafe scalar counts
     "pareto_8020_customers",         # (a) scalar 80/20 threshold agg
