@@ -9017,23 +9017,31 @@ _SPOTLIGHT_R3 = [
 ]
 
 
-def _driver_green_names() -> set[str]:
-    """Names with a fully-green row in any recorded driver gate
-    (``CORRECTNESS_r*.json`` at the repo root).
+def _driver_green_rounds(root: str | None = None) -> dict[str, int]:
+    """Map each query name to the LATEST round in which a recorded
+    driver gate (``CORRECTNESS_r*.json`` at the repo root) showed it
+    fully green (rows + schema + value-hash all match, no ``err``).
 
-    Feeds the automatic rotation in :func:`_ordered_specs`: a query
-    that already has a green driver row can yield its sample-window
-    slot to one whose verification evidence is still local-only. Rows
+    Feeds the automatic rotation in :func:`_ordered_specs` twice over:
+    membership says a query may yield its sample-window slot to one
+    whose verification evidence is still local-only, and the round
+    number says how STALE that green evidence is — a query last
+    hash-matched against the round-1 tree has weaker evidence than one
+    checked last round, so it re-enters the sample window first. Rows
     with ``err`` (e.g. ``no_oracle``) or any non-true match flag do
     NOT count as green, so they keep rotating forward until the driver
     records a real value-hash match."""
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
-    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    green: set[str] = set()
+    if root is None:
+        root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
     for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = _json.load(f)
@@ -9047,13 +9055,23 @@ def _driver_green_names() -> set[str]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                green.add(name)
-    return green
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _driver_green_names() -> set[str]:
+    """Names with at least one fully-green recorded driver row."""
+    return set(_driver_green_rounds())
 
 
 def _ordered_specs() -> list[QuerySpec]:
     by_name = {s.name: s for s in _SPECS}
+    # Membership comes from _driver_green_names() (the patchable seam
+    # tests use to simulate future gates); _driver_green_rounds() only
+    # supplies staleness sort keys, with 0 for a green name the round
+    # map doesn't know (possible under that monkeypatching).
     green = _driver_green_names()
+    green_rounds = _driver_green_rounds()
     # The curated head is SELF-RETIRING: a spotlight entry keeps its
     # prefix slot only until some recorded driver gate shows it green
     # (CORRECTNESS_r*.json), then drops into the normal rotation — so
@@ -9064,15 +9082,24 @@ def _ordered_specs() -> list[QuerySpec]:
     seen = {s.name for s in head}
     rest = [s for s in _SPECS if s.name not in seen]
     # After the head, rotation is AUTOMATIC: queries with no green
-    # driver row yet precede already-driver-verified ones,
-    # registration order within each class. Oracle-less specs can
-    # never hash-green (the driver records rows-only for them), so
+    # driver row yet precede already-driver-verified ones. Within the
+    # driver-green class, STALEST EVIDENCE FIRST: a query whose latest
+    # hash-match was recorded against the round-1 tree re-enters the
+    # sample window before one checked last round, so each 50-slot
+    # driver sample re-proves the 50 stalest greens against the
+    # CURRENT tree instead of re-burning slots on fresh ones (this is
+    # the only mechanism that detects a silent regression in an old
+    # query once everything has been green at least once). Ties keep
+    # registration order; Python's sort is stable. Oracle-less specs
+    # can never hash-green (the driver records rows-only for them), so
     # they sink to the very back — behind the already-green set —
     # instead of permanently burning sample-prefix slots.
+    green_specs = [s for s in rest if s.name in green]
+    green_specs.sort(key=lambda s: green_rounds.get(s.name, 0))
     return (
         head
         + [s for s in rest if s.name not in green and s.oracle is not None]
-        + [s for s in rest if s.name in green]
+        + green_specs
         + [s for s in rest if s.name not in green and s.oracle is None]
     )
 

@@ -119,6 +119,53 @@ def test_auto_rotation_orders_unchecked_before_driver_green():
     )
 
 
+def test_driver_green_rotation_is_stalest_evidence_first():
+    # Once every query has been driver-green at least once, the only
+    # mechanism that detects a silent regression in an OLD query is
+    # re-sampling it: within the driver-green block the rotation must
+    # order by the round of the LATEST green row ascending (r1-vintage
+    # evidence first), ties in registration order, so each 50-slot
+    # driver sample re-proves the 50 stalest greens against the
+    # current tree.
+    rounds = registry._driver_green_rounds()
+    names = list(registry.queries())
+    green_tail = [n for n in names if n in rounds]
+    keys = [rounds[n] for n in green_tail]
+    assert keys == sorted(keys), (
+        "driver-green queries are not ordered stalest-evidence-first"
+    )
+    # stability: within one staleness class, registration order holds
+    reg_order = {s.name: i for i, s in enumerate(registry._SPECS)}
+    for rnd in set(keys):
+        cls = [n for n in green_tail if rounds[n] == rnd]
+        assert cls == sorted(cls, key=lambda n: reg_order[n])
+
+
+def test_driver_green_rounds_tracks_latest_round(tmp_path):
+    # _driver_green_rounds must record the LATEST round a name was
+    # green, count only rows with all three match flags and no err,
+    # and parse the round number out of the filename.
+    import json
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": None},
+        "b": {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": None},
+        # hash mismatch: must NOT refresh (or create) a green row
+        "b": {"rows_match": True, "schema_match": True,
+              "hash_match": False, "err": None},
+        "c": {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": "no_oracle"},
+    }))
+    rounds = registry._driver_green_rounds(root=str(tmp_path))
+    assert rounds == {"a": 3, "b": 1}
+
+
 def test_every_registry_query_has_an_oracle():
     # r4 closed the last two waivers (trained IVF via quantized-Lloyd
     # CTEs; HLL via the md5-register family) — the full registry is now
