@@ -444,6 +444,46 @@ def knn_ivf_fixed(
 #: `_SUCCESS` convention), so `spark.read.parquet(path)` is unaffected.
 ANN_META_FILE = "_ann_meta.json"
 
+#: Lockfile dropped by :func:`compact_ann_index` for the duration of a
+#: compaction. :func:`append_to_ann_index` refuses to write while it
+#: exists — an append that lands between the compactor's read and its
+#: directory swap would be silently deleted with the demoted copy.
+ANN_COMPACT_LOCK = "_compacting.lock"
+
+
+def _require_local_path(path: str, op: str) -> None:
+    """The sidecar/lock protocol uses local ``open()``/``os.rename``
+    while the data write goes through Spark — on an object-store or
+    HDFS URI the parquet write would succeed and THEN the sidecar write
+    would raise, destructively overwriting the old index while leaving
+    the new one without its ``_ann_meta.json`` (probes, append, and
+    compact all break). Fail fast BEFORE any data is touched; at real
+    scale route the sidecar through the filesystem client that owns
+    ``path`` (Hadoop FS API) and drop this gate."""
+    import re
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
+        raise NotImplementedError(
+            f"{op}: the _ann_meta.json/lockfile protocol is "
+            f"local-filesystem only; got URI {path!r}. Write the "
+            "sidecar via the Hadoop FS API before using remote paths."
+        )
+
+
+def _require_kind(meta: dict, expected: str, probe: str) -> None:
+    """A probe pointed at the wrong index kind must fail with the
+    mismatch spelled out, not a bare KeyError from a missing
+    seeds/dim field."""
+    kind = meta.get("kind")
+    if kind != expected:
+        other = {"ivf": "knn_ivf_partitioned", "lsh": "knn_lsh_partitioned"}
+        hint = other.get(kind)
+        raise ValueError(
+            f"{probe} expects a {expected!r} index but the sidecar "
+            f"says kind={kind!r}"
+            + (f" — use {hint} for this index" if hint else "")
+        )
+
 
 def _write_ann_meta(path: str, meta: dict) -> None:
     """Persist index parameters next to the data so probes are
@@ -511,6 +551,7 @@ def write_ivf_index(
     parallelism. Index parameters (seeds, columns) persist in a
     ``_ann_meta.json`` sidecar so :func:`knn_ivf_partitioned` probes
     need only the path."""
+    _require_local_path(path, "write_ivf_index")
     assigned = df.select(
         id_col, vec_col, ivf_cell_col(seeds, vec_col).alias("cell")
     )
@@ -543,7 +584,25 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
     the batch through ``operators/dedup.incremental_ingest`` style
     anti-joins upstream when re-delivery is possible. Use
     :func:`compact_ann_index` when the append cadence accumulates
-    small files."""
+    small files.
+
+    SINGLE-WRITER contract with compaction: an append is refused (with
+    :class:`RuntimeError`) while a ``_compacting.lock`` exists — a
+    batch appended after the compactor's ``spark.read`` but before its
+    directory swap would land in the demoted copy and be silently
+    deleted. Concurrent appends from multiple processes are ordinary
+    parquet appends (safe); only append-vs-compact needs exclusion."""
+    import os
+
+    _require_local_path(path, "append_to_ann_index")
+    if os.path.exists(os.path.join(path, ANN_COMPACT_LOCK)):
+        raise RuntimeError(
+            f"append_to_ann_index: {path} is being compacted "
+            f"({ANN_COMPACT_LOCK} present) — retry after compaction "
+            "finishes; if no compactor is running, a previous "
+            "compaction crashed and the next compact_ann_index call "
+            "will repair it (or remove the lockfile by hand)."
+        )
     meta = load_ann_meta(path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     if meta["kind"] == "ivf":
@@ -579,11 +638,21 @@ def compact_ann_index(
     atomic-swap + crash-recovery protocol as
     ``operators/skew.compact_files``: a compaction that dies mid-swap
     never leaves the index half-rewritten, and the next call repairs
-    the leftover state before touching anything."""
+    the leftover state before touching anything.
+
+    SINGLE-WRITER contract with :func:`append_to_ann_index`: a
+    ``_compacting.lock`` dropped here for the compaction's duration
+    makes concurrent appends fail loudly instead of losing their batch
+    in the demoted directory. Lock-window races (an append that read
+    the lock as absent just before it landed) are caught by a second
+    gate: the data-file set is re-listed after the rewrite and the
+    swap aborts if it changed. Run ONE compactor at a time — a stale
+    lock from a crashed compaction is reclaimed by the next call."""
     import glob as _glob
     import os
     import shutil
 
+    _require_local_path(path, "compact_ann_index")
     old = path.rstrip("/") + ".compact.old"
     if os.path.exists(old):
         if os.path.exists(path):
@@ -592,12 +661,43 @@ def compact_ann_index(
             os.rename(old, path)
     meta = load_ann_meta(path)
     part = "cell" if meta["kind"] == "ivf" else "bucket"
-    df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compact.tmp"
-    _compact_for_write(
-        df, part, files_per_partition, meta["id_col"]
-    ).write.mode("overwrite").partitionBy(part).parquet(tmp)
-    _write_ann_meta(tmp, meta)
+    lock = os.path.join(path, ANN_COMPACT_LOCK)
+    # Reclaim a crashed compaction's lock: singleton-compactor is the
+    # caller's contract, so a lock that predates this call is stale.
+    with open(lock, "w") as f:
+        f.write("compact_ann_index in progress")
+    # The lock is NOT removed before the swap — it travels with the
+    # directory renames (path→old) and dies with rmtree(old), so there
+    # is no unlocked instant between the re-list gate and the swap; an
+    # append during the swap itself fails loudly on the missing
+    # sidecar. Error paths below remove it so a failed rewrite doesn't
+    # block appends until the next compaction.
+    try:
+
+        def _data_files() -> set[str]:
+            return set(
+                _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
+
+        before = _data_files()
+        df = spark.read.parquet(path)
+        _compact_for_write(
+            df, part, files_per_partition, meta["id_col"]
+        ).write.mode("overwrite").partitionBy(part).parquet(tmp)
+        _write_ann_meta(tmp, meta)
+        # Second gate: an append that slipped past the lock (read it as
+        # absent before it landed) added files the rewrite may not
+        # include — abort the swap, keep the live index intact.
+        if _data_files() != before:
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"compact_ann_index: {path} changed during compaction "
+                "(concurrent append?) — index left untouched, retry."
+            )
+    except BaseException:
+        os.remove(lock)
+        raise
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
@@ -629,6 +729,7 @@ def knn_ivf_partitioned(
     from the path alone."""
     if seeds is None:
         meta = load_ann_meta(path)
+        _require_kind(meta, "ivf", "knn_ivf_partitioned")
         seeds = [(int(s), vec) for s, vec in meta["seeds"]]
         id_col = meta.get("id_col", id_col)
         vec_col = meta.get("vec_col", vec_col)
@@ -862,6 +963,7 @@ def write_lsh_index(
     parallelism). Plane parameters persist in a ``_ann_meta.json``
     sidecar so :func:`knn_lsh_partitioned` probes need only the
     path."""
+    _require_local_path(path, "write_lsh_index")
     bucketed = random_projection_buckets(
         df, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
     ).select(id_col, vec_col, "bucket")
@@ -908,6 +1010,7 @@ def knn_lsh_partitioned(
     probe is self-describing from the path alone."""
     if dim is None:
         meta = load_ann_meta(path)
+        _require_kind(meta, "lsh", "knn_lsh_partitioned")
         dim = int(meta["dim"])
         n_planes = int(meta["n_planes"])
         seed = int(meta["seed"])

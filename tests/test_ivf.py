@@ -238,3 +238,199 @@ def test_ivf_append_equals_full_rebuild_on_same_seeds(spark, sf_dir, tmp_path):
     assert [(r.vec_id, r.cosine_sim) for r in got] == [
         (r.vec_id, r.cosine_sim) for r in want
     ]
+
+
+def test_ann_lifecycle_churn_stays_bit_equal_to_rebuild(spark, sf_dir, tmp_path):
+    """Full at-rest lifecycle under churn: append → probe → append →
+    compact → probe on the SAME index, probe pinned bit-equal to a
+    from-scratch rebuild over the rows present at each step (composes
+    the append==rebuild and compact-preserves pins into one run)."""
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        append_to_ann_index,
+        compact_ann_index,
+        fixed_ivf_seeds,
+        knn_ivf_partitioned,
+        load_ann_meta,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = fixed_ivf_seeds(emb.where(F.col("vec_id") % 3 == 0), n_seeds=4)
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    live = str(tmp_path / "ivf_live")
+    write_ivf_index(emb.where(F.col("vec_id") % 3 == 0), live, seeds)
+
+    def rebuild_topk(pred):
+        ref = str(tmp_path / "ivf_ref")
+        write_ivf_index(emb.where(pred), ref, seeds)
+        return [
+            (r.vec_id, r.cosine_sim)
+            for r in knn_ivf_partitioned(spark, ref, qvec, k=6, n_probe=3).collect()
+        ]
+
+    def live_topk():
+        return [
+            (r.vec_id, r.cosine_sim)
+            for r in knn_ivf_partitioned(spark, live, qvec, k=6, n_probe=3).collect()
+        ]
+
+    # step 1: first append batch
+    append_to_ann_index(emb.where(F.col("vec_id") % 3 == 1), live)
+    assert live_topk() == rebuild_topk(F.col("vec_id") % 3 != 2)
+    # step 2: second append batch
+    append_to_ann_index(emb.where(F.col("vec_id") % 3 == 2), live)
+    full = rebuild_topk(F.lit(True))
+    assert live_topk() == full
+    # step 3: compact, then probe again — still the full-corpus answer
+    meta_before = load_ann_meta(live)
+    compact_ann_index(spark, live, files_per_partition=1)
+    assert load_ann_meta(live) == meta_before
+    assert live_topk() == full
+    # step 4: append AFTER compaction still routes identically
+    # (compaction must not disturb the sidecar geometry appends use)
+    append_to_ann_index(
+        emb.where(F.col("vec_id") % 3 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        ),
+        live,
+    )
+    want = str(tmp_path / "ivf_ref2")
+    write_ivf_index(
+        emb.unionByName(
+            emb.where(F.col("vec_id") % 3 == 0).withColumn(
+                "vec_id", F.col("vec_id") + 100000
+            )
+        ),
+        want,
+        seeds,
+    )
+    got = knn_ivf_partitioned(spark, live, qvec, k=6, n_probe=3).collect()
+    exp = knn_ivf_partitioned(spark, want, qvec, k=6, n_probe=3).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in got] == [
+        (r.vec_id, r.cosine_sim) for r in exp
+    ]
+
+
+def test_append_refused_while_compaction_lock_present(spark, sf_dir, tmp_path):
+    """Single-writer exclusion (ADVICE r5): an append during a live
+    compaction would land in the demoted directory and be deleted —
+    it must fail loudly while _compacting.lock exists."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        ANN_COMPACT_LOCK,
+        append_to_ann_index,
+        fixed_ivf_seeds,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = fixed_ivf_seeds(emb, n_seeds=4)
+    path = str(tmp_path / "ivf_locked")
+    write_ivf_index(emb.where(F.col("vec_id") % 2 == 0), path, seeds)
+    with open(_os.path.join(path, ANN_COMPACT_LOCK), "w") as f:
+        f.write("x")
+    with _pytest.raises(RuntimeError, match="compact"):
+        append_to_ann_index(emb.where(F.col("vec_id") % 2 == 1), path)
+    _os.remove(_os.path.join(path, ANN_COMPACT_LOCK))
+    append_to_ann_index(emb.where(F.col("vec_id") % 2 == 1), path)
+    assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_compact_aborts_swap_if_files_changed_mid_rewrite(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Second writer-exclusion gate: a file-set change between the
+    compactor's read and its swap (an append that slipped past the
+    lock) must abort the swap, leave the live index intact (now
+    including the slipped batch), and release the lock."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from nursinghome_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = sim.fixed_ivf_seeds(emb, n_seeds=4)
+    path = str(tmp_path / "ivf_race")
+    sim.write_ivf_index(emb.where(F.col("vec_id") % 2 == 0), path, seeds)
+    late = emb.where(F.col("vec_id") % 2 == 1)
+    real_meta_write = sim._write_ann_meta
+    state = {"fired": False}
+
+    def sneak_append_then_write(p, meta):
+        # simulate an append racing in while the rewrite runs: it lands
+        # in the LIVE dir just before the gate re-lists it
+        if not state["fired"] and p.endswith(".compact.tmp"):
+            state["fired"] = True
+            routed = late.select(
+                meta["id_col"],
+                meta["vec_col"],
+                sim.ivf_cell_col(
+                    [(int(s), v) for s, v in meta["seeds"]], meta["vec_col"]
+                ).alias("cell"),
+            )
+            routed.write.mode("append").partitionBy("cell").parquet(path)
+        real_meta_write(p, meta)
+
+    monkeypatch.setattr(sim, "_write_ann_meta", sneak_append_then_write)
+    with _pytest.raises(RuntimeError, match="changed during compaction"):
+        sim.compact_ann_index(spark, path, files_per_partition=1)
+    # live index intact and now includes the slipped batch; lock gone
+    assert not _os.path.exists(_os.path.join(path, sim.ANN_COMPACT_LOCK))
+    assert not _os.path.exists(path + ".compact.tmp")
+    assert spark.read.parquet(path).count() == emb.count()
+    # and a retry (no race this time) succeeds
+    sim.compact_ann_index(spark, path, files_per_partition=1)
+    assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_probe_kind_mismatch_raises_named_error(spark, sf_dir, tmp_path):
+    """Sidecar-driven probes must validate meta['kind'] (ADVICE r5):
+    the wrong probe on an index should name both kinds, not KeyError."""
+    import pytest as _pytest
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        fixed_ivf_seeds,
+        knn_ivf_partitioned,
+        knn_lsh_partitioned,
+        write_ivf_index,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(v) for v in emb.first()["embedding"]]
+    ivf_path = str(tmp_path / "ivf_kind")
+    write_ivf_index(emb, ivf_path, fixed_ivf_seeds(emb, n_seeds=4))
+    lsh_path = str(tmp_path / "lsh_kind")
+    write_lsh_index(emb, lsh_path, dim=64, n_planes=4)
+    with _pytest.raises(ValueError, match="knn_lsh_partitioned"):
+        knn_ivf_partitioned(spark, lsh_path, qvec)
+    with _pytest.raises(ValueError, match="knn_ivf_partitioned"):
+        knn_lsh_partitioned(spark, ivf_path, qvec)
+
+
+def test_remote_uri_fails_fast_before_any_write():
+    """The sidecar protocol is local-only (ADVICE r5): on an
+    object-store URI the parquet overwrite would succeed and THEN the
+    sidecar write would raise, destroying the old index — so every
+    writer/mutator must refuse a scheme-qualified path up front."""
+    import pytest as _pytest
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        append_to_ann_index,
+        compact_ann_index,
+        write_ivf_index,
+        write_lsh_index,
+    )
+
+    for fn, args in [
+        (write_ivf_index, (None, "s3a://bucket/idx", [])),
+        (write_lsh_index, (None, "hdfs://nn/idx")),
+        (append_to_ann_index, (None, "s3a://bucket/idx")),
+        (compact_ann_index, (None, "abfss://c@a.dfs.core.windows.net/idx")),
+    ]:
+        with _pytest.raises(NotImplementedError, match="local-filesystem only"):
+            fn(*args) if fn is not write_lsh_index else fn(*args, dim=64)
