@@ -293,6 +293,28 @@ EXTRA_BENCH = {
 #: the trailing newline and any stray final output.
 LINE_BUDGET = 1900
 
+#: Reference single-thread CPU index for the calib-adjusted total: the
+#: value `_cpu_calibration()` recorded in the round-5 driver bench
+#: (BENCH_r05.json). Dividing by (calib / CALIB_REF) restates a run's
+#: total in "r5-host seconds", so round-over-round comparisons read the
+#: `adjusted` field directly instead of re-deriving the host ratio —
+#: host drift burned three rounds of raw-number comparisons (r5
+#: verdict item #3). The constant is a UNIT choice, not a baseline:
+#: changing it rescales every round's adjusted total identically.
+CALIB_REF = 0.1069
+
+
+def adjusted_total(total: float, calib: float) -> float:
+    """Restate a run's total in CALIB_REF-host seconds.
+
+    A slower host (bigger ``calib`` = more seconds for the fixed
+    md5-chain work) inflates every measured timing by ~calib/CALIB_REF,
+    so the adjusted total divides that factor back out:
+    ``adjusted = total * CALIB_REF / calib``. Single-thread calibration
+    can only correct UNIFORM cpu-speed drift — contention (see load1)
+    and memory-bandwidth effects still need a quiet host."""
+    return round(total * CALIB_REF / calib, 4)
+
 
 def summary_line(
     timings: dict[str, float],
@@ -300,6 +322,7 @@ def summary_line(
     sf: float | None,
     load1: tuple[float, float] | None = None,
     calib: float | None = None,
+    calib_end: float | None = None,
 ) -> str:
     """ONE compact JSON line that fits :data:`LINE_BUDGET`.
 
@@ -313,7 +336,11 @@ def summary_line(
     inflating round-over-round comparisons (r4 verdict item #3).
     "calib" is the single-thread CPU index (:func:`_cpu_calibration`):
     divide two rounds' totals by their calib ratio before calling a
-    uniform shift a regression.
+    uniform shift a regression. "adjusted" does that division once
+    for everyone: the run's total restated in CALIB_REF-host seconds
+    (mean of the start/end calib when both are given — within-run
+    drift of 11% was observed on this host), with "calib_ref" naming
+    the unit so the arithmetic is reproducible from the line alone.
     """
     by_cost = sorted(timings, key=timings.__getitem__, reverse=True)
     kept = {n: round(timings[n], 2) for n in by_cost}
@@ -332,6 +359,13 @@ def summary_line(
             payload["load1"] = [round(load1[0], 1), round(load1[1], 1)]
         if calib is not None:
             payload["calib"] = calib
+            if calib_end is not None:
+                payload["calib_end"] = calib_end
+            mean_calib = (
+                (calib + calib_end) / 2 if calib_end is not None else calib
+            )
+            payload["calib_ref"] = CALIB_REF
+            payload["adjusted"] = adjusted_total(total, mean_calib)
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= LINE_BUDGET or not kept:
             return line
@@ -412,7 +446,12 @@ def main() -> None:
         )
     print(
         summary_line(
-            timings, total, sf, load1=(load_start, load_end), calib=calib
+            timings,
+            total,
+            sf,
+            load1=(load_start, load_end),
+            calib=calib,
+            calib_end=calib_end,
         )
     )
     spark.stop()

@@ -113,3 +113,31 @@ def test_fresh_index_cache_path_reaps_stale_generations(tmp_path, monkeypatch):
     (tmp_path / "keepme").mkdir()  # unrelated dirs untouched
     assert bench._fresh_index_cache_path("lsh", "sf9", "bbbbbbbbbbbb") == p
     assert _os.path.isdir(p) and (tmp_path / "keepme").is_dir()
+
+
+def test_calib_adjusted_total_arithmetic_is_pinned():
+    # adjusted = total * CALIB_REF / mean(calib_start, calib_end):
+    # a host 2x slower than the r5 reference (calib = 2*CALIB_REF)
+    # halves the raw total; the reference host is the identity.
+    ref = bench.CALIB_REF
+    assert bench.adjusted_total(10.0, ref) == 10.0
+    assert bench.adjusted_total(10.0, 2 * ref) == 5.0
+    line = bench.summary_line(
+        {"q1": 4.0, "q2": 6.0}, 10.0, 0.1, calib=2 * ref, calib_end=2 * ref
+    )
+    payload = json.loads(line)
+    assert payload["value"] == 10.0  # raw total is untouched
+    assert payload["calib"] == 2 * ref
+    assert payload["calib_end"] == 2 * ref
+    assert payload["calib_ref"] == ref
+    assert payload["adjusted"] == 5.0
+    # start/end drift averages: mean of (ref, 3*ref) = 2*ref
+    drift = json.loads(
+        bench.summary_line(
+            {"q1": 10.0}, 10.0, 0.1, calib=ref, calib_end=3 * ref
+        )
+    )
+    assert drift["adjusted"] == 5.0
+    # without calib_end the start value alone is the divisor
+    solo = json.loads(bench.summary_line({"q1": 10.0}, 10.0, 0.1, calib=ref))
+    assert solo["adjusted"] == 10.0 and "calib_end" not in solo
