@@ -768,6 +768,180 @@ def _zorder_probes(cores: int = 32, n: int = 4_000_000, n_files: int = 64) -> di
     return out
 
 
+#: The 10 most expensive non-streaming bench queries (BENCH_r05 order)
+#: — the --sfcurve working set. Includes all six the r5 verdict named.
+SFCURVE_QUERIES = [
+    "knn_ivf_topk",
+    "canonical_doc_selection",
+    "bfs_reachability_events",
+    "ngram_jaccard_pairs_docs",
+    "fuzzy_match_customers",
+    "corpus_build_docs",
+    "near_duplicate_pairs_docs",
+    "triangle_count_events",
+    "kmeans_lloyd_embeddings",
+    "simhash_near_dup_pairs",
+]
+
+#: All engine tables, staged per factor so every registry query runs
+#: unmodified against the scaled copy.
+_SFCURVE_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _sfcurve_dir(factor: int) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"spark-graft-sfcurve-x{factor}"
+    )
+
+
+def _stage_sfcurve(factor: int) -> str:
+    """Write a COMPLETE testdata-layout copy at ``factor``× sf0.1 rows.
+
+    Unlike :func:`_inflate` (which plants exact duplicates — the dedup
+    stress case), this stages ORGANIC growth: a 10× corpus has 10× the
+    entities, not every entity duplicated 10×. Exact duplication makes
+    every blocked/banded candidate-pair count grow quadratically BY
+    CONSTRUCTION (each dup group's size ×f → pairs ×f²), which would
+    make any dedup/ER query read as superlinear regardless of its plan.
+    Per copy i:
+
+    - every ``*key`` / id column shifts by ``i·2^40`` (disjoint keys,
+      join fan-outs and group counts scale with volume — same rule as
+      :func:`_inflate`);
+    - ``customer.c_name`` is regenerated from the SHIFTED key with the
+      original ``Customer#<9 digits>`` shape, so copies introduce NEW
+      names with the same block-size distribution (prefix-16+length
+      blocking sees ×f more blocks of constant size);
+    - ``documents.text`` is vowel-rotated per copy (``translate`` with
+      a copy-specific mapping), so cross-copy shingle overlap collapses
+      while within-copy duplicate/near-dup structure replicates — the
+      constant-dup-RATE model of a growing corpus.
+
+    Factor 1 is the untouched SF_DIR (no staging)."""
+    if factor == 1:
+        return SF_DIR
+    out = _sfcurve_dir(factor)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import functions as F
+
+    from nursinghome_data_pipeline_spark.session import build_session
+    from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+
+    spark = build_session("sfcurve-stage")
+    tables = load_tables(spark, SF_DIR, _SFCURVE_TABLES)
+    os.makedirs(out, exist_ok=True)
+    letters = "aeiou"
+    for name, df in tables.items():
+        copies = []
+        for i in range(factor):
+            c = df
+            for col, _typ in c.dtypes:
+                if col.endswith("key") or col in (
+                    "user_id", "event_id", "doc_id", "vec_id",
+                ):
+                    c = c.withColumn(
+                        col, (F.col(col) + F.lit(i * (1 << 40))).cast("long")
+                    )
+            if name == "customer" and i > 0:
+                c = c.withColumn(
+                    "c_name",
+                    F.concat(
+                        F.lit("Customer#"),
+                        F.lpad(
+                            F.pmod(F.col("c_custkey"), F.lit(10**9)).cast(
+                                "string"
+                            ),
+                            9,
+                            "0",
+                        ),
+                    ),
+                )
+            if name == "documents" and i > 0:
+                rot = letters[i % len(letters):] + letters[: i % len(letters)]
+                c = c.withColumn("text", F.translate("text", letters, rot))
+            copies.append(c)
+        merged = copies[0]
+        for c in copies[1:]:
+            merged = merged.unionByName(c)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+    open(os.path.join(out, "_SUCCESS"), "w").close()
+    spark.stop()
+    return out
+
+
+def _sfcurve_child(factor: int) -> None:
+    """Child-process entry: time SFCURVE_QUERIES at one factor."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nursinghome_data_pipeline_spark import registry
+    from nursinghome_data_pipeline_spark.session import build_session
+
+    sf_dir = SF_DIR if factor == 1 else _sfcurve_dir(factor)
+    spark = build_session(f"sfcurve-{factor}")
+    qs = registry.queries()
+    # warm JVM + parquet footers with the cheapest query
+    qs["pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out: dict[str, float] = {}
+    for name in SFCURVE_QUERIES:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    spark.stop()
+    print("CHILD" + json.dumps(out))
+
+
+def _sfcurve(factors: list[int]) -> dict:
+    """Wall-time-vs-data-volume slopes for the most expensive queries.
+
+    For each query, reports per-factor best-of-2 wall times plus the
+    fitted exponent ``log(t_max/t_1)/log(f_max)`` — ≈1.0 is linear
+    scaling, <1 means fixed overhead still dominates at these sizes,
+    >1 is the superlinear red flag the round's fix list feeds on.
+    Fresh JVM per factor (same isolation as the --cores probe)."""
+    import math
+
+    results: dict[str, dict[str, float]] = {}
+    for f in factors:
+        _stage_sfcurve(f)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_sfchild", str(f)],
+            capture_output=True,
+            text=True,
+        )
+        line = next(
+            l for l in proc.stdout.splitlines() if l.startswith("CHILD")
+        )
+        results[str(f)] = json.loads(line[len("CHILD"):])
+    lo, hi = str(min(factors)), str(max(factors))
+    slopes = {
+        q: round(
+            math.log(results[hi][q] / results[lo][q])
+            / math.log(max(factors) / min(factors)),
+            3,
+        )
+        for q in SFCURVE_QUERIES
+    }
+    return {
+        "sf_dir": SF_DIR,
+        "factors": factors,
+        "wall_sec": results,
+        "exponent": slopes,
+    }
+
+
 def _inflate(inflate: int) -> None:
     """One-time write of the inflated copy (reused across core runs)."""
     inflated = _inflated_dir(inflate)
@@ -866,11 +1040,29 @@ def main() -> None:
         "dir + probe wall, fragmented vs files_per_partition-bounded)",
     )
     ap.add_argument(
+        "--sfcurve", action="store_true",
+        help="run only the wall-time-vs-data-volume probe: the 10 most "
+        "expensive non-streaming bench queries at 1x/3x/10x sf0.1 "
+        "(organically grown copies), with fitted scaling exponents",
+    )
+    ap.add_argument(
+        "--factors", default="1,3,10",
+        help="comma-separated inflation factors for --sfcurve",
+    )
+    ap.add_argument("--_sfchild", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument(
         "--zorder", action="store_true",
         help="run only the z-order data-skipping probe (realized "
         "per-file min/max pruning, three layouts x three predicates)",
     )
     args = ap.parse_args()
+    if args._sfchild is not None:
+        _sfcurve_child(args._sfchild)
+        return
+    if args.sfcurve:
+        factors = [int(x) for x in args.factors.split(",")]
+        print(json.dumps(_sfcurve(factors), indent=2))
+        return
     if args.compaction:
         print(json.dumps(_compaction_probes(), indent=2))
         return
