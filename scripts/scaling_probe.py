@@ -791,9 +791,16 @@ _SFCURVE_TABLES = [
 ]
 
 
+#: Bump when the staging recipe changes — the staged dir is keyed by
+#: (version, factor), so a recipe change can never silently reuse a
+#: copy staged by an older recipe via its _SUCCESS marker.
+_SFCURVE_STAGE_VERSION = 2
+
+
 def _sfcurve_dir(factor: int) -> str:
     return os.path.join(
-        tempfile.gettempdir(), f"spark-graft-sfcurve-x{factor}"
+        tempfile.gettempdir(),
+        f"spark-graft-sfcurve-v{_SFCURVE_STAGE_VERSION}-x{factor}",
     )
 
 
@@ -815,10 +822,27 @@ def _stage_sfcurve(factor: int) -> str:
       original ``Customer#<9 digits>`` shape, so copies introduce NEW
       names with the same block-size distribution (prefix-16+length
       blocking sees ×f more blocks of constant size);
-    - ``documents.text`` is vowel-rotated per copy (``translate`` with
-      a copy-specific mapping), so cross-copy shingle overlap collapses
-      while within-copy duplicate/near-dup structure replicates — the
-      constant-dup-RATE model of a growing corpus.
+    - ``events.ts`` shifts by ``i × 4000 days``, putting copies in
+      DISJOINT time ranges: a grown event log covers more time at the
+      same bucket density, so time-bucketed co-occurrence (the
+      triangle/co-activity graph's (type, k, hour) buckets) gains ×f
+      more buckets of constant population. Without the shift, copies
+      stack onto the same hours and per-bucket pair counts grow ×f² —
+      a densification artifact that misread triangle_count_events as
+      superlinear (measured exponent 1.09 under v1 staging);
+    - ``documents.text`` is token-permuted per copy with a
+      deterministic hash key over (token, position, copy): a
+      copy-specific reshuffle of each doc's own tokens. Unigram
+      statistics — stopword ratio (the corpus lang filter), quality
+      score, token count, n_chars — are EXACTLY preserved, so every
+      content-based filter passes the copies; 3-word-shingle overlap
+      across copies collapses (different copy → different global
+      order), so near-dup structure replicates within copies instead
+      of fusing across them — the constant-dup-RATE model of a
+      growing corpus. (A first attempt vowel-rotated the text, which
+      broke the stopword filter and silently dropped every copy at
+      the corpus build's first stage — flat wall time that measured
+      the filter, not the pipeline.)
 
     Factor 1 is the untouched SF_DIR (no staging)."""
     if factor == 1:
@@ -835,7 +859,6 @@ def _stage_sfcurve(factor: int) -> str:
     spark = build_session("sfcurve-stage")
     tables = load_tables(spark, SF_DIR, _SFCURVE_TABLES)
     os.makedirs(out, exist_ok=True)
-    letters = "aeiou"
     for name, df in tables.items():
         copies = []
         for i in range(factor):
@@ -861,9 +884,24 @@ def _stage_sfcurve(factor: int) -> str:
                         ),
                     ),
                 )
+            if name == "events" and i > 0:
+                c = c.withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {i * 4000} DAYS")
+                )
             if name == "documents" and i > 0:
-                rot = letters[i % len(letters):] + letters[: i % len(letters)]
-                c = c.withColumn("text", F.translate("text", letters, rot))
+                toks = F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t, p: F.struct(
+                        F.xxhash64(t, p, F.lit(i)).alias("k"), t.alias("t")
+                    ),
+                )
+                c = c.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(F.array_sort(toks), lambda s: s["t"]),
+                        " ",
+                    ),
+                )
             copies.append(c)
         merged = copies[0]
         for c in copies[1:]:

@@ -171,3 +171,57 @@ def test_star_cc_equals_label_propagation_on_random_graphs(spark):
         st = {r.doc_id: r.component_id for r in star.collect()}
         assert lp == expected, f"trial {trial} label-prop"
         assert st == expected, f"trial {trial} star"
+
+
+def test_prefix_filter_join_equals_postings_join(spark):
+    """The AllPairs/PPJoin prefix-filtered candidate generator must be
+    EXACT: bit-identical pair sets to the plain inverted-index join at
+    every threshold, with and without the max_df prune, on an
+    adversarial corpus of partial-overlap edits (deletes, substitutes,
+    inserts) where thresholds actually discriminate. Also covers the
+    carry_hashes=False string-shingle path once."""
+    import pandas as pd
+
+    from nursinghome_data_pipeline_spark.operators.dedup import (
+        jaccard_pair_join,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    rows, bases = [], []
+    for i in range(120):
+        if bases and rng.random() < 0.55:
+            src = list(rng.choice(bases))
+            for _ in range(rng.randint(0, max(1, len(src) // 2))):
+                op = rng.random()
+                if op < 0.4 and len(src) > 5:
+                    src.pop(rng.randrange(len(src)))
+                elif op < 0.8:
+                    src[rng.randrange(len(src))] = rng.choice(vocab)
+                else:
+                    src.insert(rng.randrange(len(src) + 1), rng.choice(vocab))
+            toks = src
+        else:
+            toks = [rng.choice(vocab) for _ in range(rng.randint(3, 40))]
+            bases.append(list(toks))
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    for t in (0.3, 0.5, 0.75, 0.9):
+        for mdf in (None, 8):
+            old = jaccard_pair_join(
+                docs, threshold=t, max_df=mdf, algorithm="postings"
+            )
+            new = jaccard_pair_join(
+                docs, threshold=t, max_df=mdf, algorithm="prefix"
+            )
+            assert old.exceptAll(new).count() == 0, (t, mdf)
+            assert new.exceptAll(old).count() == 0, (t, mdf)
+            assert old.count() == new.count() > 0, (t, mdf)
+    s_old = jaccard_pair_join(
+        docs, threshold=0.5, carry_hashes=False, algorithm="postings"
+    )
+    s_new = jaccard_pair_join(
+        docs, threshold=0.5, carry_hashes=False, algorithm="prefix"
+    )
+    assert s_old.exceptAll(s_new).count() == 0
+    assert s_new.exceptAll(s_old).count() == 0
