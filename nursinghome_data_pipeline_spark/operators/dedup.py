@@ -576,17 +576,23 @@ def jaccard_pair_join(
         if carry_hashes
         else _shingles(text_col, shingle_k)
     )
-    sets = df.select(
-        F.col(id_col),
-        F.array_distinct(shingle_expr).alias("sh"),
-    ).select(id_col, "sh", F.size("sh").alias("sz"))
-    # materialize the posting list ONCE: a self-join would otherwise
-    # evaluate the shingle projection (the expensive subtree) per side
-    # (measured 12s → 7s at sf0.1). At cluster scale this is the
-    # standard "write the inverted index, then join it" shape.
-    post = sets.select(
-        id_col, "sz", F.explode("sh").alias("shingle")
-    ).localCheckpoint(eager=False)
+    # materialize the SHINGLE SETS once: every downstream consumer —
+    # both posting sides, the df ranking, and the prefix branch's
+    # verification arrays — would otherwise re-evaluate the shingle
+    # projection (the expensive subtree; measured 12s → 7s at sf0.1
+    # when the old postings-level checkpoint was introduced, and the
+    # checkpoint moved up to the sets so the verify join shares it
+    # instead of paying a fourth evaluation). At cluster scale this is
+    # the standard "write the inverted index, then join it" shape.
+    sets = (
+        df.select(
+            F.col(id_col),
+            F.array_distinct(shingle_expr).alias("sh"),
+        )
+        .select(id_col, "sh", F.size("sh").alias("sz"))
+        .localCheckpoint(eager=False)
+    )
+    post = sets.select(id_col, "sz", F.explode("sh").alias("shingle"))
     if max_df is not None:
         stop = (
             post.groupBy("shingle")

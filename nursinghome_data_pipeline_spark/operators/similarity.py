@@ -586,41 +586,72 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
     :func:`compact_ann_index` when the append cadence accumulates
     small files.
 
-    SINGLE-WRITER contract with compaction: an append is refused (with
-    :class:`RuntimeError`) while a ``_compacting.lock`` exists — a
-    batch appended after the compactor's ``spark.read`` but before its
-    directory swap would land in the demoted copy and be silently
-    deleted. Concurrent appends from multiple processes are ordinary
-    parquet appends (safe); only append-vs-compact needs exclusion."""
+    SINGLE-WRITER contract with compaction, enforced by a Dekker-style
+    intent/lock handshake: the append drops an ``_append-*.intent``
+    marker FIRST, then checks for the compactor's ``_compacting.lock``
+    (backing off and removing its intent if present); the compactor
+    creates the lock first, then checks for intents (aborting if any
+    exist). Whatever the interleaving of the two first-steps, the
+    second-steps run after both flags are up, so at least one side
+    sees the other and backs off — a batch can never land after the
+    compactor's read and vanish with the demoted directory. The
+    intent marker is removed when the append's write commits (or
+    fails). Concurrent appends from multiple processes are ordinary
+    parquet appends (safe with each other); only append-vs-compact
+    needs exclusion. A crashed append can strand its intent marker —
+    compact_ann_index names the stale file in its error; remove it by
+    hand after confirming no append is running."""
     import os
+    import uuid
 
     _require_local_path(path, "append_to_ann_index")
-    if os.path.exists(os.path.join(path, ANN_COMPACT_LOCK)):
-        raise RuntimeError(
-            f"append_to_ann_index: {path} is being compacted "
-            f"({ANN_COMPACT_LOCK} present) — retry after compaction "
-            "finishes; if no compactor is running, a previous "
-            "compaction crashed and the next compact_ann_index call "
-            "will repair it (or remove the lockfile by hand)."
-        )
     meta = load_ann_meta(path)
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
-    if meta["kind"] == "ivf":
-        seeds = [(int(s), vec) for s, vec in meta["seeds"]]
-        routed = df.select(
-            id_col, vec_col, ivf_cell_col(seeds, vec_col).alias("cell")
+    if meta.get("kind") not in ("ivf", "lsh"):
+        raise ValueError(
+            f"append_to_ann_index: unknown index kind "
+            f"{meta.get('kind')!r} in {path}/{ANN_META_FILE}"
         )
-        part = "cell"
-    else:
-        routed = random_projection_buckets(
-            df,
-            vec_col=vec_col,
-            dim=int(meta["dim"]),
-            n_planes=int(meta["n_planes"]),
-            seed=int(meta["seed"]),
-        ).select(id_col, vec_col, "bucket")
-        part = "bucket"
-    routed.write.mode("append").partitionBy(part).parquet(path)
+    # intent BEFORE lock-check (the handshake's whole point): if the
+    # compactor's lock lands between our check and our write, the
+    # compactor's own intent-check — which happens after its lock is
+    # up — is guaranteed to see this marker and abort.
+    intent = os.path.join(path, f"_append-{uuid.uuid4().hex}.intent")
+    open(intent, "w").close()
+    try:
+        if os.path.exists(os.path.join(path, ANN_COMPACT_LOCK)):
+            raise RuntimeError(
+                f"append_to_ann_index: {path} is being compacted "
+                f"({ANN_COMPACT_LOCK} present) — retry after compaction "
+                "finishes; if no compactor is running, a previous "
+                "compaction crashed and the next compact_ann_index call "
+                "will repair it (or remove the lockfile by hand)."
+            )
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        if meta["kind"] == "ivf":
+            seeds = [(int(s), vec) for s, vec in meta["seeds"]]
+            routed = df.select(
+                id_col, vec_col, ivf_cell_col(seeds, vec_col).alias("cell")
+            )
+            part = "cell"
+        else:
+            routed = random_projection_buckets(
+                df,
+                vec_col=vec_col,
+                dim=int(meta["dim"]),
+                n_planes=int(meta["n_planes"]),
+                seed=int(meta["seed"]),
+            ).select(id_col, vec_col, "bucket")
+            part = "bucket"
+        routed.write.mode("append").partitionBy(part).parquet(path)
+    finally:
+        import contextlib
+
+        # the marker can vanish with the directory itself (a swap
+        # demoting path→old while this append is aborting) — that is
+        # fine, the compactor's rmtree disposes of it; don't let the
+        # cleanup mask the real error
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(intent)
 
 
 def compact_ann_index(
@@ -640,14 +671,19 @@ def compact_ann_index(
     never leaves the index half-rewritten, and the next call repairs
     the leftover state before touching anything.
 
-    SINGLE-WRITER contract with :func:`append_to_ann_index`: a
-    ``_compacting.lock`` dropped here for the compaction's duration
-    makes concurrent appends fail loudly instead of losing their batch
-    in the demoted directory. Lock-window races (an append that read
-    the lock as absent just before it landed) are caught by a second
-    gate: the data-file set is re-listed after the rewrite and the
-    swap aborts if it changed. Run ONE compactor at a time — a stale
-    lock from a crashed compaction is reclaimed by the next call."""
+    SINGLE-WRITER contract with :func:`append_to_ann_index`, enforced
+    by the Dekker-style intent/lock handshake (described there): this
+    side creates ``_compacting.lock`` FIRST, then aborts if any
+    ``_append-*.intent`` marker exists — an in-flight append whose
+    Spark job has not yet committed files (and so would be invisible
+    to any file-listing gate) is still visible through its intent.
+    Appends check in the mirrored order, so whatever the interleaving
+    at least one side backs off. A belt-and-braces re-list gate after
+    the rewrite additionally aborts the swap if the data-file set
+    changed. Run ONE compactor at a time — a stale lock from a
+    crashed compaction is reclaimed by the next call; a stale intent
+    from a crashed APPEND blocks compaction with a named error until
+    removed by hand (fail-safe: blocking beats deleting a batch)."""
     import glob as _glob
     import os
     import shutil
@@ -660,6 +696,11 @@ def compact_ann_index(
         else:
             os.rename(old, path)
     meta = load_ann_meta(path)
+    if meta.get("kind") not in ("ivf", "lsh"):
+        raise ValueError(
+            f"compact_ann_index: unknown index kind {meta.get('kind')!r} "
+            f"in {path}/{ANN_META_FILE}"
+        )
     part = "cell" if meta["kind"] == "ivf" else "bucket"
     tmp = path.rstrip("/") + ".compact.tmp"
     lock = os.path.join(path, ANN_COMPACT_LOCK)
@@ -674,6 +715,18 @@ def compact_ann_index(
     # sidecar. Error paths below remove it so a failed rewrite doesn't
     # block appends until the next compaction.
     try:
+        # Handshake step 2 (after the lock is visible): any append
+        # intent means a batch may be mid-write — its files are not
+        # reliably listable yet, so no file-set gate could catch it.
+        intents = _glob.glob(os.path.join(path, "_append-*.intent"))
+        if intents:
+            raise RuntimeError(
+                f"compact_ann_index: append(s) in flight on {path} "
+                f"({', '.join(os.path.basename(i) for i in intents)}) — "
+                "retry after they finish; if no append is running, a "
+                "crashed append stranded its intent marker — remove it "
+                "by hand."
+            )
 
         def _data_files() -> set[str]:
             return set(
@@ -686,9 +739,8 @@ def compact_ann_index(
             df, part, files_per_partition, meta["id_col"]
         ).write.mode("overwrite").partitionBy(part).parquet(tmp)
         _write_ann_meta(tmp, meta)
-        # Second gate: an append that slipped past the lock (read it as
-        # absent before it landed) added files the rewrite may not
-        # include — abort the swap, keep the live index intact.
+        # Belt-and-braces: abort the swap if the file set changed
+        # anyway (e.g. a writer that bypassed append_to_ann_index).
         if _data_files() != before:
             shutil.rmtree(tmp)
             raise RuntimeError(

@@ -798,9 +798,14 @@ _SFCURVE_STAGE_VERSION = 2
 
 
 def _sfcurve_dir(factor: int) -> str:
+    # keyed by (recipe version, SOURCE dir, factor): a recipe change
+    # bumps the version, and a different SPARK_GRAFT_SF_DIR (or a
+    # regenerated dataset under a new name) must never silently reuse
+    # a copy staged from other source data via its _SUCCESS marker
+    src = os.path.basename(SF_DIR.rstrip("/"))
     return os.path.join(
         tempfile.gettempdir(),
-        f"spark-graft-sfcurve-v{_SFCURVE_STAGE_VERSION}-x{factor}",
+        f"spark-graft-sfcurve-v{_SFCURVE_STAGE_VERSION}-{src}-x{factor}",
     )
 
 
@@ -960,24 +965,30 @@ def _sfcurve(factors: list[int]) -> dict:
             text=True,
         )
         line = next(
-            l for l in proc.stdout.splitlines() if l.startswith("CHILD")
+            (l for l in proc.stdout.splitlines() if l.startswith("CHILD")),
+            None,
         )
+        if proc.returncode != 0 or line is None:
+            # a crashed child (OOM, import error, missing table) must
+            # surface its own traceback, not a bare StopIteration
+            raise RuntimeError(
+                f"--sfcurve child at factor {f} failed "
+                f"(rc={proc.returncode}); stderr tail:\n"
+                + "\n".join(proc.stderr.splitlines()[-15:])
+            )
         results[str(f)] = json.loads(line[len("CHILD"):])
-    lo, hi = str(min(factors)), str(max(factors))
-    slopes = {
-        q: round(
-            math.log(results[hi][q] / results[lo][q])
-            / math.log(max(factors) / min(factors)),
-            3,
-        )
-        for q in SFCURVE_QUERIES
-    }
-    return {
-        "sf_dir": SF_DIR,
-        "factors": factors,
-        "wall_sec": results,
-        "exponent": slopes,
-    }
+    out = {"sf_dir": SF_DIR, "factors": factors, "wall_sec": results}
+    if len(set(factors)) > 1:
+        lo, hi = str(min(factors)), str(max(factors))
+        out["exponent"] = {
+            q: round(
+                math.log(results[hi][q] / results[lo][q])
+                / math.log(max(factors) / min(factors)),
+                3,
+            )
+            for q in SFCURVE_QUERIES
+        }
+    return out
 
 
 def _inflate(inflate: int) -> None:

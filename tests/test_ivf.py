@@ -434,3 +434,89 @@ def test_remote_uri_fails_fast_before_any_write():
     ]:
         with _pytest.raises(NotImplementedError, match="local-filesystem only"):
             fn(*args) if fn is not write_lsh_index else fn(*args, dim=64)
+
+
+def test_compact_refused_while_append_intent_present(spark, sf_dir, tmp_path):
+    """The other half of the Dekker handshake: a compaction must back
+    off (naming the marker) while any _append-*.intent exists — an
+    in-flight append's files are not reliably listable yet, so no
+    file-set gate could protect its batch. A stranded intent (crashed
+    append) blocks compaction until removed: blocking beats deleting
+    a batch."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        compact_ann_index,
+        fixed_ivf_seeds,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_intent")
+    write_ivf_index(emb, path, fixed_ivf_seeds(emb, n_seeds=4))
+    marker = _os.path.join(path, "_append-deadbeef.intent")
+    open(marker, "w").close()
+    with _pytest.raises(RuntimeError, match="_append-deadbeef.intent"):
+        compact_ann_index(spark, path, files_per_partition=1)
+    # abort released the lock and left the index intact
+    assert not _os.path.exists(
+        _os.path.join(path, "_compacting.lock")
+    ) and not _os.path.exists(path + ".compact.tmp")
+    _os.remove(marker)
+    compact_ann_index(spark, path, files_per_partition=1)
+    assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_append_leaves_no_intent_marker_behind(spark, sf_dir, tmp_path):
+    """A successful append removes its intent marker (and a failed one
+    does too — the finally path), so markers only persist when an
+    append PROCESS dies, the one case that must block compaction."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        append_to_ann_index,
+        fixed_ivf_seeds,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_marker")
+    write_ivf_index(emb.where(F2.col("vec_id") % 2 == 0), path, fixed_ivf_seeds(emb, n_seeds=4))
+    append_to_ann_index(emb.where(F2.col("vec_id") % 2 == 1), path)
+    assert _glob.glob(_os.path.join(path, "_append-*.intent")) == []
+    assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_mutators_validate_sidecar_kind(spark, sf_dir, tmp_path):
+    """append/compact must reject an unknown meta['kind'] with a named
+    error instead of silently treating it as LSH (append) or
+    compacting by a nonexistent 'bucket' column (compact)."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        ANN_META_FILE,
+        append_to_ann_index,
+        compact_ann_index,
+        fixed_ivf_seeds,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_badkind")
+    write_ivf_index(emb, path, fixed_ivf_seeds(emb, n_seeds=4))
+    meta_path = _os.path.join(path, ANN_META_FILE)
+    meta = _json.load(open(meta_path))
+    meta["kind"] = "ivf2"
+    _json.dump(meta, open(meta_path, "w"))
+    with _pytest.raises(ValueError, match="ivf2"):
+        append_to_ann_index(emb, path)
+    with _pytest.raises(ValueError, match="ivf2"):
+        compact_ann_index(spark, path)
