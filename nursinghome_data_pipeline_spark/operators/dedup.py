@@ -441,33 +441,71 @@ def simhash_near_duplicate_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     hash_family: str = "xxhash64",
+    n_chunks: int = 4,
+    chunks_per_key: int = 1,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 16-bit band bucketing + Hamming verify.
+    """SimHash near-dup pairs: chunk bucketing + Hamming verify.
 
-    Two 64-bit fingerprints within Hamming distance 3 share at least
-    one of four 16-bit chunks (pigeonhole); banding on chunks makes the
-    candidate join an equi-join (shuffle on uniform 16-bit buckets),
-    then ``bit_count`` verifies the full distance ≤ ``max_hamming``
-    (candidates beyond chunk-sharing distance may be missed — standard
-    recall trade-off, tunable via chunk count).
-    """
+    Pigeonhole banding: ``h`` bit errors can corrupt at most ``h`` of
+    ``n_chunks`` chunks, so two fingerprints within Hamming distance
+    ``n_chunks - chunks_per_key`` share at least ``chunks_per_key``
+    CLEAN chunks — and with every ``chunks_per_key``-sized chunk
+    combination emitted as a bucket key, some key matches exactly.
+    Banding makes the candidate join an equi-join (shuffle on uniform
+    buckets), then ``bit_count`` verifies the full distance ≤
+    ``max_hamming`` (candidates beyond the pigeonhole guarantee may be
+    missed — standard recall trade-off).
+
+    The default (4 chunks, single-chunk keys) guarantees h ≤ 3 and
+    buckets on 16-bit values — fine until corpus size approaches 2^16,
+    where bucket population (and so pair generation, at population²
+    per bucket) grows linearly with N. For corpora ≫ 65k docs set
+    ``chunks_per_key=2``: C(n_chunks, 2) keys over chunk-PAIRS widen
+    the effective bucket space to ~2^(2·64/n_chunks) (e.g. 5 chunks →
+    ~2^25 buckets, guarantee h ≤ 3 still), collapsing per-bucket
+    population by the same 2^w factor — the AND-amplification that
+    keeps candidate counts tracking near-duplicate density instead of
+    corpus size. Both variants verify identically, so for pairs within
+    the WEAKER guarantee the outputs coincide exactly (pinned by
+    differential test)."""
+    if chunks_per_key not in (1, 2):
+        raise ValueError("chunks_per_key must be 1 or 2")
+    if not 2 <= n_chunks <= SIMHASH_BITS:
+        raise ValueError(f"n_chunks must be in [2, {SIMHASH_BITS}]")
+    if chunks_per_key == 2 and n_chunks < 3:
+        # 2 chunks of 32 bits packed pairwise would need a 64-bit
+        # shift — past bigint range (and pointless: one pair-combo of
+        # both chunks is plain full-fingerprint equality)
+        raise ValueError("chunks_per_key=2 needs n_chunks >= 3")
     sig = df.select(
         F.col(id_col), simhash_col(text_col, hash_family=hash_family).alias("sh")
     )
-    # bucket id packs (band, chunk): band i shifted into bits 16-17
+    bounds = [SIMHASH_BITS * i // n_chunks for i in range(n_chunks + 1)]
+    width = max(bounds[i + 1] - bounds[i] for i in range(n_chunks))
+
+    def chunk(i: int):
+        lo, hi = bounds[i], bounds[i + 1]
+        return F.shiftrightunsigned(F.col("sh"), lo).bitwiseAND(
+            F.lit((1 << (hi - lo)) - 1)
+        )
+
+    # bucket id packs (combo index, chunk value(s)) into one bigint —
+    # chunk values are < 2^width so the shifted fields never collide
+    if chunks_per_key == 1:
+        keys = [chunk(i) + F.lit(i << width) for i in range(n_chunks)]
+    else:
+        from itertools import combinations
+
+        keys = [
+            chunk(i) * F.lit(1 << width)
+            + chunk(j)
+            + F.lit(c << (2 * width))
+            for c, (i, j) in enumerate(combinations(range(n_chunks), 2))
+        ]
     banded = sig.select(
         id_col,
         "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("sh"), 16 * i)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    + F.lit(i << 16)
-                    for i in range(4)
-                ]
-            )
-        ).alias("bucket"),
+        F.explode(F.array(*keys)).alias("bucket"),
     )
     # intra-bucket pair generation (see _intra_bucket_pairs): ONE
     # signature computation and ONE shuffle, vs. a self-join that

@@ -225,3 +225,46 @@ def test_prefix_filter_join_equals_postings_join(spark):
     )
     assert s_old.exceptAll(s_new).count() == 0
     assert s_new.exceptAll(s_old).count() == 0
+
+
+def test_simhash_pair_chunk_keys_match_single_chunk_at_shared_guarantee(spark):
+    """The scalable pair-chunk bucketing (chunks_per_key=2) must find
+    exactly the pairs the default 4x16 single-chunk banding finds when
+    both run at the shared pigeonhole guarantee (h <= n_chunks -
+    chunks_per_key: 4-1 = 3 for the default, 5-2 = 3 for the pair-key
+    variant — the same bound). Beyond the
+    guarantee recall may differ by design; at or below it both are
+    complete, so the verified outputs coincide. Also pins the packing
+    edge cases (invalid chunks_per_key / n_chunks combinations)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from nursinghome_data_pipeline_spark.operators.dedup import (
+        simhash_near_duplicate_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(80)]
+    rows, bases = [], []
+    for i in range(150):
+        if bases and rng.random() < 0.5:
+            src = list(rng.choice(bases))
+            for _ in range(rng.randint(0, 4)):
+                src[rng.randrange(len(src))] = rng.choice(vocab)
+            toks = src
+        else:
+            toks = [rng.choice(vocab) for _ in range(rng.randint(8, 60))]
+            bases.append(list(toks))
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    base = simhash_near_duplicate_pairs(docs, max_hamming=3)
+    pair5 = simhash_near_duplicate_pairs(
+        docs, max_hamming=3, n_chunks=5, chunks_per_key=2
+    )
+    sb = sorted((r.id_a, r.id_b, r.hamming) for r in base.collect())
+    sp = sorted((r.id_a, r.id_b, r.hamming) for r in pair5.collect())
+    assert sb == sp and len(sb) > 0
+    with _pytest.raises(ValueError, match="n_chunks >= 3"):
+        simhash_near_duplicate_pairs(docs, n_chunks=2, chunks_per_key=2)
+    with _pytest.raises(ValueError, match="chunks_per_key"):
+        simhash_near_duplicate_pairs(docs, chunks_per_key=3)
