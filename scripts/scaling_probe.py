@@ -768,8 +768,9 @@ def _zorder_probes(cores: int = 32, n: int = 4_000_000, n_files: int = 64) -> di
     return out
 
 
-#: The 10 most expensive non-streaming bench queries (BENCH_r05 order)
-#: — the --sfcurve working set. Includes all six the r5 verdict named.
+#: The most expensive non-streaming bench queries (BENCH_r05 order,
+#: second tier appended in r6) — the --sfcurve working set. Includes
+#: all six the r5 verdict named.
 SFCURVE_QUERIES = [
     "knn_ivf_topk",
     "canonical_doc_selection",
@@ -781,6 +782,18 @@ SFCURVE_QUERIES = [
     "triangle_count_events",
     "kmeans_lloyd_embeddings",
     "simhash_near_dup_pairs",
+    # second tier (r6): the next-costliest shapes — embedding LSH
+    # near-dup, corpus decontamination, in-memory LSH/IVF top-k, the
+    # TPC-H star joins, and the two map-only fingerprint batteries
+    "embedding_near_dup_pairs",
+    "decontaminate_docs",
+    "knn_lsh_topk",
+    "local_supplier_volume",
+    "revenue_by_region",
+    "knn_ivf_fixed_topk",
+    "nation_market_share",
+    "minhash_signatures_docs",
+    "simhash_docs",
 ]
 
 #: All engine tables, staged per factor so every registry query runs
