@@ -470,8 +470,13 @@ def simhash_near_duplicate_pairs(
     differential test)."""
     if chunks_per_key not in (1, 2):
         raise ValueError("chunks_per_key must be 1 or 2")
-    if not 2 <= n_chunks <= SIMHASH_BITS:
-        raise ValueError(f"n_chunks must be in [2, {SIMHASH_BITS}]")
+    if not 2 <= n_chunks <= 16:
+        # above 16 chunks each key carries < 4 bits and buckets stop
+        # discriminating (population → N/2^width): the intra-bucket
+        # pair generator would materialize ~population² candidates.
+        # The pigeonhole use case needs n_chunks ≈ max_hamming + 1 (or
+        # + chunks_per_key) — single digits.
+        raise ValueError("n_chunks must be in [2, 16]")
     if chunks_per_key == 2 and n_chunks < 3:
         # 2 chunks of 32 bits packed pairwise would need a 64-bit
         # shift — past bigint range (and pointless: one pair-combo of

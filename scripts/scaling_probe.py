@@ -807,7 +807,12 @@ _SFCURVE_TABLES = [
 #: Bump when the staging recipe changes — the staged dir is keyed by
 #: (version, factor), so a recipe change can never silently reuse a
 #: copy staged by an older recipe via its _SUCCESS marker.
-_SFCURVE_STAGE_VERSION = 2
+#: v3: token SUBSTITUTION (not just permutation — simhash is
+#: order-independent, so permuted copies had bit-identical
+#: fingerprints) and per-copy sign-flip isometry on embeddings
+#: (verbatim copies were the mass-duplication regime the staging
+#: exists to avoid).
+_SFCURVE_STAGE_VERSION = 3
 
 
 def _sfcurve_dir(factor: int) -> str:
@@ -848,19 +853,44 @@ def _stage_sfcurve(factor: int) -> str:
       stack onto the same hours and per-bucket pair counts grow ×f² —
       a densification artifact that misread triangle_count_events as
       superlinear (measured exponent 1.09 under v1 staging);
-    - ``documents.text`` is token-permuted per copy with a
-      deterministic hash key over (token, position, copy): a
-      copy-specific reshuffle of each doc's own tokens. Unigram
-      statistics — stopword ratio (the corpus lang filter), quality
-      score, token count, n_chars — are EXACTLY preserved, so every
-      content-based filter passes the copies; 3-word-shingle overlap
-      across copies collapses (different copy → different global
-      order), so near-dup structure replicates within copies instead
-      of fusing across them — the constant-dup-RATE model of a
-      growing corpus. (A first attempt vowel-rotated the text, which
-      broke the stopword filter and silently dropped every copy at
-      the corpus build's first stage — flat wall time that measured
-      the filter, not the pipeline.)
+    - ``documents.text`` gets a two-step copy-specific rewrite. Step
+      1 applies a per-copy VOCABULARY BIJECTION: every non-stopword
+      token maps to an md5-derived, letters-only string of the SAME
+      length keyed by (token, copy) — the "each copy speaks its own
+      synonym dictionary" model. Within a copy the map is consistent
+      (all occurrences of a token share one image), so every within-
+      copy similarity structure is preserved exactly; across copies
+      the multisets share only stopwords, so order-independent
+      fingerprints (SimHash votes over per-token hashes) diverge by
+      ~half the bits. (A ~25%-substitution variant was tried first
+      and REJECTED by the validation gate: SimHash is designed to be
+      robust to small multiset edits, and 323 cross-copy pairs
+      survived hamming ≤ 8 at factor 2.)
+      Step 2 permutes the tokens by a (token, position, copy) hash
+      key, collapsing cross-copy 3-word-shingle ORDER overlap on top.
+      Both steps preserve every statistic the content filters read —
+      stopword count (stopwords are never substituted; the Caesar
+      image of a non-stopword is not a stopword), token count,
+      n_chars, alphabetic-char count — so lang/quality filters pass
+      the copies exactly, while cross-copy near-dup similarity
+      (Jaccard AND Hamming) collapses: near-dup structure replicates
+      within copies instead of fusing across them — the
+      constant-dup-RATE model of a growing corpus. (Two failed
+      predecessors, both caught by reading the curves: v1 vowel
+      rotation broke the stopword filter and measured the filter
+      instead of the pipeline; v2 permutation-only preserved the
+      MULTISET, so simhash fingerprints were bit-identical across
+      copies and the simhash curve measured C(f,2) constructed
+      duplicates, not keyspace behavior.)
+    - ``embeddings.embedding`` is multiplied per copy by a
+      deterministic ±1 sign pattern per dimension (a diagonal
+      orthogonal transform): an ISOMETRY, so every within-copy cosine
+      — and with it the near-dup pair structure — is preserved
+      exactly, while cross-copy cosine between images of the same
+      vector randomizes to ≈0 (mean zero, σ≈1/√dim). v2 copied
+      vectors verbatim, which made every vector an f-way exact
+      duplicate — the embedding curve measured C(f,2) constructed
+      pairs;
 
     Factor 1 is the untouched SF_DIR (no staging)."""
     if factor == 1:
@@ -907,8 +937,24 @@ def _stage_sfcurve(factor: int) -> str:
                     "ts", F.col("ts") + F.expr(f"INTERVAL {i * 4000} DAYS")
                 )
             if name == "documents" and i > 0:
-                toks = F.transform(
+                from nursinghome_data_pipeline_spark.functions.text import (
+                    STOPWORDS_EN,
+                )
+
+                subbed = F.transform(
                     F.split(F.col("text"), " "),
+                    lambda t, p: F.when(
+                        (~F.lower(t).isin(*STOPWORDS_EN))
+                        & (F.length(t) <= 32),
+                        F.translate(
+                            F.md5(F.concat(t, F.lit(f"#{i}"))),
+                            "0123456789",
+                            "ghijklmnop",
+                        ).substr(F.lit(1), F.length(t)),
+                    ).otherwise(t),
+                )
+                toks = F.transform(
+                    subbed,
                     lambda t, p: F.struct(
                         F.xxhash64(t, p, F.lit(i)).alias("k"), t.alias("t")
                     ),
@@ -919,6 +965,17 @@ def _stage_sfcurve(factor: int) -> str:
                         F.transform(F.array_sort(toks), lambda s: s["t"]),
                         " ",
                     ),
+                )
+            if name == "embeddings" and i > 0:
+                sign = lambda d: F.when(  # noqa: E731
+                    F.pmod(F.xxhash64(d, F.lit(i)), F.lit(2)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        F.col("embedding"), lambda v, d: v * sign(d)
+                    ).cast("array<float>"),
                 )
             copies.append(c)
         merged = copies[0]
