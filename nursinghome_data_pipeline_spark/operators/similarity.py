@@ -596,9 +596,15 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
     sees the other and backs off — a batch can never land after the
     compactor's read and vanish with the demoted directory. The
     intent marker is removed when the append's write commits (or
-    fails). Concurrent appends from multiple processes are ordinary
-    parquet appends (safe with each other); only append-vs-compact
-    needs exclusion. A crashed append can strand its intent marker —
+    fails). The handshake assumes LOCAL-DISK create/exists semantics
+    (sequentially consistent visibility between the two processes) —
+    a plain path on a network mount (e.g. NFS) passes the scheme gate
+    but NFS attribute caching can delay flag visibility, making the
+    exclusion advisory there; use local disk or an external lock
+    service for multi-host writers. Concurrent appends from multiple
+    processes are ordinary parquet appends (safe with each other);
+    only append-vs-compact needs exclusion. A crashed append can
+    strand its intent marker —
     compact_ann_index names the stale file in its error; remove it by
     hand after confirming no append is running."""
     import os
@@ -678,12 +684,17 @@ def compact_ann_index(
     Spark job has not yet committed files (and so would be invisible
     to any file-listing gate) is still visible through its intent.
     Appends check in the mirrored order, so whatever the interleaving
-    at least one side backs off. A belt-and-braces re-list gate after
-    the rewrite additionally aborts the swap if the data-file set
-    changed. Run ONE compactor at a time — a stale lock from a
+    at least one side backs off (local-disk visibility assumption —
+    see the NFS caveat in :func:`append_to_ann_index`). A
+    belt-and-braces re-list gate after the rewrite additionally
+    aborts the swap if any data file changed — compared as
+    (path, size, mtime) so even a same-name in-place overwrite by a
+    writer bypassing the protocol is caught, not just file-set
+    additions/removals. Run ONE compactor at a time — a stale lock from a
     crashed compaction is reclaimed by the next call; a stale intent
     from a crashed APPEND blocks compaction with a named error until
     removed by hand (fail-safe: blocking beats deleting a batch)."""
+    import contextlib as _contextlib
     import glob as _glob
     import os
     import shutil
@@ -728,10 +739,17 @@ def compact_ann_index(
                 "by hand."
             )
 
-        def _data_files() -> set[str]:
-            return set(
-                _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-            )
+        def _data_files() -> set[tuple[str, int, float]]:
+            # (path, size, mtime) — not bare paths — so a rogue writer
+            # that overwrites an existing part file IN PLACE (same
+            # name) is still caught before the swap discards its data.
+            return {
+                (p, st.st_size, st.st_mtime)
+                for p in _glob.glob(
+                    os.path.join(path, "**", "*.parquet"), recursive=True
+                )
+                for st in (os.stat(p),)
+            }
 
         before = _data_files()
         df = spark.read.parquet(path)
@@ -739,7 +757,7 @@ def compact_ann_index(
             df, part, files_per_partition, meta["id_col"]
         ).write.mode("overwrite").partitionBy(part).parquet(tmp)
         _write_ann_meta(tmp, meta)
-        # Belt-and-braces: abort the swap if the file set changed
+        # Belt-and-braces: abort the swap if any data file changed
         # anyway (e.g. a writer that bypassed append_to_ann_index).
         if _data_files() != before:
             shutil.rmtree(tmp)
@@ -748,7 +766,12 @@ def compact_ann_index(
                 "(concurrent append?) — index left untouched, retry."
             )
     except BaseException:
-        os.remove(lock)
+        # the lock can vanish with the directory itself (e.g. the
+        # whole index removed/swapped out from under a failing
+        # compaction — the same scenario the append side guards
+        # against); don't let the cleanup mask the real error
+        with _contextlib.suppress(FileNotFoundError):
+            os.remove(lock)
         raise
     os.rename(path, old)
     os.rename(tmp, path)

@@ -520,3 +520,172 @@ def test_mutators_validate_sidecar_kind(spark, sf_dir, tmp_path):
         append_to_ann_index(emb, path)
     with _pytest.raises(ValueError, match="ivf2"):
         compact_ann_index(spark, path)
+
+
+def _ivf_crash_fixture(spark, sf_dir, tmp_path):
+    """Shared staging for the crash-consistency battery: a live IVF
+    index plus the probe answer it should keep giving after any
+    crash+repair cycle."""
+    from nursinghome_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = sim.fixed_ivf_seeds(emb, n_seeds=4)
+    path = str(tmp_path / "ivf_crash")
+    sim.write_ivf_index(emb, path, seeds)
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+
+    def topk():
+        return [
+            (r.vec_id, r.cosine_sim)
+            for r in sim.knn_ivf_partitioned(
+                spark, path, qvec, k=6, n_probe=3
+            ).collect()
+        ]
+
+    return sim, path, topk, topk()
+
+
+def test_compact_crash_between_swap_renames_is_repaired(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Failure injection (r6 verdict ask): kill the compactor at the
+    worst instant — after path→old demoted the live index but before
+    tmp→path promoted the rewrite. The next compact_ann_index call
+    must restore the index (rename old back), reclaim the stale lock,
+    finish a clean compaction, and probes must answer exactly as
+    before the crash."""
+    import os as _os
+
+    import pytest as _pytest
+
+    sim, path, topk, want = _ivf_crash_fixture(spark, sf_dir, tmp_path)
+    real_rename = _os.rename
+    state = {"n": 0}
+
+    def dying_rename(src, dst):
+        # first rename of the swap (path -> .compact.old) succeeds,
+        # the promoting rename (tmp -> path) dies
+        if src.rstrip("/") == path.rstrip("/"):
+            return real_rename(src, dst)
+        if dst.rstrip("/") == path.rstrip("/"):
+            state["n"] += 1
+            raise OSError("injected crash mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", dying_rename)
+    with _pytest.raises(OSError, match="injected crash"):
+        sim.compact_ann_index(spark, path, files_per_partition=1)
+    monkeypatch.undo()
+    assert state["n"] == 1
+    # crashed state: live dir demoted, promotion never happened
+    assert not _os.path.exists(path)
+    assert _os.path.exists(path + ".compact.old")
+    # next call repairs before touching anything, then compacts
+    sim.compact_ann_index(spark, path, files_per_partition=1)
+    assert topk() == want
+    assert not _os.path.exists(path + ".compact.old")
+    assert not _os.path.exists(path + ".compact.tmp")
+    assert not _os.path.exists(_os.path.join(path, sim.ANN_COMPACT_LOCK))
+
+
+def test_compact_crash_before_old_cleanup_is_repaired(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Failure injection: crash after BOTH swap renames but before
+    rmtree(old). The promoted rewrite is already live — the next call
+    must just dispose of the demoted copy and proceed; probes keep
+    answering correctly throughout (no double-counting from the
+    leftover old copy)."""
+    import os as _os
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    sim, path, topk, want = _ivf_crash_fixture(spark, sf_dir, tmp_path)
+    real_rmtree = _shutil.rmtree
+
+    def dying_rmtree(p, *a, **kw):
+        if p.rstrip("/") == path.rstrip("/") + ".compact.old":
+            raise OSError("injected crash before old-cleanup")
+        return real_rmtree(p, *a, **kw)
+
+    monkeypatch.setattr(_shutil, "rmtree", dying_rmtree)
+    with _pytest.raises(OSError, match="injected crash"):
+        sim.compact_ann_index(spark, path, files_per_partition=1)
+    monkeypatch.undo()
+    # promoted rewrite is live already; stale demoted copy lingers
+    assert _os.path.exists(path + ".compact.old")
+    assert topk() == want
+    # next call reaps the stale copy and completes normally
+    sim.compact_ann_index(spark, path, files_per_partition=1)
+    assert not _os.path.exists(path + ".compact.old")
+    assert topk() == want
+
+
+def test_compact_detects_in_place_overwrite_of_part_file(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The re-list gate compares (path, size, mtime), not bare file
+    names (ADVICE r6): a rogue writer that replaces an existing part
+    file IN PLACE — same name, different content — mid-rewrite must
+    abort the swap, or its data would be silently lost."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    sim, path, topk, want = _ivf_crash_fixture(spark, sf_dir, tmp_path)
+    parts = sorted(
+        _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    assert len(parts) >= 2
+    # pick two valid part files of different size so the overwritten
+    # directory stays readable parquet (only size/mtime change)
+    a, b = parts[0], parts[1]
+    if _os.path.getsize(a) == _os.path.getsize(b):
+        for cand in parts[2:]:
+            if _os.path.getsize(cand) != _os.path.getsize(a):
+                b = cand
+                break
+    real_meta_write = sim._write_ann_meta
+    state = {"fired": False}
+
+    def overwrite_in_place_then_write(p, meta):
+        if not state["fired"] and p.endswith(".compact.tmp"):
+            state["fired"] = True
+            _shutil.copyfile(b, a)  # same name `a`, different bytes
+        real_meta_write(p, meta)
+
+    monkeypatch.setattr(sim, "_write_ann_meta", overwrite_in_place_then_write)
+    with _pytest.raises(RuntimeError, match="changed during compaction"):
+        sim.compact_ann_index(spark, path, files_per_partition=1)
+    assert state["fired"]
+    # gate released the lock and removed the tmp dir; live dir intact
+    assert not _os.path.exists(_os.path.join(path, sim.ANN_COMPACT_LOCK))
+    assert not _os.path.exists(path + ".compact.tmp")
+
+
+def test_compact_lock_cleanup_tolerates_vanished_lock(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r6: if the error-path cleanup finds the lock already
+    gone (directory swapped/removed concurrently), os.remove must not
+    mask the original exception with FileNotFoundError."""
+    import os as _os
+
+    import pytest as _pytest
+
+    sim, path, _topk, _want = _ivf_crash_fixture(spark, sf_dir, tmp_path)
+    real_meta_write = sim._write_ann_meta
+
+    def remove_lock_then_die(p, meta):
+        if p.endswith(".compact.tmp"):
+            _os.remove(_os.path.join(path, sim.ANN_COMPACT_LOCK))
+            raise RuntimeError("original failure to surface")
+        real_meta_write(p, meta)
+
+    monkeypatch.setattr(sim, "_write_ann_meta", remove_lock_then_die)
+    # the ORIGINAL error must surface, not the cleanup's FileNotFoundError
+    with _pytest.raises(RuntimeError, match="original failure to surface"):
+        sim.compact_ann_index(spark, path, files_per_partition=1)
