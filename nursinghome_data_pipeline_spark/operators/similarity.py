@@ -152,23 +152,97 @@ def random_projection_buckets(
     100 TB this prunes the scan by ~2^n_planes with bucket-partitioned
     storage.
     """
+    return df.withColumn(
+        "bucket", lsh_bucket_col(vec_col, dim=dim, n_planes=n_planes, seed=seed)
+    )
+
+
+def lsh_bucket_col(
+    vec_col: str, *, dim: int, n_planes: int, seed: int = 42
+) -> Column:
+    """The sign-projection bucket id as a bare column expression —
+    single owner of the literal-planes fold, shared by
+    :func:`random_projection_buckets` and the multi-table path in
+    :func:`embedding_near_duplicate_pairs`.
+
+    One zip_with+aggregate fold per plane. Two rejected "faster"
+    shapes, measured at sf0.1 (2k vectors, where DRIVER-side
+    plan/codegen cost dominates): a fused struct-accumulator fold
+    (one pass, n_planes fields) allocates an InternalRow per element
+    per row and timed 1.9x WORSE; fully unrolling dim*n_planes
+    getItem*literal chains produced a ~2,400-node expression tree
+    whose per-action analyze/optimize/codegen cost timed 4.6x worse
+    still. At 100 TB-scale row counts the unrolled chain's per-row
+    codegen math would win — revisit if bucket compute (not plan
+    overhead) ever shows up in a profile."""
     planes = lsh_planes(n_planes, dim, seed)
-    # One zip_with+aggregate fold per plane. Two rejected "faster"
-    # shapes, measured at sf0.1 (2k vectors, where DRIVER-side
-    # plan/codegen cost dominates): a fused struct-accumulator fold
-    # (one pass, n_planes fields) allocates an InternalRow per element
-    # per row and timed 1.9x WORSE; fully unrolling dim*n_planes
-    # getItem*literal chains produced a ~2,400-node expression tree
-    # whose per-action analyze/optimize/codegen cost timed 4.6x worse
-    # still. At 100 TB-scale row counts the unrolled chain's per-row
-    # codegen math would win — revisit if bucket compute (not plan
-    # overhead) ever shows up in a profile.
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
         plane_col = F.array(*[F.lit(float(v)) for v in planes[i]])
         proj = dot_product_col(F.col(vec_col), plane_col)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return df.withColumn("bucket", bucket)
+    return bucket
+
+
+def auto_lsh_planes(
+    n_rows: int, *, target_bucket_pop: int = 64, lo: int = 4, hi: int = 24
+) -> int:
+    """Corpus-size-adaptive plane count: ``ceil(log2(N / target_pop))``.
+
+    The failure mode this sizes away (measured, SCALE.md): a FIXED
+    ``n_planes`` means 2^n_planes buckets regardless of corpus size, so
+    bucket population grows ∝ N and intra-bucket candidate pairs grow
+    ∝ N² — the embedding near-dup sf-curve read exponent 1.33 at 30×
+    with ``n_planes=8``. Holding the expected population at
+    ``target_bucket_pop`` instead (one extra plane per doubling) keeps
+    candidate pairs ≈ N·pop/2, i.e. linear. Clamped to [lo, hi]: below
+    2^lo buckets the self-join is all-pairs anyway; 2^hi buckets is
+    ~16.7M — beyond that, size by hand. Pure driver-side arithmetic so
+    the auto choice is pin-testable."""
+    import math
+
+    if n_rows <= 0:
+        return lo
+    return max(
+        lo,
+        min(hi, math.ceil(math.log2(max(1.0, n_rows / target_bucket_pop)))),
+    )
+
+
+def srp_collision_prob(threshold: float, n_planes: int) -> float:
+    """P[all ``n_planes`` sign bits agree] for a pair at exactly
+    ``cosine = threshold``: ``(1 - acos(threshold)/π) ** n_planes``
+    (Goemans–Williamson / Charikar STOC'02 sign-projection identity).
+    This is the per-table recall FLOOR over pairs ≥ threshold — pairs
+    more similar than the threshold collide more often."""
+    import math
+
+    theta = math.acos(max(-1.0, min(1.0, threshold)))
+    return (1.0 - theta / math.pi) ** n_planes
+
+
+def auto_lsh_tables(
+    n_planes: int,
+    threshold: float,
+    *,
+    recall_target: float = 0.9,
+    hi: int = 32,
+) -> int:
+    """OR-amplification table count hitting ``recall_target`` at the
+    threshold boundary: smallest ``t`` with ``1-(1-r1)^t ≥ target``
+    where ``r1 = srp_collision_prob(threshold, n_planes)``. Capped at
+    ``hi`` — when the cap binds, the achievable recall is
+    ``1-(1-r1)^hi`` (the caller sees the honest number via
+    :func:`srp_collision_prob`). Pure arithmetic, pin-testable."""
+    import math
+
+    r1 = srp_collision_prob(threshold, n_planes)
+    if r1 >= recall_target:
+        return 1
+    if r1 <= 0.0:
+        return hi
+    t = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - r1))
+    return max(1, min(hi, t))
 
 
 def embedding_near_duplicate_pairs(
@@ -178,33 +252,105 @@ def embedding_near_duplicate_pairs(
     vec_col: str = "embedding",
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | str = 8,
+    n_tables: int | str = 1,
+    recall_target: float = 0.9,
+    target_bucket_pop: int = 64,
+    n_rows: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucket self-join.
 
     Vectors in the same sign-projection bucket are scored exactly;
     pairs with cosine >= threshold survive. The self-join shuffles on
-    the bucket id (2^n_planes uniform buckets), never all-pairs. Recall
-    for very-high-threshold dedup is high because near-identical
-    vectors almost always share every sign bit; raise recall further by
-    multi-probing neighboring buckets.
+    the bucket id (2^n_planes uniform buckets), never all-pairs.
+
+    ``n_planes="auto"`` sizes the bucket space from the corpus size
+    (:func:`auto_lsh_planes`: one plane per doubling past
+    ``target_bucket_pop``), keeping candidate pairs linear in N instead
+    of the fixed-bucket-space N² ceiling. Needs the row count — pass
+    ``n_rows`` if known, else one ``df.count()`` job is spent (cheap:
+    count-star over parquet reads only footers/metadata columns).
+
+    Recall: a pair at exactly ``threshold`` survives one table with
+    probability ``(1-θ/π)^n_planes`` (:func:`srp_collision_prob`) —
+    auto-growing ``n_planes`` therefore LOWERS single-table recall as
+    the corpus grows. ``n_tables`` is the standard OR-construction
+    counterweight (Indyk–Motwani; the MinHash-bands analogue): ``t``
+    independent plane sets (seeds ``seed..seed+t-1``), a pair survives
+    if ANY table buckets it together — recall ``1-(1-r1)^t``, cost one
+    shuffle of ``t·N`` rows and ≈``t·N·pop/2`` exactly-verified
+    candidates. ``n_tables="auto"`` picks the smallest ``t`` hitting
+    ``recall_target`` at the boundary. The LSH triangle is fundamental
+    (work ∝ N^(1+ρ) if recall AND threshold are held while N grows) —
+    measured against a planted ground truth in
+    ``tests/test_embedding_recall.py`` and tabulated in SCALE.md.
+
+    ``n_tables=1`` (default) is bit-identical to the historical
+    single-table plan — the frozen registry oracle twin pins that path.
+    Multi-table computes all ``t`` bucket ids in ONE projection over a
+    single scan, explodes to (table, bucket) keys, and pairs within
+    them; cross-table duplicate candidates collapse in the existing
+    pair-level ``.distinct()`` (identical (id_a, id_b, cosine) rows —
+    same deterministic expression on the same inputs).
     """
     from .dedup import _intra_bucket_pairs
 
+    if n_planes == "auto" or n_tables == "auto":
+        if n_rows is None:
+            n_rows = df.count()
+    if n_planes == "auto":
+        n_planes = auto_lsh_planes(n_rows, target_bucket_pop=target_bucket_pop)
+    n_planes = int(n_planes)
+    if n_tables == "auto":
+        n_tables = auto_lsh_tables(
+            n_planes, threshold, recall_target=recall_target
+        )
+    n_tables = int(n_tables)
+
     # norms fold once per MEMBER here, before collect_list — inside
     # make_pair they'd fold once per PAIR (O(m²) per bucket)
-    bucketed = random_projection_buckets(
-        df, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
-    ).select(
-        F.col(id_col),
-        F.col(vec_col),
-        l2_norm_col(vec_col).alias("__nrm"),
-        F.col("bucket"),
-    )
+    if n_tables == 1:
+        bucketed = random_projection_buckets(
+            df, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm_col(vec_col).alias("__nrm"),
+            F.col("bucket"),
+        )
+        keys = ["bucket"]
+    else:
+        # one scan computes every table's bucket id, then a generator
+        # fans each row out to its t (table, bucket) keys — the
+        # upstream scan/norm is shared across tables, unlike a
+        # t-way union of per-table projections
+        bucket_exprs = [
+            F.struct(
+                F.lit(j).alias("__tbl"),
+                lsh_bucket_col(
+                    vec_col, dim=dim, n_planes=n_planes, seed=seed + j
+                ).alias("bucket"),
+            )
+            for j in range(n_tables)
+        ]
+        # generator and struct-field access cannot share one select —
+        # explode first, then project the fields (withColumn seam)
+        bucketed = (
+            df.select(
+                F.col(id_col),
+                F.col(vec_col),
+                l2_norm_col(vec_col).alias("__nrm"),
+                F.explode(F.array(*bucket_exprs)).alias("__tb"),
+            )
+            .withColumn("__tbl", F.col("__tb.__tbl"))
+            .withColumn("bucket", F.col("__tb.bucket"))
+            .drop("__tb")
+        )
+        keys = ["__tbl", "bucket"]
     pairs = _intra_bucket_pairs(
         bucketed,
-        ["bucket"],
+        keys,
         [id_col, vec_col, "__nrm"],
         lambda x, y: F.struct(
             x[id_col].alias("id_a"),
