@@ -794,7 +794,33 @@ SFCURVE_QUERIES = [
     "nation_market_share",
     "minhash_signatures_docs",
     "simhash_docs",
+    # operator-level entries (r7): the registry embedding twin pins
+    # n_planes=6 for oracle tractability (frozen), so the adaptive
+    # default is measured through a probe-local entry instead
+    "embedding_near_dup_auto",
 ]
+
+
+def _sfcurve_extra_queries():
+    """Probe-local (spark, sf_dir) callables for operator-level curves
+    the frozen registry can't carry. Same calling convention as
+    ``registry.queries()`` entries."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        embedding_near_duplicate_pairs,
+    )
+
+    def embedding_near_dup_auto(spark, sf_dir):
+        # the registry twin frozen at n_planes=6; this is the operator
+        # default a caller gets with size-adaptive sizing (one plane
+        # per corpus doubling past the 64-row bucket target)
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return embedding_near_duplicate_pairs(
+            emb, dim=64, threshold=0.9, n_planes="auto"
+        )
+
+    return {"embedding_near_dup_auto": embedding_near_dup_auto}
 
 #: All engine tables, staged per factor so every registry query runs
 #: unmodified against the scaled copy.
@@ -815,19 +841,36 @@ _SFCURVE_TABLES = [
 _SFCURVE_STAGE_VERSION = 3
 
 
-def _sfcurve_dir(factor: int) -> str:
-    # keyed by (recipe version, SOURCE dir, factor): a recipe change
-    # bumps the version, and a different SPARK_GRAFT_SF_DIR (or a
-    # regenerated dataset under a new name) must never silently reuse
+#: The two planted hot keys for ``--sfcurve --skewed``. The passage is
+#: EXACTLY 100 chars = passage_dedup's window_chars, so the hot docs'
+#: first window is one identical passage whose group/join key
+#: population grows linearly with the corpus (the adversarial case for
+#: any per-key reducer). The user id is a fixed key 5% of all events
+#: collapse onto — a hot aggregation key AND a hub node of degree
+#: ∝ N in every event-graph query.
+_HOT_PASSAGE = (
+    "This document is provided under the corpus license "
+    "terms; redistribution requires attribution notes."
+)
+assert len(_HOT_PASSAGE) == 100
+_HOT_USER = 424_242
+_SKEW_FRACTION_MOD = 20  # 1-in-20 = 5% of rows get the hot key
+
+
+def _sfcurve_dir(factor: int, skewed: bool = False) -> str:
+    # keyed by (recipe version, SOURCE dir, factor, skew): a recipe
+    # change bumps the version, and a different SPARK_GRAFT_SF_DIR (or
+    # a regenerated dataset under a new name) must never silently reuse
     # a copy staged from other source data via its _SUCCESS marker
     src = os.path.basename(SF_DIR.rstrip("/"))
+    tag = "-skew" if skewed else ""
     return os.path.join(
         tempfile.gettempdir(),
-        f"spark-graft-sfcurve-v{_SFCURVE_STAGE_VERSION}-{src}-x{factor}",
+        f"spark-graft-sfcurve-v{_SFCURVE_STAGE_VERSION}-{src}-x{factor}{tag}",
     )
 
 
-def _stage_sfcurve(factor: int) -> str:
+def _stage_sfcurve(factor: int, skewed: bool = False) -> str:
     """Write a COMPLETE testdata-layout copy at ``factor``× sf0.1 rows.
 
     Unlike :func:`_inflate` (which plants exact duplicates — the dedup
@@ -892,10 +935,30 @@ def _stage_sfcurve(factor: int) -> str:
       duplicate — the embedding curve measured C(f,2) constructed
       pairs;
 
-    Factor 1 is the untouched SF_DIR (no staging)."""
-    if factor == 1:
+    Factor 1 is the untouched SF_DIR (no staging).
+
+    ``skewed=True`` (r6 verdict ask #3) plants two hot keys ON TOP of
+    the organic recipe — the anti-duplication gates above keep
+    cross-copy similarity collapsed, so any superlinear curve under
+    this mode isolates HOT-KEY behavior, not duplicate inflation:
+
+    - 5% of documents (every copy, factor 1 included) get
+      ``_HOT_PASSAGE`` — exactly one ``window_chars`` block —
+      prepended, so passage_dedup sees one passage fingerprint whose
+      population grows ∝ corpus size: its groupBy key is algebraic
+      (map-side-combined MIN — bounded by partial aggregation), but
+      the winners JOIN routes every hot-passage row to one reducer
+      unless AQE skew-split intervenes. That reducer-side behavior is
+      what this mode measures.
+    - 5% of events collapse onto ``user_id = _HOT_USER``: a hot
+      aggregation key and a degree-∝N hub node for the event-graph
+      queries (triangle/co-occurrence, BFS frontier fan-out).
+
+    Skewed staging always writes (factor 1 too — the hot keys must
+    exist at every point of the curve)."""
+    if factor == 1 and not skewed:
         return SF_DIR
-    out = _sfcurve_dir(factor)
+    out = _sfcurve_dir(factor, skewed)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -977,6 +1040,29 @@ def _stage_sfcurve(factor: int) -> str:
                         F.col("embedding"), lambda v, d: v * sign(d)
                     ).cast("array<float>"),
                 )
+            # hot-key planting runs AFTER the per-copy rewrites (the
+            # vocabulary bijection would otherwise make each copy's
+            # "hot" passage distinct, defeating the hotness) and on
+            # EVERY copy including i=0, so the hot populations grow
+            # with the factor
+            if skewed and name == "documents":
+                c = c.withColumn(
+                    "text",
+                    F.when(
+                        F.pmod(F.col("doc_id"), F.lit(_SKEW_FRACTION_MOD))
+                        == 7,
+                        F.concat(F.lit(_HOT_PASSAGE), F.col("text")),
+                    ).otherwise(F.col("text")),
+                )
+            if skewed and name == "events":
+                c = c.withColumn(
+                    "user_id",
+                    F.when(
+                        F.pmod(F.col("event_id"), F.lit(_SKEW_FRACTION_MOD))
+                        == 7,
+                        F.lit(_HOT_USER).cast("long"),
+                    ).otherwise(F.col("user_id")),
+                )
             copies.append(c)
         merged = copies[0]
         for c in copies[1:]:
@@ -989,21 +1075,27 @@ def _stage_sfcurve(factor: int) -> str:
     return out
 
 
-def _sfcurve_child(factor: int) -> None:
+def _sfcurve_child(
+    factor: int, only: list[str] | None = None, skewed: bool = False
+) -> None:
     """Child-process entry: time SFCURVE_QUERIES at one factor."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from nursinghome_data_pipeline_spark import registry
     from nursinghome_data_pipeline_spark.session import build_session
 
-    sf_dir = SF_DIR if factor == 1 else _sfcurve_dir(factor)
+    sf_dir = (
+        SF_DIR
+        if factor == 1 and not skewed
+        else _sfcurve_dir(factor, skewed)
+    )
     spark = build_session(f"sfcurve-{factor}")
-    qs = registry.queries()
+    qs = {**registry.queries(), **_sfcurve_extra_queries()}
     # warm JVM + parquet footers with the cheapest query
     qs["pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
     out: dict[str, float] = {}
-    for name in SFCURVE_QUERIES:
+    for name in (only or SFCURVE_QUERIES):
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -1016,7 +1108,11 @@ def _sfcurve_child(factor: int) -> None:
     print("CHILD" + json.dumps(out))
 
 
-def _sfcurve(factors: list[int]) -> dict:
+def _sfcurve(
+    factors: list[int],
+    only: list[str] | None = None,
+    skewed: bool = False,
+) -> dict:
     """Wall-time-vs-data-volume slopes for the most expensive queries.
 
     For each query, reports per-factor best-of-2 wall times plus the
@@ -1028,9 +1124,11 @@ def _sfcurve(factors: list[int]) -> dict:
 
     results: dict[str, dict[str, float]] = {}
     for f in factors:
-        _stage_sfcurve(f)
+        _stage_sfcurve(f, skewed)
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--_sfchild", str(f)],
+            [sys.executable, os.path.abspath(__file__), "--_sfchild", str(f)]
+            + (["--queries", ",".join(only)] if only else [])
+            + (["--skewed"] if skewed else []),
             capture_output=True,
             text=True,
         )
@@ -1047,7 +1145,12 @@ def _sfcurve(factors: list[int]) -> dict:
                 + "\n".join(proc.stderr.splitlines()[-15:])
             )
         results[str(f)] = json.loads(line[len("CHILD"):])
-    out = {"sf_dir": SF_DIR, "factors": factors, "wall_sec": results}
+    out = {
+        "sf_dir": SF_DIR,
+        "factors": factors,
+        "skewed": skewed,
+        "wall_sec": results,
+    }
     if len(set(factors)) > 1:
         lo, hi = str(min(factors)), str(max(factors))
         out["exponent"] = {
@@ -1056,7 +1159,7 @@ def _sfcurve(factors: list[int]) -> dict:
                 / math.log(max(factors) / min(factors)),
                 3,
             )
-            for q in SFCURVE_QUERIES
+            for q in (only or SFCURVE_QUERIES)
         }
     return out
 
@@ -1170,17 +1273,29 @@ def main() -> None:
     )
     ap.add_argument("--_sfchild", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument(
+        "--skewed", action="store_true",
+        help="with --sfcurve: plant hot keys in the staged copies (one "
+        "100-char passage shared by 5% of documents, one user_id "
+        "shared by 5% of events) — isolates hot-key scaling from "
+        "volume scaling",
+    )
+    ap.add_argument(
+        "--queries", default=None,
+        help="comma-separated subset of --sfcurve query names (default all)",
+    )
+    ap.add_argument(
         "--zorder", action="store_true",
         help="run only the z-order data-skipping probe (realized "
         "per-file min/max pruning, three layouts x three predicates)",
     )
     args = ap.parse_args()
+    only = args.queries.split(",") if args.queries else None
     if args._sfchild is not None:
-        _sfcurve_child(args._sfchild)
+        _sfcurve_child(args._sfchild, only, args.skewed)
         return
     if args.sfcurve:
         factors = [int(x) for x in args.factors.split(",")]
-        print(json.dumps(_sfcurve(factors), indent=2))
+        print(json.dumps(_sfcurve(factors, only, args.skewed), indent=2))
         return
     if args.compaction:
         print(json.dumps(_compaction_probes(), indent=2))
