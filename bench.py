@@ -316,6 +316,14 @@ def adjusted_total(total: float, calib: float) -> float:
     return round(total * CALIB_REF / calib, 4)
 
 
+#: 1-min load average above which a bench run is flagged
+#: ``load_dirty`` in the summary line. Empirically (r5/r6 notes), a
+#: load1 of ~1.4 at run start inflated untouched queries ~1.4x
+#: uniformly; 1.5 catches that regime while ignoring the probe's own
+#: startup wake (load1 well under 1 on an idle host).
+LOAD_DIRTY_THRESHOLD = 1.5
+
+
 def summary_line(
     timings: dict[str, float],
     total: float,
@@ -357,6 +365,11 @@ def summary_line(
         }
         if load1 is not None:
             payload["load1"] = [round(load1[0], 1), round(load1[1], 1)]
+            if max(load1) > LOAD_DIRTY_THRESHOLD:
+                # r6 verdict ask #6: make a contended run machine-
+                # readably dirty — graders should skip absolute
+                # comparisons against it rather than infer from load1
+                payload["load_dirty"] = True
         if calib is not None:
             payload["calib"] = calib
             if calib_end is not None:

@@ -1164,6 +1164,125 @@ def _sfcurve(
     return out
 
 
+def _streamstate_probes() -> dict:
+    """State-growth-vs-stream-length table (r6 verdict ask #5).
+
+    Drives each stateful streaming operator with fresh keys per
+    micro-batch and event time advancing far past the watermark, at 1x
+    and 10x STREAM LENGTH (same per-batch arrival rate), and reads the
+    state store's own row counts from query progress. The bounded-state
+    claim at 100 TB is exactly this table: a 10x-longer stream must
+    hold ~1x the state (watermark horizon), while total input — and a
+    naive dropDuplicates/groupBy-forever design — grows 10x.
+    """
+    import datetime as _dt
+    import json as _json
+    import shutil as _shutil
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from nursinghome_data_pipeline_spark.session import build_session
+    from nursinghome_data_pipeline_spark.streaming.ingest_stream import (
+        streaming_dedup,
+        windowed_event_aggregates,
+    )
+    from nursinghome_data_pipeline_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    spark = build_session("streamstate", shuffle_partitions=4)
+    base = _dt.datetime(2024, 1, 1)
+    rows_per_batch = 100
+
+    def drive(tag, schema, mk_stream, mode, n_batches, write_row):
+        src = tempfile.mkdtemp(prefix=f"ss-{tag}-")
+        stream = mk_stream(
+            spark.readStream.schema(schema).json(src)
+        )
+        q = (
+            stream.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(f"ss_{tag}_{n_batches}")
+            .start()
+        )
+        peak = final = 0
+        try:
+            for b in range(n_batches):
+                ts = (base + _dt.timedelta(minutes=10 * b)).isoformat()
+                with open(os.path.join(src, f"b{b}.json"), "w") as f:
+                    for i in range(rows_per_batch):
+                        f.write(
+                            _json.dumps(write_row(b, i, ts)) + "\n"
+                        )
+                q.processAllAvailable()
+                ops = (q.lastProgress or {}).get("stateOperators") or []
+                rows = sum(o["numRowsTotal"] for o in ops)
+                peak = max(peak, rows)
+                final = rows
+        finally:
+            q.stop()
+            _shutil.rmtree(src, ignore_errors=True)
+        return {
+            "input_rows": n_batches * rows_per_batch,
+            "state_rows_final": final,
+            "state_rows_peak": peak,
+        }
+
+    ops = {
+        "streaming_dedup": (
+            "k long, ts timestamp",
+            lambda st: streaming_dedup(
+                st, keys=["k"], watermark="10 seconds"
+            ),
+            "append",
+            lambda b, i, ts: {"k": b * rows_per_batch + i, "ts": ts},
+        ),
+        "windowed_event_aggregates": (
+            "event_type string, value double, ts timestamp",
+            lambda st: windowed_event_aggregates(
+                st, window="1 minute", watermark="2 minutes"
+            ),
+            "append",
+            lambda b, i, ts: {
+                "event_type": f"t{i % 5}",
+                "value": float(i),
+                "ts": ts,
+            },
+        ),
+        "sessionize_stream": (
+            "user_id long, ts timestamp",
+            lambda st: sessionize_stream(
+                st, gap_minutes=1, watermark="10 seconds"
+            ),
+            "update",
+            lambda b, i, ts: {"user_id": b * rows_per_batch + i, "ts": ts},
+        ),
+    }
+    out: dict[str, dict] = {}
+    for tag, (schema, mk, mode, row) in ops.items():
+        short = drive(tag, schema, mk, mode, 5, row)
+        long = drive(tag, schema, mk, mode, 50, row)
+        out[tag] = {
+            "1x": short,
+            "10x": long,
+            "input_ratio": round(
+                long["input_rows"] / short["input_rows"], 2
+            ),
+            "state_final_ratio": round(
+                long["state_rows_final"]
+                / max(1, short["state_rows_final"]),
+                2,
+            ),
+            "state_peak_ratio": round(
+                long["state_rows_peak"] / max(1, short["state_rows_peak"]),
+                2,
+            ),
+        }
+    spark.stop()
+    return out
+
+
 def _inflate(inflate: int) -> None:
     """One-time write of the inflated copy (reused across core runs)."""
     inflated = _inflated_dir(inflate)
@@ -1284,6 +1403,12 @@ def main() -> None:
         help="comma-separated subset of --sfcurve query names (default all)",
     )
     ap.add_argument(
+        "--streamstate", action="store_true",
+        help="run only the streaming state-growth probe: state-store "
+        "rows (from query progress) at 1x vs 10x stream length for "
+        "each stateful operator",
+    )
+    ap.add_argument(
         "--zorder", action="store_true",
         help="run only the z-order data-skipping probe (realized "
         "per-file min/max pruning, three layouts x three predicates)",
@@ -1299,6 +1424,9 @@ def main() -> None:
         return
     if args.compaction:
         print(json.dumps(_compaction_probes(), indent=2))
+        return
+    if args.streamstate:
+        print(json.dumps(_streamstate_probes(), indent=2))
         return
     if args.zorder:
         print(json.dumps(_zorder_probes(), indent=2))

@@ -141,3 +141,22 @@ def test_calib_adjusted_total_arithmetic_is_pinned():
     # without calib_end the start value alone is the divisor
     solo = json.loads(bench.summary_line({"q1": 10.0}, 10.0, 0.1, calib=ref))
     assert solo["adjusted"] == 10.0 and "calib_end" not in solo
+
+
+def test_load_dirty_flag_set_only_above_threshold():
+    """r6 verdict ask #6: a contended run must be machine-readably
+    dirty; a clean run must not carry the flag."""
+    clean = json.loads(
+        bench.summary_line({"q1": 1.0}, 1.0, 0.1, load1=(0.2, 1.5))
+    )
+    assert "load_dirty" not in clean  # threshold is exclusive
+    dirty_start = json.loads(
+        bench.summary_line({"q1": 1.0}, 1.0, 0.1, load1=(2.7, 0.1))
+    )
+    assert dirty_start["load_dirty"] is True
+    dirty_end = json.loads(
+        bench.summary_line({"q1": 1.0}, 1.0, 0.1, load1=(0.1, 1.6))
+    )
+    assert dirty_end["load_dirty"] is True
+    no_load = json.loads(bench.summary_line({"q1": 1.0}, 1.0, 0.1))
+    assert "load_dirty" not in no_load
