@@ -277,12 +277,30 @@ def _lsh_partitioned_probe(spark, sf_dir: str):
     )
 
 
+def _embedding_near_dup_auto(spark, sf_dir: str):
+    """Embedding near-dup at the OPERATOR defaults (n_planes='auto',
+    corpus-size-adaptive) — the registry twin pins n_planes=6 for
+    DuckDB-oracle tractability, so the adaptive production path gets
+    its per-round number here (r6 verdict ask #1; sf-curve exponent
+    0.25 vs 1.14 fixed at 30x, scripts/scaling_probe.py --sfcurve)."""
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        embedding_near_duplicate_pairs,
+    )
+    from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return embedding_near_duplicate_pairs(
+        emb, dim=64, threshold=0.9, n_planes="auto"
+    )
+
+
 #: label -> callable(spark, sf_dir); non-registry bench entries
 EXTRA_BENCH = {
     "minhash_signatures_xxh64": _minhash_production,
     "hll_datasketches_native": _hll_native,
     "knn_ivf_partitioned_probe": _ivf_partitioned_probe,
     "knn_lsh_partitioned_probe": _lsh_partitioned_probe,
+    "embedding_near_dup_auto": _embedding_near_dup_auto,
 }
 
 
