@@ -1303,6 +1303,101 @@ def _streamstate_probes() -> dict:
     return out
 
 
+def _hotsession_probe(n_rows: int = 20_000_000) -> dict:
+    """Hot-key sessionization: single-window twin vs sessionize_bucketed.
+
+    The r7 skewed sf-curve left `user_sessions` with a documented
+    ceiling — the hot user's whole timeline sorts in ONE task. This
+    probe plants a timeline hot enough to matter -- 95% of ``n_rows``
+    on ONE user (2 ev/s for months, one unbroken session: the stitch
+    must chain thousands of buckets), 5% over 50 cold users whose
+    sessions chain normally -- and times both plans over the same
+    staged parquet.
+    Outputs must match exactly (asserted on the session count per
+    plan) — the bucketed plan buys wall-clock with extra bounded
+    shuffles, not different answers.
+    """
+    import datetime as _dt
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nursinghome_data_pipeline_spark.operators.sessions import (
+        sessionize_bucketed,
+    )
+    from nursinghome_data_pipeline_spark.session import build_session
+
+    spark = build_session("hotsession")
+    staged = os.path.join(tempfile.gettempdir(), f"hotsession-{n_rows}")
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        df = spark.range(n_rows).select(
+            F.col("id").alias("event_id"),
+            (
+                F.lit(_dt.datetime(2024, 1, 1)).cast("timestamp")
+                + F.make_interval(secs=(F.col("id") / 2).cast("int"))
+            ).alias("ts"),
+            # 19-in-20 rows: hot user 7; the rest over 50 cold users
+            # (their per-user spacing ~500 s < the 30-min gap, so cold
+            # sessions chain instead of degenerating to singletons)
+            F.when(
+                F.pmod("id", 20) != 0, F.lit(7)
+            ).otherwise(
+                F.pmod(F.floor(F.col("id") / 20), 50) + 10
+            ).alias("user_id"),
+        )
+        df.write.mode("overwrite").parquet(staged)
+
+    def twin(events):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ltz = F.col("ts").cast("timestamp_ltz")
+        gap = F.unix_micros(ltz) - F.unix_micros(F.lag(ltz).over(w))
+        flagged = events.withColumn(
+            "new_session",
+            F.when(
+                F.lag("ts").over(w).isNull() | (gap > 1_800_000_000), 1
+            ).otherwise(0),
+        )
+        numbered = flagged.withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        return numbered.groupBy("user_id", "session_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+        )
+
+    out: dict = {"n_rows": n_rows, "hot_rows": n_rows * 19 // 20}
+    counts = {}
+    for tag, fn in (
+        ("single_window_twin", twin),
+        (
+            "sessionize_bucketed_60m",
+            lambda ev: sessionize_bucketed(ev, bucket_minutes=60),
+        ),
+    ):
+        walls = []
+        for _ in range(2):
+            ev = spark.read.parquet(staged)
+            t0 = time.perf_counter()
+            counts[tag] = fn(ev).count()
+            walls.append(round(time.perf_counter() - t0, 3))
+        out[tag] = {"wall_sec_best": min(walls), "walls": walls}
+    assert len(set(counts.values())) == 1, counts
+    out["n_sessions"] = next(iter(counts.values()))
+    out["speedup"] = round(
+        out["single_window_twin"]["wall_sec_best"]
+        / out["sessionize_bucketed_60m"]["wall_sec_best"],
+        2,
+    )
+    spark.stop()
+    return out
+
+
 def _inflate(inflate: int) -> None:
     """One-time write of the inflated copy (reused across core runs)."""
     inflated = _inflated_dir(inflate)
@@ -1429,6 +1524,13 @@ def main() -> None:
         "each stateful operator",
     )
     ap.add_argument(
+        "--hotsession", type=int, nargs="?", const=20_000_000, default=None,
+        metavar="N_ROWS",
+        help="run only the hot-key sessionization probe: single-window "
+        "twin vs sessionize_bucketed on a planted timeline with 95%% "
+        "of N_ROWS (default 20M) on one user",
+    )
+    ap.add_argument(
         "--zorder", action="store_true",
         help="run only the z-order data-skipping probe (realized "
         "per-file min/max pruning, three layouts x three predicates)",
@@ -1447,6 +1549,9 @@ def main() -> None:
         return
     if args.streamstate:
         print(json.dumps(_streamstate_probes(), indent=2))
+        return
+    if args.hotsession is not None:
+        print(json.dumps(_hotsession_probe(args.hotsession), indent=2))
         return
     if args.zorder:
         print(json.dumps(_zorder_probes(), indent=2))
