@@ -288,9 +288,28 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
         # O(index) scan would re-pay exactly the listing/footer tax
         # the incremental path exists to avoid
         print(
-            f"appended {emb.count()} vectors to {meta['kind']} index "
+            f"appended {emb.count()} rows to {meta['kind']} index "
             f"at {args.path}"
         )
+        return 0
+    if args.action == "dedup":
+        from .operators.dedup_index import dedup_batch_against_index
+
+        if args.batch_path:
+            batch = spark.read.parquet(args.batch_path)
+        else:
+            batch = load_tables(spark, args.sf_dir, [args.table])[args.table]
+        pairs = dedup_batch_against_index(
+            spark, batch, args.path, threshold=args.threshold
+        )
+        rows = pairs.orderBy(F.desc("jaccard")).limit(20).collect()
+        print(
+            f"{pairs.count()} near-dup pairs >= {args.threshold} "
+            f"(top {len(rows)} shown)"
+        )
+        for r in rows:
+            print(f"  batch={r['batch_id']} corpus={r['corpus_id']} "
+                  f"jaccard={r['jaccard']:.4f}")
         return 0
     if args.action == "compact":
         from .operators.similarity import compact_ann_index
@@ -303,9 +322,33 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
         return 0
     if args.action == "build":
         if not args.kind:
-            print("ann-index build requires --kind ivf|lsh", file=sys.stderr)
+            print(
+                "ann-index build requires --kind ivf|lsh|minhash",
+                file=sys.stderr,
+            )
             return 2
         emb = load_tables(spark, args.sf_dir, [args.table])[args.table]
+        if args.kind == "minhash":
+            from .operators.dedup_index import write_dedup_index
+
+            write_dedup_index(
+                emb,
+                args.path,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                n_hashes=args.n_hashes,
+                bands=args.bands,
+                shingle_k=args.shingle_k,
+                n_buckets=args.n_buckets,
+                files_per_partition=args.files_per_partition,
+            )
+            meta = load_ann_meta(args.path)
+            n = spark.read.parquet(args.path).count()
+            print(
+                f"built minhash dedup index at {args.path}: {n} band rows, "
+                f"{meta['bands']}x{meta['n_buckets']} bucket dirs"
+            )
+            return 0
         if args.kind == "ivf":
             seeds = fixed_ivf_seeds(
                 emb, n_seeds=args.n_seeds, id_col=args.id_col, vec_col=args.vec_col
@@ -462,10 +505,12 @@ def main(argv: list[str] | None = None) -> int:
         help="build or probe an at-rest ANN index (IVF cell-partitioned "
         "or LSH bucket-partitioned parquet + _ann_meta.json sidecar)",
     )
-    p.add_argument("action", choices=["build", "probe", "append", "compact"])
+    p.add_argument(
+        "action", choices=["build", "probe", "append", "compact", "dedup"]
+    )
     p.add_argument("path", help="index directory")
-    p.add_argument("--kind", choices=["ivf", "lsh"], default=None,
-                   help="build only; probe reads the sidecar")
+    p.add_argument("--kind", choices=["ivf", "lsh", "minhash"], default=None,
+                   help="build only; probe/dedup read the sidecar")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.add_argument("--table", default="embeddings")
     p.add_argument("--id-col", default="vec_id")
@@ -483,6 +528,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--n-probe", type=int, default=2,
                    help="probed cells (ivf) / buckets (lsh)")
+    p.add_argument("--text-col", default="text",
+                   help="minhash: document text column")
+    p.add_argument("--n-hashes", type=int, default=16,
+                   help="minhash: signature rows")
+    p.add_argument("--bands", type=int, default=4,
+                   help="minhash: LSH bands (must divide --n-hashes)")
+    p.add_argument("--shingle-k", type=int, default=3,
+                   help="minhash: tokens per shingle")
+    p.add_argument("--n-buckets", type=int, default=64,
+                   help="minhash: partition dirs per band")
+    p.add_argument("--threshold", type=float, default=0.8,
+                   help="dedup: exact-Jaccard verify floor")
+    p.add_argument("--batch-path", default=None,
+                   help="dedup: parquet path of the new batch "
+                   "(default: the --table of --sf-dir)")
     _add_session_args(p)
     p.set_defaults(fn=_cmd_ann_index)
 

@@ -263,6 +263,25 @@ def _intra_bucket_pairs(
     )
 
 
+def band_key_col(sig: Column, band: int, rows_per_band: int) -> Column:
+    """64-bit key of one LSH band: xxhash64 over the band's signature
+    slice rendered as a comma-joined string. THE single owner of the
+    band-key formula — the in-memory candidate join
+    (:func:`minhash_lsh_candidate_pairs`) and the at-rest index
+    (``dedup_index.write_dedup_index`` / append routing / batch probe)
+    must compute byte-identical keys or index and query silently stop
+    agreeing on bucket routing."""
+    return F.xxhash64(
+        F.array_join(
+            F.transform(
+                F.slice(sig, band * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        )
+    )
+
+
 def minhash_lsh_candidate_pairs(
     df: DataFrame,
     *,
@@ -305,15 +324,9 @@ def minhash_lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("band_hash"),
+                        band_key_col(F.col("sig"), b, rows_per_band).alias(
+                            "band_hash"
+                        ),
                     )
                     for b in range(bands)
                 ]

@@ -622,7 +622,11 @@ def _require_kind(meta: dict, expected: str, probe: str) -> None:
     seeds/dim field."""
     kind = meta.get("kind")
     if kind != expected:
-        other = {"ivf": "knn_ivf_partitioned", "lsh": "knn_lsh_partitioned"}
+        other = {
+            "ivf": "knn_ivf_partitioned",
+            "lsh": "knn_lsh_partitioned",
+            "minhash": "dedup_index.dedup_batch_against_index",
+        }
         hint = other.get(kind)
         raise ValueError(
             f"{probe} expects a {expected!r} index but the sidecar "
@@ -758,7 +762,7 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
 
     _require_local_path(path, "append_to_ann_index")
     meta = load_ann_meta(path)
-    if meta.get("kind") not in ("ivf", "lsh"):
+    if meta.get("kind") not in ("ivf", "lsh", "minhash"):
         raise ValueError(
             f"append_to_ann_index: unknown index kind "
             f"{meta.get('kind')!r} in {path}/{ANN_META_FILE}"
@@ -778,14 +782,21 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
                 "compaction crashed and the next compact_ann_index call "
                 "will repair it (or remove the lockfile by hand)."
             )
-        id_col, vec_col = meta["id_col"], meta["vec_col"]
-        if meta["kind"] == "ivf":
+        if meta["kind"] == "minhash":
+            # routing owned by the dedup-index module (runtime import:
+            # dedup_index imports this module's protocol helpers)
+            from .dedup_index import route_dedup_append
+
+            routed, part = route_dedup_append(df, meta)
+        elif meta["kind"] == "ivf":
+            id_col, vec_col = meta["id_col"], meta["vec_col"]
             seeds = [(int(s), vec) for s, vec in meta["seeds"]]
             routed = df.select(
                 id_col, vec_col, ivf_cell_col(seeds, vec_col).alias("cell")
             )
             part = "cell"
         else:
+            id_col, vec_col = meta["id_col"], meta["vec_col"]
             routed = random_projection_buckets(
                 df,
                 vec_col=vec_col,
@@ -853,12 +864,13 @@ def compact_ann_index(
         else:
             os.rename(old, path)
     meta = load_ann_meta(path)
-    if meta.get("kind") not in ("ivf", "lsh"):
+    parts = {"ivf": "cell", "lsh": "bucket", "minhash": "pb"}
+    if meta.get("kind") not in parts:
         raise ValueError(
             f"compact_ann_index: unknown index kind {meta.get('kind')!r} "
             f"in {path}/{ANN_META_FILE}"
         )
-    part = "cell" if meta["kind"] == "ivf" else "bucket"
+    part = parts[meta["kind"]]
     tmp = path.rstrip("/") + ".compact.tmp"
     lock = os.path.join(path, ANN_COMPACT_LOCK)
     # Reclaim a crashed compaction's lock: singleton-compactor is the

@@ -1,0 +1,179 @@
+"""At-rest near-dup index (operators/dedup_index.py): the batch probe
+must be BIT-IDENTICAL to the in-memory near_duplicate_pairs run over
+corpus ∪ batch restricted to cross pairs; the scan must prune at file
+level; and the minhash kind must ride the shared append/compact
+lifecycle exactly like the ANN kinds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nursinghome_data_pipeline_spark.operators.dedup import (
+    near_duplicate_pairs,
+)
+from nursinghome_data_pipeline_spark.operators.dedup_index import (
+    dedup_batch_against_index,
+    write_dedup_index,
+)
+from nursinghome_data_pipeline_spark.operators.similarity import (
+    append_to_ann_index,
+    compact_ann_index,
+    load_ann_meta,
+)
+from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+
+#: loose threshold so the synthetic corpus yields a non-empty verify —
+#: the docs table has templated text with plenty of moderate overlaps
+THRESHOLD = 0.35
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", "text"
+    )
+
+
+def _split(docs):
+    corpus = docs.where(F.col("doc_id") % 10 != 9)
+    batch = docs.where(F.col("doc_id") % 10 == 9)
+    return corpus, batch
+
+
+def _cross_twin(docs, threshold):
+    """In-memory oracle: near_duplicate_pairs over ALL docs, keep only
+    (corpus, batch) pairs, normalized to (batch_id, corpus_id)."""
+    pairs = near_duplicate_pairs(docs, threshold=threshold)
+    a_is_batch = F.col("id_a") % 10 == 9
+    b_is_batch = F.col("id_b") % 10 == 9
+    return (
+        pairs.where(a_is_batch != b_is_batch)
+        .select(
+            F.when(a_is_batch, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "batch_id"
+            ),
+            F.when(a_is_batch, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "corpus_id"
+            ),
+            "jaccard",
+        )
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["batch_id"], r["corpus_id"], r["jaccard"]) for r in df.collect()
+    )
+
+
+def test_probe_equals_in_memory_cross_pairs(spark, sf_dir, tmp_path):
+    """The parity pin: same candidates (shared band keys), same verify
+    expression, bit-equal jaccard doubles."""
+    docs = _docs(spark, sf_dir)
+    corpus, batch = _split(docs)
+    path = str(tmp_path / "dedup_index")
+    write_dedup_index(corpus, path)
+    got = dedup_batch_against_index(spark, batch, path, threshold=THRESHOLD)
+    want = _cross_twin(docs, THRESHOLD)
+    gr, wr = _rows(got), _rows(want)
+    assert gr == wr
+    assert gr, "empty verify proves nothing — lower THRESHOLD"
+
+
+def test_probe_prunes_at_file_level(spark, sf_dir, tmp_path):
+    """The batch's pb list must land in PartitionFilters and the
+    executed scan must touch only matched buckets' directories."""
+    import re
+
+    from nursinghome_data_pipeline_spark.operators.dedup_index import (
+        _banded_rows,
+    )
+    from nursinghome_data_pipeline_spark.plans import formatted_plan
+
+    docs = _docs(spark, sf_dir)
+    corpus, _ = _split(docs)
+    # one tiny batch -> few pb values -> real pruning headroom
+    batch = docs.where(F.col("doc_id") == 9)
+    path = str(tmp_path / "dedup_index")
+    write_dedup_index(corpus, path)
+    out = dedup_batch_against_index(spark, batch, path, threshold=0.0)
+    plan = formatted_plan(out)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "pb" in pf[0], plan
+    meta = load_ann_meta(path)
+    pbs = {
+        r["pb"]
+        for r in _banded_rows(
+            batch,
+            id_col=meta["id_col"],
+            text_col=meta["text_col"],
+            n_hashes=meta["n_hashes"],
+            bands=meta["bands"],
+            shingle_k=meta["shingle_k"],
+            n_buckets=meta["n_buckets"],
+        )
+        .select("pb")
+        .distinct()
+        .collect()
+    }
+    total_dirs = meta["bands"] * meta["n_buckets"]
+    assert len(pbs) <= meta["bands"]  # one doc -> at most `bands` keys
+    touched = {
+        int(re.search(r"pb=(\d+)", r[0]).group(1))
+        for r in spark.read.parquet(path)
+        .where(F.col("pb").isin(list(pbs)))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert touched <= pbs and len(touched) < total_dirs
+
+
+def test_append_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Half-then-append must probe bit-identically to a full build —
+    the sidecar-routed geometry keeps old and new rows agreeing."""
+    docs = _docs(spark, sf_dir)
+    corpus, batch = _split(docs)
+    first = corpus.where(F.col("doc_id") % 3 != 0)
+    second = corpus.where(F.col("doc_id") % 3 == 0)
+    inc = str(tmp_path / "incremental")
+    full = str(tmp_path / "full")
+    write_dedup_index(first, inc)
+    append_to_ann_index(second, inc)
+    write_dedup_index(corpus, full)
+    got = _rows(dedup_batch_against_index(spark, batch, inc, threshold=THRESHOLD))
+    want = _rows(dedup_batch_against_index(spark, batch, full, threshold=THRESHOLD))
+    assert got == want and got
+
+
+def test_compact_preserves_probe_and_sidecar(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    corpus, batch = _split(docs)
+    path = str(tmp_path / "dedup_index")
+    write_dedup_index(corpus, path)
+    append_to_ann_index(batch.limit(0), path)  # no-op append is legal
+    before = _rows(
+        dedup_batch_against_index(spark, batch, path, threshold=THRESHOLD)
+    )
+    meta_before = load_ann_meta(path)
+    n_files = compact_ann_index(spark, path, files_per_partition=1)
+    assert n_files > 0
+    assert load_ann_meta(path) == meta_before
+    after = _rows(
+        dedup_batch_against_index(spark, batch, path, threshold=THRESHOLD)
+    )
+    assert before == after and before
+
+
+def test_probe_kind_mismatch_names_the_right_probe(spark, sf_dir, tmp_path):
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        fixed_ivf_seeds,
+        write_ivf_index,
+    )
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, fixed_ivf_seeds(emb, n_seeds=4))
+    docs = _docs(spark, sf_dir)
+    with pytest.raises(ValueError, match="minhash.*kind='ivf'"):
+        dedup_batch_against_index(spark, docs.limit(1), path)
