@@ -53,6 +53,7 @@ from .similarity import (
     _require_local_path,
     _write_ann_meta,
     load_ann_meta,
+    read_matched_partitions,
 )
 
 
@@ -215,8 +216,6 @@ def dedup_batch_against_index(
     directories contribute ZERO I/O. "Fresh" docs for ingest are the
     batch anti-joined against this result's ``batch_id``.
     """
-    import os
-
     meta = load_ann_meta(path)
     _require_kind(meta, "minhash", "dedup_batch_against_index")
     b = _banded_rows(
@@ -233,21 +232,14 @@ def dedup_batch_against_index(
     # the ANN probes' cell/bucket lists
     pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
     id_col = meta["id_col"]
-    # Read the matched directories EXPLICITLY (basePath recovers the
-    # pb partition column) instead of scanning the root and filtering:
-    # above ~32 directories Spark's partition discovery launches a
-    # listing JOB over every directory — measured 7.4 s of the probe's
-    # 8.1 s at a 4×1024 geometry (4 096 dirs), paid even though the
-    # scan then pruned 91% of the bytes. Listing only matched dirs
-    # makes discovery cost ∝ matches; the redundant isin filter below
-    # still lands in PartitionFilters (plan-gated) as a guard.
-    matched = [
-        d
-        for v in sorted(set(pbs))
-        for d in (os.path.join(path, f"pb={v}"),)
-        if os.path.isdir(d)
-    ]
-    if not matched:
+    # Matched-directories-only read: above ~32 directories Spark's
+    # partition discovery launches a listing JOB over every directory
+    # — measured 7.4 s of the probe's 8.1 s at a 4×1024 geometry
+    # (4 096 dirs), paid even though the scan then pruned 91% of the
+    # bytes. See read_matched_partitions; the redundant isin filter
+    # below still lands in PartitionFilters (plan-gated) as a guard.
+    rel = read_matched_partitions(spark, path, "pb", pbs)
+    if rel is None:
         from pyspark.sql.types import DoubleType, StructField, StructType
 
         idt = batch.schema[id_col].dataType
@@ -262,8 +254,7 @@ def dedup_batch_against_index(
             ),
         )
     corpus = (
-        spark.read.option("basePath", path)
-        .parquet(*matched)
+        rel
         .where(F.col("pb").isin(pbs))
         .select(
             F.col("band").alias("band"),

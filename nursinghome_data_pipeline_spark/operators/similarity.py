@@ -657,6 +657,35 @@ def load_ann_meta(path: str) -> dict:
         return json.load(f)
 
 
+def read_matched_partitions(spark, path: str, part_col: str, values):
+    """Scan ONLY the probed partition directories of an at-rest index.
+
+    ``spark.read.parquet(root).where(part.isin(...))`` prunes the SCAN
+    but not the DISCOVERY: above ~32 directories Spark launches a
+    listing job over every partition directory before the filter ever
+    applies — measured as 7.4 s of an 8.1 s probe at a 4 096-directory
+    dedup-index geometry (SCALE.md r7), and the same tax hits
+    IVF/LSH probes as their cell/bucket counts grow. Listing the
+    matched directories explicitly (``basePath`` recovers the
+    partition column) makes discovery cost ∝ probes, not geometry.
+    The caller must still apply its ``isin`` filter — it lands in
+    ``PartitionFilters`` (plan-gated in tests) and guards against a
+    stray directory. Returns None when no probed directory exists on
+    disk (empty index or all-miss probe) — callers fall back to the
+    root read, which is then trivially empty."""
+    import os
+
+    matched = [
+        d
+        for v in sorted(set(values))
+        for d in (os.path.join(path, f"{part_col}={v}"),)
+        if os.path.isdir(d)
+    ]
+    if not matched:
+        return None
+    return spark.read.option("basePath", path).parquet(*matched)
+
+
 def _compact_for_write(
     df: DataFrame, partition_col: str, files_per_partition: int | None, id_col: str
 ) -> DataFrame:
@@ -967,8 +996,11 @@ def knn_ivf_partitioned(
         id_col = meta.get("id_col", id_col)
         vec_col = meta.get("vec_col", vec_col)
     probes = ivf_probe_cells(seeds, query_vec, n_probe=n_probe)
+    rel = read_matched_partitions(spark, path, "cell", probes)
+    if rel is None:
+        rel = spark.read.parquet(path)
     return (
-        spark.read.parquet(path)
+        rel
         .where(F.col("cell").isin(probes))
         .select(
             id_col,
@@ -1256,8 +1288,11 @@ def knn_lsh_partitioned(
         seed=seed,
         n_probe_buckets=n_probe_buckets,
     )
+    rel = read_matched_partitions(spark, path, "bucket", probes)
+    if rel is None:
+        rel = spark.read.parquet(path)
     return (
-        spark.read.parquet(path)
+        rel
         .where(F.col("bucket").isin(probes))
         .select(
             id_col,
