@@ -339,7 +339,7 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
                 n_hashes=args.n_hashes,
                 bands=args.bands,
                 shingle_k=args.shingle_k,
-                n_buckets=args.n_buckets,
+                n_buckets=args.n_buckets if args.n_buckets else "auto",
                 files_per_partition=args.files_per_partition,
             )
             meta = load_ann_meta(args.path)
@@ -536,8 +536,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="minhash: LSH bands (must divide --n-hashes)")
     p.add_argument("--shingle-k", type=int, default=3,
                    help="minhash: tokens per shingle")
-    p.add_argument("--n-buckets", type=int, default=64,
-                   help="minhash: partition dirs per band")
+    p.add_argument("--n-buckets", type=int, default=None,
+                   help="minhash: partition dirs per band "
+                   "(default: corpus-size-adaptive)")
     p.add_argument("--threshold", type=float, default=0.8,
                    help="dedup: exact-Jaccard verify floor")
     p.add_argument("--batch-path", default=None,

@@ -110,6 +110,35 @@ def _banded_rows(
     )
 
 
+def auto_dedup_buckets(
+    n_docs: int,
+    *,
+    bands: int = 4,
+    target_docs_per_dir: int = 4096,
+    lo: int = 16,
+    hi: int = 4096,
+) -> int:
+    """Corpus-size-adaptive ``n_buckets``: hold directory payload
+    constant as the corpus grows — the same sizing logic as
+    :func:`~.similarity.auto_lsh_planes`, applied to the dedup index's
+    partition geometry. Each band spreads its ``n_docs`` rows over
+    ``n_buckets`` directories, so ``n_buckets ≈ n_docs /
+    target_docs_per_dir`` keeps one directory a comfortable scan-task
+    unit at any corpus size (the fixed 64-bucket default reads 15M
+    rows/dir at a 10⁹-doc corpus). Rounded up to a power of two so
+    bucket populations stay uniform under the pmod; clamped: below
+    ``lo`` the probe reads most of the index anyway, above ``hi``
+    (4 096 dirs ≈ the measured discovery-tax regime the matched-dirs
+    read already absorbs) size by hand. Pure driver arithmetic —
+    pin-testable."""
+    import math
+
+    if n_docs <= 0:
+        return lo
+    want = math.ceil(n_docs / target_docs_per_dir)
+    return max(lo, min(hi, 1 << max(0, (want - 1).bit_length())))
+
+
 def route_dedup_append(df: DataFrame, meta: dict) -> tuple[DataFrame, str]:
     """Append routing for ``kind="minhash"`` — called by
     :func:`~.similarity.append_to_ann_index` so new batches band with
@@ -139,7 +168,8 @@ def write_dedup_index(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
-    n_buckets: int = 64,
+    n_buckets: int | str = "auto",
+    n_docs: int | None = None,
     files_per_partition: int | None = 1,
 ) -> None:
     """Build the at-rest near-dup index (see module docstring).
@@ -148,7 +178,10 @@ def write_dedup_index(
     ``bands × n_buckets`` directories total, and a probe reads the
     batch's matched buckets only — size it so one directory's postings
     fit comfortably in a scan task (the same dial as the ANN indexes'
-    cell/bucket count).
+    cell/bucket count). The default ``"auto"`` derives it from the
+    corpus size (:func:`auto_dedup_buckets`; pass ``n_docs`` to skip
+    the internal count), so the geometry tracks corpus growth the way
+    ``n_planes="auto"`` does for the embedding LSH.
 
     Unlike the IVF/LSH writers, ``files_per_partition`` DEFAULTS ON
     (1): band keys are uniform by construction, so a shuffle-free
@@ -161,6 +194,11 @@ def write_dedup_index(
     from .similarity import _compact_for_write
 
     _require_local_path(path, "write_dedup_index")
+    if n_buckets == "auto":
+        n_buckets = auto_dedup_buckets(
+            n_docs if n_docs is not None else docs.count(), bands=bands
+        )
+    n_buckets = int(n_buckets)
     rows = _banded_rows(
         docs,
         id_col=id_col,

@@ -1,0 +1,146 @@
+"""Streaming corpus ingest with near-dup rejection — the production loop.
+
+Composes the r7 at-rest minhash index (operators/dedup_index.py) with
+the exactly-once ``foreachBatch`` protocol of
+``streaming/ingest_stream.streaming_upsert_sink``: documents arrive as
+a stream, each micro-batch is deduplicated (exact within batch →
+near within batch → near against the INDEXED corpus, never a corpus
+text rescan), the accepted docs land in a parquet sink AND are
+appended to the index — so batch N+1 dedups against everything batch N
+accepted. This is the loop a 100 TB training corpus actually grows by:
+per batch, cost is O(batch + matched index buckets); corpus size never
+appears in it.
+
+Idempotency is CRASH-POINT-COMPLETE, not just manifest-gated:
+
+- the committed-batch manifest (same protocol as the upsert sink)
+  skips re-delivered batch ids outright;
+- a crash AFTER the index append but BEFORE the manifest is the
+  dangerous replay: the re-run probes an index that already contains
+  this batch's accepted docs, so every one of them would match
+  "the corpus" (itself, jaccard 1.0), accept nothing, and overwrite
+  the batch's target directory with an empty set. The corpus-match
+  step therefore EXCLUDES matches whose ``corpus_id`` is an id of the
+  current batch — with stable ids (re-delivery replays the same
+  source rows; id uniqueness across the stream is the caller's
+  contract, as for ``append_to_ann_index``), the re-run reproduces the
+  first run's accepted set exactly: the target overwrite rewrites
+  identical content and the duplicate index postings are benign
+  (probes ``dropDuplicates`` candidate pairs; the duplicates are
+  storage only, reclaimed by a rebuild — ``compact_ann_index``
+  preserves rows, it does not dedup);
+- the target write is per-batch-directory overwrite
+  (``ingest_batch=<id>/``), so replays rewrite in place instead of
+  double-appending.
+
+Within-batch near-dup policy: after exact dedup (min-id winner per
+``md5(text)``), any doc that is the HIGHER id of a verified near-dup
+pair is dropped — the greedy min-id-survives rule. On a chain
+a<b<c with pairs (a,b),(b,c) this keeps only ``a`` (b and c both
+appear as a higher id), matching what canonical connected-component
+selection would keep; they differ only on pairs whose lower id was
+itself dropped for an unrelated reason, where greedy is the more
+conservative (drops more). Full CC canonicalization per micro-batch
+(operators/dedup.connected_components) is deliberately not run here —
+batches are small and the iterative job cadence would dominate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_dedup_ingest(
+    stream: DataFrame,
+    index_path: str,
+    target_dir: str,
+    *,
+    threshold: float = 0.8,
+    checkpoint_dir: str,
+):
+    """Start the dedup-ingest stream; returns the StreamingQuery.
+
+    ``stream`` must carry the index sidecar's ``id_col`` and
+    ``text_col`` (extra columns pass through to the sink). Accepted
+    docs land under ``target_dir/data/ingest_batch=<batch_id>/`` and
+    are appended to the index at ``index_path``.
+    """
+    import os
+
+    from pyspark.sql import SparkSession
+
+    from ..operators.dedup import near_duplicate_pairs
+    from ..operators.dedup_index import dedup_batch_against_index
+    from ..operators.similarity import append_to_ann_index, load_ann_meta
+
+    manifest = os.path.join(target_dir, "_committed_batches")
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = SparkSession.getActiveSession()
+        if os.path.exists(manifest):
+            committed = {
+                int(line)
+                for line in open(manifest, encoding="utf-8").read().split()
+            }
+            if batch_id in committed:
+                return  # re-delivered batch: idempotent skip
+        meta = load_ann_meta(index_path)
+        id_col, text_col = meta["id_col"], meta["text_col"]
+        params = dict(
+            n_hashes=int(meta["n_hashes"]),
+            bands=int(meta["bands"]),
+            shingle_k=int(meta["shingle_k"]),
+        )
+        # stage 1 — exact within batch: min-id winner per text hash
+        w = batch.groupBy(F.md5(text_col).alias("__fp")).agg(
+            F.min(id_col).alias("__keep")
+        )
+        exact = batch.join(
+            w, (F.md5(F.col(text_col)) == F.col("__fp"))
+            & (F.col(id_col) == F.col("__keep")),
+        ).drop("__fp", "__keep")
+        # the batch is re-read by three dedup stages — pin it
+        exact = exact.localCheckpoint(eager=False)
+        # stage 2 — near within batch: drop the higher id of each
+        # verified pair (id_a < id_b by construction)
+        pairs = near_duplicate_pairs(
+            exact.select(id_col, text_col),
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            **params,
+        )
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = exact.join(drop, id_col, "left_anti").localCheckpoint(
+            eager=False
+        )
+        # stage 3 — near against the indexed corpus, EXCLUDING matches
+        # to this very batch's ids (the crash-replay guard — module
+        # docstring): O(batch + matched buckets), corpus never rescanned
+        matches = dedup_batch_against_index(
+            spark, survivors, index_path, threshold=threshold
+        )
+        own_ids = exact.select(F.col(id_col).alias("corpus_id"))
+        dup_ids = (
+            matches.join(own_ids, "corpus_id", "left_anti")
+            .select(F.col("batch_id").alias(id_col))
+            .distinct()
+        )
+        accepted = survivors.join(dup_ids, id_col, "left_anti")
+        # commit order: target (idempotent per-batch overwrite) →
+        # index append (replay-benign) → manifest (gates the skip)
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(target_dir, "data", f"ingest_batch={batch_id}")
+        )
+        append_to_ann_index(accepted.select(id_col, text_col), index_path)
+        os.makedirs(target_dir, exist_ok=True)
+        with open(manifest, "a", encoding="utf-8") as fh:
+            fh.write(f"{batch_id}\n")
+
+    return (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

@@ -165,6 +165,37 @@ def test_compact_preserves_probe_and_sidecar(spark, sf_dir, tmp_path):
     assert before == after and before
 
 
+def test_auto_bucket_sizing_pinned_and_equals_explicit(spark, sf_dir, tmp_path):
+    """auto_dedup_buckets is pure driver arithmetic (pin it), and
+    n_buckets='auto' must build the byte-identical index the explicit
+    call at the resolved count builds — via n_docs and via the
+    internal count."""
+    from nursinghome_data_pipeline_spark.operators.dedup_index import (
+        auto_dedup_buckets,
+    )
+
+    assert auto_dedup_buckets(0) == 16
+    assert auto_dedup_buckets(4096) == 16  # lo clamp
+    assert auto_dedup_buckets(100_000) == 32  # ceil(24.4) -> 25 -> 32
+    assert auto_dedup_buckets(1_000_000) == 256  # 245 -> 256
+    assert auto_dedup_buckets(10**9) == 4096  # hi clamp
+    assert auto_dedup_buckets(10**9, target_docs_per_dir=10**6) == 1024
+    docs = _docs(spark, sf_dir)
+    corpus, batch = _split(docs)
+    n = corpus.count()
+    p_auto = str(tmp_path / "auto")
+    p_docs = str(tmp_path / "ndocs")
+    p_expl = str(tmp_path / "explicit")
+    write_dedup_index(corpus, p_auto)
+    write_dedup_index(corpus, p_docs, n_docs=n)
+    write_dedup_index(corpus, p_expl, n_buckets=auto_dedup_buckets(n))
+    assert load_ann_meta(p_auto) == load_ann_meta(p_expl) == load_ann_meta(p_docs)
+    want = _rows(dedup_batch_against_index(spark, batch, p_expl, threshold=THRESHOLD))
+    assert want
+    for p in (p_auto, p_docs):
+        assert _rows(dedup_batch_against_index(spark, batch, p, threshold=THRESHOLD)) == want
+
+
 def test_probe_kind_mismatch_names_the_right_probe(spark, sf_dir, tmp_path):
     from nursinghome_data_pipeline_spark.operators.similarity import (
         fixed_ivf_seeds,

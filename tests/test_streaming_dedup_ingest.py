@@ -1,0 +1,186 @@
+"""streaming_dedup_ingest: the production corpus-growth loop — exact
+within batch, near within batch, near vs the at-rest index, accepted
+docs appended to the index so later batches dedup against them;
+idempotent under batch re-delivery."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from nursinghome_data_pipeline_spark.operators.dedup_index import (
+    dedup_batch_against_index,
+    write_dedup_index,
+)
+from nursinghome_data_pipeline_spark.streaming.ingest_dedup import (
+    streaming_dedup_ingest,
+)
+
+#: ~30-token texts so a one-token edit keeps Jaccard well above the
+#: 0.6 threshold (k=3 shingles: one mid-token edit flips 3 of ~28)
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green turtles watch from a mossy stone bridge near the old "
+    "water mill beside the northern orchard gate"
+)
+
+
+_FRESH = (
+    "ancient lighthouse keepers recorded forty three storm seasons in "
+    "leather journals stacked inside the copper lantern room while "
+    "gulls circled the granite tower every restless autumn morning"
+)
+
+
+def _variant(word: str, base: str = _FRESH) -> str:
+    return base.replace("forty", word)
+
+
+def _corpus_rows():
+    return [
+        (1, _BASE),
+        (2, "completely different text about spark shuffle partitions "
+            "and adaptive query execution planning for large scale "
+            "distributed joins across many executor nodes tonight"),
+        (3, "a third unrelated document describing parquet footer "
+            "statistics and min max pruning of columnar row groups "
+            "during predicate pushdown on sorted data layouts"),
+    ]
+
+
+def _write_batch(src: str, name: str, rows) -> None:
+    with open(os.path.join(src, name), "w", encoding="utf-8") as f:
+        for i, t in rows:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+
+def _accepted_ids(spark, target: str) -> set[int]:
+    data = os.path.join(target, "data")
+    if not os.path.exists(data):
+        return set()
+    return {
+        r["doc_id"]
+        for r in spark.read.option("basePath", data).parquet(data).collect()
+    }
+
+
+def test_stream_dedups_within_and_across_batches(spark, tmp_path):
+    corpus = spark.createDataFrame(_corpus_rows(), "doc_id long, text string")
+    index = str(tmp_path / "index")
+    write_dedup_index(corpus, index, n_buckets=16)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    target = str(tmp_path / "target")
+
+    def start(ckpt: str):
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        return streaming_dedup_ingest(
+            stream,
+            index,
+            target,
+            threshold=0.6,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+
+    q = start("ckpt")
+    try:
+        # batch 0: 10 = copy of corpus doc 1 (drop: corpus match);
+        # 11 fresh; 12 = near-copy of 11 (drop: within-batch near);
+        # 13 = exact copy of 11's text (drop: within-batch exact)
+        _write_batch(
+            src,
+            "b0.json",
+            [
+                (10, _BASE),
+                (11, _FRESH),
+                (12, _FRESH + " extra"),
+                (13, _FRESH),
+            ],
+        )
+        q.processAllAvailable()
+        assert _accepted_ids(spark, target) == {11}
+        # batch 1: 20 = near-copy of ACCEPTED 11 (drop: cross-batch via
+        # the index append); 21 fresh
+        _write_batch(
+            src,
+            "b1.json",
+            [
+                (20, _variant("ninety")),
+                (21, "entirely novel content regarding watermark state "
+                     "eviction in structured streaming session windows "
+                     "with arbitrary stateful processing semantics now"),
+            ],
+        )
+        q.processAllAvailable()
+        assert _accepted_ids(spark, target) == {11, 21}
+    finally:
+        q.stop()
+
+    # the index grew by exactly the accepted docs: a copy of 21 now
+    # matches the corpus, and nothing matches the REJECTED 12/20
+    probe = spark.createDataFrame(
+        [(900, _variant("ninety")), (901, "no overlap whatsoever here "
+                                          "just filler words apple bread")],
+        "doc_id long, text string",
+    )
+    m = dedup_batch_against_index(spark, probe, index, threshold=0.6)
+    got = {(r["batch_id"], r["corpus_id"]) for r in m.collect()}
+    assert (900, 11) in got  # near 11 (accepted)
+    assert all(c not in (12, 13, 20, 10) for _, c in got)
+    assert not any(b == 901 for b, _ in got)
+
+    # manifest recorded each batch once
+    ids = open(os.path.join(target, "_committed_batches")).read().split()
+    assert len(ids) == len(set(ids)) >= 2
+
+    # re-delivery with a FRESH checkpoint replays all files as batch 0
+    # — already committed, so the manifest skip keeps target AND index
+    # unchanged (no duplicate postings from the replay)
+    before = spark.read.parquet(index).count()
+    q2 = start("ckpt2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert _accepted_ids(spark, target) == {11, 21}
+    assert spark.read.parquet(index).count() == before
+
+
+def test_crash_replay_after_index_append_is_idempotent(spark, tmp_path):
+    """The dangerous crash point: index appended, manifest NOT written.
+    The replay probes an index already containing the batch's accepted
+    docs — the own-ids exclusion must reproduce the same accepted set
+    instead of rejecting everything as self-matches."""
+    corpus = spark.createDataFrame(_corpus_rows(), "doc_id long, text string")
+    index = str(tmp_path / "index")
+    write_dedup_index(corpus, index, n_buckets=16)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    target = str(tmp_path / "target")
+    _write_batch(src, "b0.json", [(10, _BASE), (11, _FRESH)])
+
+    def run(ckpt: str):
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = streaming_dedup_ingest(
+            stream, index, target, threshold=0.6,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("ckpt")
+    assert _accepted_ids(spark, target) == {11}
+    # simulate the crash: drop the manifest line (as if the process
+    # died between the index append and the manifest write), then
+    # replay the same source through a fresh checkpoint
+    os.remove(os.path.join(target, "_committed_batches"))
+    run("ckpt2")
+    assert _accepted_ids(spark, target) == {11}
+    # 11 survived its own replay (self-match excluded), and its target
+    # directory was rewritten with identical content, not emptied
+    rows = spark.read.parquet(os.path.join(target, "data")).collect()
+    assert {r["doc_id"] for r in rows} == {11}
