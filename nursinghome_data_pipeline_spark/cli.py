@@ -299,9 +299,20 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
             batch = spark.read.parquet(args.batch_path)
         else:
             batch = load_tables(spark, args.sf_dir, [args.table])[args.table]
+        meta = load_ann_meta(args.path)
+        missing = {meta.get("id_col"), meta.get("text_col")} - set(batch.columns)
+        if meta.get("kind") == "minhash" and missing:
+            print(
+                f"ann-index dedup: batch lacks the index's column(s) "
+                f"{sorted(missing)} (sidecar: id_col={meta['id_col']!r}, "
+                f"text_col={meta['text_col']!r}) — point --batch-path/"
+                "--table at document rows",
+                file=sys.stderr,
+            )
+            return 2
         pairs = dedup_batch_against_index(
             spark, batch, args.path, threshold=args.threshold
-        )
+        ).localCheckpoint(eager=False)  # count + top-20 share one run
         rows = pairs.orderBy(F.desc("jaccard")).limit(20).collect()
         print(
             f"{pairs.count()} near-dup pairs >= {args.threshold} "
@@ -331,6 +342,16 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
         if args.kind == "minhash":
             from .operators.dedup_index import write_dedup_index
 
+            missing = {args.id_col, args.text_col} - set(emb.columns)
+            if missing:
+                print(
+                    f"ann-index build --kind minhash: table "
+                    f"{args.table!r} lacks column(s) {sorted(missing)} — "
+                    "set --id-col/--text-col (and likely --table "
+                    "documents --id-col doc_id)",
+                    file=sys.stderr,
+                )
+                return 2
             write_dedup_index(
                 emb,
                 args.path,
@@ -340,7 +361,10 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
                 bands=args.bands,
                 shingle_k=args.shingle_k,
                 n_buckets=args.n_buckets if args.n_buckets else "auto",
-                files_per_partition=args.files_per_partition,
+                # None here means "flag not given": keep the writer's
+                # deliberate compaction default (1) rather than
+                # forwarding None and silently disabling it
+                files_per_partition=args.files_per_partition or 1,
             )
             meta = load_ann_meta(args.path)
             n = spark.read.parquet(args.path).count()

@@ -344,6 +344,20 @@ def minhash_lsh_candidate_pairs(
     )
 
 
+def jaccard_verify_col(sh_a: Column, sh_b: Column) -> Column:
+    """Exact Jaccard of two DISTINCT-shingle-hash arrays — the single
+    owner of the verify expression. :func:`near_duplicate_pairs` and
+    the at-rest index probe (``dedup_index.dedup_batch_against_index``)
+    both verify with THIS column so their outputs stay bit-identical
+    (pinned by ``tests/test_dedup_index.py``); a drift between two
+    inline copies would silently break that parity."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
 def ngram_jaccard_col(a: Column | str, b: Column | str, *, shingle_k: int = 3) -> Column:
     """Exact Jaccard similarity of two texts' shingle sets (verify step)."""
     sa = F.array_distinct(_shingles(a, shingle_k))
@@ -1049,11 +1063,7 @@ def near_duplicate_pairs(
     )
     sa = sets.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("_sh_a"))
     sb = sets.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("_sh_b"))
-    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
-    union = F.size(F.array_union("_sh_a", "_sh_b"))
-    jaccard = F.when(union == 0, F.lit(0.0)).otherwise(
-        inter.cast("double") / union.cast("double")
-    )
+    jaccard = jaccard_verify_col(F.col("_sh_a"), F.col("_sh_b"))
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")

@@ -44,10 +44,15 @@ incremental-ingest shape a training-data pipeline needs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import band_key_col, minhash_signature_col, shingle_hash_col
+from .dedup import (
+    band_key_col,
+    jaccard_verify_col,
+    minhash_signature_col,
+    shingle_hash_col,
+)
 from .similarity import (
     _require_kind,
     _require_local_path,
@@ -147,6 +152,13 @@ def route_dedup_append(df: DataFrame, meta: dict) -> tuple[DataFrame, str]:
     keys are uniform, so an un-shuffled append of a B-task batch would
     add up to B files to EVERY matched directory per append — the
     small-file explosion the build-side default guards against."""
+    missing = {meta["id_col"], meta["text_col"]} - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"append to minhash index: batch lacks column(s) "
+            f"{sorted(missing)} — the sidecar expects "
+            f"id_col={meta['id_col']!r}, text_col={meta['text_col']!r}"
+        )
     routed = _banded_rows(
         df,
         id_col=meta["id_col"],
@@ -222,16 +234,6 @@ def write_dedup_index(
             "shingle_k": shingle_k,
             "n_buckets": n_buckets,
         },
-    )
-
-
-def _jaccard(sh_a: Column, sh_b: Column) -> Column:
-    """EXACTLY near_duplicate_pairs' verify expression — bit-equal
-    doubles are part of the parity contract."""
-    inter = F.size(F.array_intersect(sh_a, sh_b))
-    union = F.size(F.array_union(sh_a, sh_b))
-    return F.when(union == 0, F.lit(0.0)).otherwise(
-        inter.cast("double") / union.cast("double")
     )
 
 
@@ -316,5 +318,5 @@ def dedup_batch_against_index(
     return cands.select(
         "batch_id",
         "corpus_id",
-        _jaccard(F.col("_sh_b"), F.col("_sh_c")).alias("jaccard"),
+        jaccard_verify_col(F.col("_sh_b"), F.col("_sh_c")).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)

@@ -930,12 +930,22 @@ def compact_ann_index(
             # (path, size, mtime) — not bare paths — so a rogue writer
             # that overwrites an existing part file IN PLACE (same
             # name) is still caught before the swap discards its data.
+            # A file vanishing between glob and stat is itself a
+            # concurrent-writer signal: record a sentinel so the
+            # before/after comparison trips the clean abort instead of
+            # leaking FileNotFoundError past the gate.
+            def _stat(p: str) -> tuple[str, int, float]:
+                try:
+                    st = os.stat(p)
+                    return (p, st.st_size, st.st_mtime)
+                except FileNotFoundError:
+                    return (p, -1, -1.0)
+
             return {
-                (p, st.st_size, st.st_mtime)
+                _stat(p)
                 for p in _glob.glob(
                     os.path.join(path, "**", "*.parquet"), recursive=True
                 )
-                for st in (os.stat(p),)
             }
 
         before = _data_files()

@@ -33,6 +33,10 @@ Idempotency is CRASH-POINT-COMPLETE, not just manifest-gated:
   (``ingest_batch=<id>/``), so replays rewrite in place instead of
   double-appending.
 
+Null-text rows (no content to fingerprint) bypass every dedup stage:
+they pass straight to the sink and are never posted to the index —
+filter them upstream if the corpus should not carry them.
+
 Within-batch near-dup policy: after exact dedup (min-id winner per
 ``md5(text)``), any doc that is the HIGHER id of a verified near-dup
 pair is dropped — the greedy min-id-survives rule. On a chain
@@ -92,6 +96,15 @@ def streaming_dedup_ingest(
             bands=int(meta["bands"]),
             shingle_k=int(meta["shingle_k"]),
         )
+        # Null-text rows carry no content to fingerprint: they cannot
+        # be near-dups of anything, so they bypass every dedup stage
+        # and pass straight to the sink (never the index — there is
+        # nothing to post). A null-unsafe md5 join here would silently
+        # DROP them instead (NULL == NULL is NULL under an inner join).
+        null_text = batch.where(F.col(text_col).isNull()).localCheckpoint(
+            eager=False
+        )
+        batch = batch.where(F.col(text_col).isNotNull())
         # stage 1 — exact within batch: min-id winner per text hash
         w = batch.groupBy(F.md5(text_col).alias("__fp")).agg(
             F.min(id_col).alias("__keep")
@@ -127,10 +140,14 @@ def streaming_dedup_ingest(
             .select(F.col("batch_id").alias(id_col))
             .distinct()
         )
-        accepted = survivors.join(dup_ids, id_col, "left_anti")
+        # the accepted set is materialized TWICE below (target write +
+        # index append) — pin it so the probe/anti-join subtree runs once
+        accepted = survivors.join(dup_ids, id_col, "left_anti").localCheckpoint(
+            eager=False
+        )
         # commit order: target (idempotent per-batch overwrite) →
         # index append (replay-benign) → manifest (gates the skip)
-        accepted.write.mode("overwrite").parquet(
+        accepted.unionByName(null_text).write.mode("overwrite").parquet(
             os.path.join(target_dir, "data", f"ingest_batch={batch_id}")
         )
         append_to_ann_index(accepted.select(id_col, text_col), index_path)

@@ -147,15 +147,17 @@ def test_load_dirty_flag_set_only_above_threshold():
     """r6 verdict ask #6: a contended run must be machine-readably
     dirty; a clean run must not carry the flag."""
     clean = json.loads(
-        bench.summary_line({"q1": 1.0}, 1.0, 0.1, load1=(0.2, 1.5))
+        bench.summary_line({"q1": 1.0}, 1.0, 0.1, load1=(0.2, 1.2))
     )
     assert "load_dirty" not in clean  # threshold is exclusive
     dirty_start = json.loads(
         bench.summary_line({"q1": 1.0}, 1.0, 0.1, load1=(2.7, 0.1))
     )
     assert dirty_start["load_dirty"] is True
+    # the r5/r6 motivating case — load1 ~1.4 inflating results ~1.4x —
+    # must itself be flagged (a 1.5 cutoff waved it through)
     dirty_end = json.loads(
-        bench.summary_line({"q1": 1.0}, 1.0, 0.1, load1=(0.1, 1.6))
+        bench.summary_line({"q1": 1.0}, 1.0, 0.1, load1=(0.1, 1.4))
     )
     assert dirty_end["load_dirty"] is True
     no_load = json.loads(bench.summary_line({"q1": 1.0}, 1.0, 0.1))

@@ -196,7 +196,7 @@ def test_cli_ann_index_append(tmp_path, spark, capsys):
     assert main(["ann-index", "append", path, "--sf-dir", SF_DIR]) == 0
     out = capsys.readouterr().out
     # the message reports the O(batch) count, never a full-index scan
-    assert f"appended {n0} vectors" in out
+    assert f"appended {n0} rows" in out
     assert spark.read.parquet(path).count() == 2 * n0
 
 

@@ -148,6 +148,34 @@ def test_stream_dedups_within_and_across_batches(spark, tmp_path):
     assert spark.read.parquet(index).count() == before
 
 
+def test_null_text_rows_pass_through_not_dropped(spark, tmp_path):
+    """Null-text docs carry nothing to fingerprint: they must reach the
+    sink (a null-unsafe md5 join silently dropped them) and must NOT be
+    posted to the index."""
+    corpus = spark.createDataFrame(_corpus_rows(), "doc_id long, text string")
+    index = str(tmp_path / "index")
+    write_dedup_index(corpus, index, n_buckets=16)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    target = str(tmp_path / "target")
+    with open(os.path.join(src, "b0.json"), "w", encoding="utf-8") as f:
+        f.write(json.dumps({"doc_id": 50, "text": None}) + "\n")
+        f.write(json.dumps({"doc_id": 51, "text": None}) + "\n")
+        f.write(json.dumps({"doc_id": 52, "text": _FRESH}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = streaming_dedup_ingest(
+        stream, index, target, threshold=0.6,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _accepted_ids(spark, target) == {50, 51, 52}
+    idx_ids = {r["doc_id"] for r in spark.read.parquet(index).collect()}
+    assert 52 in idx_ids and not ({50, 51} & idx_ids)
+
+
 def test_crash_replay_after_index_append_is_idempotent(spark, tmp_path):
     """The dangerous crash point: index appended, manifest NOT written.
     The replay probes an index already containing the batch's accepted
