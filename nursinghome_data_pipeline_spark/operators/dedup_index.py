@@ -206,6 +206,12 @@ def write_dedup_index(
     from .similarity import _compact_for_write
 
     _require_local_path(path, "write_dedup_index")
+    if n_hashes % bands != 0:
+        # validate BEFORE the auto-sizing count — invalid parameters
+        # must not cost a full corpus scan to discover
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes})"
+        )
     if n_buckets == "auto":
         n_buckets = auto_dedup_buckets(
             n_docs if n_docs is not None else docs.count(), bands=bands
@@ -311,6 +317,11 @@ def dedup_batch_against_index(
     )
     cands = (
         bb.join(corpus, ["band", "bkey"])
+        # a re-probed doc whose id already lives in the index would
+        # match its own postings (jaccard 1.0) — the in-memory twin
+        # over corpus ∪ batch can never emit a self-pair (id_a < id_b),
+        # so neither does this probe
+        .where(F.col("batch_id") != F.col("corpus_id"))
         .select("batch_id", "corpus_id", "_sh_b", "_sh_c")
         # a pair sharing several bands must verify once, not per band
         .dropDuplicates(["batch_id", "corpus_id"])

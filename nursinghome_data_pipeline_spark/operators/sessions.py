@@ -91,8 +91,16 @@ def sessionize_bucketed(
     # timezone unix_micros reads the same wall-clock instant DuckDB's
     # epoch_us sees on a naive timestamp.
     us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    # INTEGER division (`div`), not `/`: Spark's `/` casts to double,
+    # and a timestamp with |unix_micros| > 2^53 (e.g. a 9999-12-31
+    # sentinel) loses µs converting — two near-boundary events could
+    # bucket out of time order, breaking the stitch's monotonicity.
+    # `div` truncates toward zero (vs floor), which only makes the
+    # epoch-straddling bucket twice as wide — the stitch needs the
+    # us→bucket map to be MONOTONE, not any particular origin.
     df = events.withColumn("__us", us).withColumn(
-        "__bkt", F.coalesce(F.floor(F.col("__us") / bucket_us), F.lit(_NULL_BUCKET))
+        "__bkt",
+        F.coalesce(F.expr(f"__us div {bucket_us}"), F.lit(_NULL_BUCKET)),
     )
 
     order = [F.col(ts_col), *(F.col(c) for c in tiebreak_cols)]
@@ -113,6 +121,15 @@ def sessionize_bucketed(
             w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    # flagged feeds BOTH the stats aggregation and the renumbering
+    # join below, so the (user, bucket) sort + LAG + prefix-sum window
+    # executes twice (Spark reuses the exchange but not the window
+    # compute above it). That recompute is DELIBERATE: pinning flagged
+    # with localCheckpoint materializes every input row through the
+    # block manager, measured 3× slower than the second window pass on
+    # the 20M-row hot-session probe (17.4 s vs 5.5 s) — recomputation
+    # from the shared shuffle is the cheaper branch at every scale
+    # where this operator matters.
 
     # per-(user, bucket) stats: rows ∝ active buckets, not events.
     # min/max ignore nulls, so an all-null-ts bucket reports null

@@ -33,6 +33,15 @@ Idempotency is CRASH-POINT-COMPLETE, not just manifest-gated:
   (``ingest_batch=<id>/``), so replays rewrite in place instead of
   double-appending.
 
+Known constant-factor trade, documented rather than hidden: the
+surviving docs are fingerprinted up to three times per micro-batch
+(the within-batch pair pass, the index probe's banding, and the
+append's sidecar-routed banding). Each pass is bounded by BATCH size —
+never corpus size — so the asymptotic story is unchanged; threading
+one banded projection through all three stages would save the
+redundancy at the cost of a private cross-module API, a trade worth
+taking only if profiled batches show the fingerprint dominating.
+
 Null-text rows (no content to fingerprint) bypass every dedup stage:
 they pass straight to the sink and are never posted to the index —
 filter them upstream if the corpus should not carry them.
@@ -74,10 +83,23 @@ def streaming_dedup_ingest(
 
     from pyspark.sql import SparkSession
 
-    from ..operators.dedup import near_duplicate_pairs
+    from ..operators.dedup import (
+        exact_dedup_fingerprints,
+        near_duplicate_pairs,
+    )
     from ..operators.dedup_index import dedup_batch_against_index
-    from ..operators.similarity import append_to_ann_index, load_ann_meta
+    from ..operators.similarity import (
+        _require_local_path,
+        append_to_ann_index,
+        load_ann_meta,
+    )
 
+    # the committed-batch manifest is driver-local open()/exists —
+    # same sidecar class as the index protocol, same gate: on a
+    # scheme URI the data writes would succeed and the exactly-once
+    # bookkeeping would silently land in a cwd-relative local file
+    _require_local_path(target_dir, "streaming_dedup_ingest")
+    _require_local_path(index_path, "streaming_dedup_ingest")
     manifest = os.path.join(target_dir, "_committed_batches")
 
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:
@@ -105,14 +127,14 @@ def streaming_dedup_ingest(
             eager=False
         )
         batch = batch.where(F.col(text_col).isNotNull())
-        # stage 1 — exact within batch: min-id winner per text hash
-        w = batch.groupBy(F.md5(text_col).alias("__fp")).agg(
-            F.min(id_col).alias("__keep")
-        )
-        exact = batch.join(
-            w, (F.md5(F.col(text_col)) == F.col("__fp"))
-            & (F.col(id_col) == F.col("__keep")),
-        ).drop("__fp", "__keep")
+        # stage 1 — exact within batch: the canonical min-id-per-md5
+        # winner rule lives in ONE place (exact_dedup_fingerprints);
+        # a semi-join on its winning ids recovers the full rows (ids
+        # are unique across the stream by contract)
+        winners = exact_dedup_fingerprints(
+            batch, text_col=text_col, id_col=id_col
+        ).select(id_col)
+        exact = batch.join(winners, id_col, "left_semi")
         # the batch is re-read by three dedup stages — pin it
         exact = exact.localCheckpoint(eager=False)
         # stage 2 — near within batch: drop the higher id of each

@@ -165,6 +165,19 @@ def test_compact_preserves_probe_and_sidecar(spark, sf_dir, tmp_path):
     assert before == after and before
 
 
+def test_reprobe_of_indexed_doc_emits_no_self_pair(spark, sf_dir, tmp_path):
+    """A batch doc whose id already lives in the index must not match
+    its own postings — the in-memory twin (id_a < id_b) can never emit
+    a self-pair, so neither may the probe."""
+    docs = _docs(spark, sf_dir)
+    corpus, _ = _split(docs)
+    path = str(tmp_path / "dedup_index")
+    write_dedup_index(corpus, path)
+    reprobe = corpus.limit(5)
+    pairs = dedup_batch_against_index(spark, reprobe, path, threshold=0.99)
+    assert all(r["batch_id"] != r["corpus_id"] for r in pairs.collect())
+
+
 def test_auto_bucket_sizing_pinned_and_equals_explicit(spark, sf_dir, tmp_path):
     """auto_dedup_buckets is pure driver arithmetic (pin it), and
     n_buckets='auto' must build the byte-identical index the explicit

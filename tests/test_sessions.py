@@ -159,6 +159,29 @@ def test_seeded_random_battery_equals_twin(spark):
         assert got == want, f"seed={seed} bucket={bucket_minutes}"
 
 
+def test_far_future_timestamps_bucket_exactly(spark):
+    """|unix_micros| > 2^53 (e.g. a 9999-12-31 sentinel) would lose µs
+    under double division — bucket assignment must be integer `div` so
+    near-boundary events keep their time order and the output still
+    matches the twin."""
+    far = datetime.datetime(9999, 12, 30, 23, 0, 0)
+    rows = [
+        (7, far),
+        (7, far + datetime.timedelta(microseconds=3)),
+        (7, far + datetime.timedelta(minutes=29)),
+        (7, far + datetime.timedelta(minutes=61)),  # > gap: new session
+        (8, far - datetime.timedelta(days=2)),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u) for i, (u, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    for bucket_minutes in (7, 60):
+        got = _rows(sessionize_bucketed(df, bucket_minutes=bucket_minutes))
+        want = _rows(_twin(df))
+        assert got == want, f"bucket_minutes={bucket_minutes}"
+
+
 def test_hot_key_timeline_is_actually_split(spark):
     """The scale claim: a hot user's rows occupy many (user, bucket)
     groups, so the local window's max per-task partition is bounded by
