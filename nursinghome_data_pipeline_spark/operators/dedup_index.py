@@ -37,6 +37,12 @@ sidecar's own geometry; :func:`~.similarity.compact_ann_index` bounds
 files per directory under the Dekker intent/lock handshake) — one
 lifecycle implementation, three index kinds.
 
+The same probe is decontamination-at-rest: index the TRAINING corpus
+once, probe with the evaluation/benchmark set — every returned pair is
+a contaminated training doc, found without rescanning the corpus (the
+in-memory `corpus.decontaminate` twin re-shingles the corpus per
+benchmark sweep).
+
 Reference parity note: the reference pipeline has no dedup at all;
 this extends the engine-native dedup family (SURVEY §2.10 ext) to the
 incremental-ingest shape a training-data pipeline needs.
