@@ -303,6 +303,22 @@ def _dedup_index_probe(spark, sf_dir: str):
     return dedup_batch_against_index(spark, batch, path, threshold=0.35)
 
 
+def _sessionize_bucketed_events(spark, sf_dir: str):
+    """The skew-safe split-and-stitch sessionizer over the events
+    table (operators/sessions.py) — bit-equal to the registry's
+    user_sessions window twin (pinned), benched so the bucketed plan's
+    overhead vs the single-window default stays visible per round (the
+    hot-key crossover itself is measured by scaling_probe
+    --hotsession: 2.9x at 19M rows on one user)."""
+    from nursinghome_data_pipeline_spark.operators.sessions import (
+        sessionize_bucketed,
+    )
+    from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return sessionize_bucketed(events, bucket_minutes=24 * 60)
+
+
 def _embedding_near_dup_auto(spark, sf_dir: str):
     """Embedding near-dup at the OPERATOR defaults (n_planes='auto',
     corpus-size-adaptive) — the registry twin pins n_planes=6 for
@@ -328,6 +344,7 @@ EXTRA_BENCH = {
     "knn_lsh_partitioned_probe": _lsh_partitioned_probe,
     "embedding_near_dup_auto": _embedding_near_dup_auto,
     "dedup_index_batch_probe": _dedup_index_probe,
+    "sessionize_bucketed_events": _sessionize_bucketed_events,
 }
 
 
