@@ -185,3 +185,109 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """PageRank over a DataFrame edge list — (node, rank), Σrank = 1.
+
+    ``edges``: (u, v) pairs, each once; with ``directed=False``
+    (co-activity graphs here) each edge contributes both directions.
+    Standard power iteration with uniform teleport:
+
+        rank' = (1−d)/N + d·(Σ incoming rank/out_deg + dangling/N)
+
+    Dangling vertices (no out-edges — only possible when directed)
+    redistribute their mass uniformly, so total rank stays exactly 1
+    per iteration and the result is a probability distribution, not a
+    relative score.
+
+    Scale design, the same discipline as :func:`bfs_hops` /
+    ``dedup.connected_components``:
+
+    - the adjacency and each vertex's out-degree materialize ONCE
+      (eager ``localCheckpoint``) — every iteration joins against the
+      same bounded relation, never re-deriving the edge subtree;
+    - one shuffle per iteration: the ranks⋈adjacency join keys on the
+      source vertex and the contribution sum groups by destination —
+      with AQE both land on the same hash partitioning, and the rank
+      vector (|V| rows, two columns) is the only thing that moves;
+    - per-iteration lazy ``localCheckpoint`` on the new rank vector
+      truncates lineage (O(max_iter) plan depth, not exponential);
+    - the dangling-mass term is a scalar ``first()`` on a one-row
+      aggregate — a bounded driver action per iteration, same class
+      as the CC convergence counter. With ``directed=False`` every
+      vertex has out-edges, the dangling sum is provably zero, and
+      the per-iteration action is SKIPPED entirely — the default
+      co-activity path runs max_iter iterations with zero driver
+      round-trips.
+
+    Fixed ``max_iter`` (no tolerance test) keeps the iteration count —
+    and the plan — deterministic; callers wanting convergence detection
+    can compare successive outputs themselves.
+    """
+    if directed:
+        adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    else:
+        adj = edges.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    adj = adj.localCheckpoint(eager=True)
+    vertices = (
+        adj.select(F.col("src").alias("node"))
+        .unionAll(adj.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = vertices.count()
+    if n == 0:
+        return vertices.withColumn("rank", F.lit(0.0))
+    out_deg = (
+        adj.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = vertices.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for _ in range(max_iter):
+        src_rank = ranks.join(out_deg, "node", "left")
+        dangling = 0.0
+        if directed:
+            row = (
+                src_rank.where(F.col("out_deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("s"))
+                .first()
+            )
+            dangling = float(row["s"])
+        contribs = (
+            src_rank.join(adj, src_rank["node"] == adj["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            vertices.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_sum"), F.lit(0.0))
+                        + F.lit(dangling / n)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

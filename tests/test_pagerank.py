@@ -1,0 +1,106 @@
+"""pagerank differentials: the distributed power iteration must match
+a driver-side numpy power iteration (same damping/teleport/dangling
+semantics) on directed and undirected graphs, and behave analytically
+on known structures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nursinghome_data_pipeline_spark.operators.graph import (
+    cooccurrence_edges,
+    pagerank,
+)
+
+
+def _numpy_pagerank(edges, n_iter, damping=0.85, directed=False):
+    """Reference power iteration on a dense matrix, same update rule."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = [[] for _ in range(n)]  # adj[src] = [dst...]
+    pairs = list(edges) + ([] if directed else [(v, u) for u, v in edges])
+    for u, v in pairs:
+        adj[idx[u]].append(idx[v])
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        new = np.full(n, (1.0 - damping) / n)
+        dangling = sum(rank[s] for s in range(n) if not adj[s])
+        new += damping * dangling / n
+        for s in range(n):
+            if adj[s]:
+                share = rank[s] / len(adj[s])
+                for d in adj[s]:
+                    new[d] += damping * share
+        rank = new
+    return {v: rank[idx[v]] for v in nodes}
+
+
+def _spark_ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "u long, v long")
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_matches_numpy_power_iteration(spark, directed):
+    rng = np.random.default_rng(20260815)
+    edges = list(
+        {
+            (int(a), int(b))
+            for a, b in rng.integers(0, 30, size=(120, 2))
+            if a != b
+        }
+    )
+    got = _spark_ranks(spark, edges, max_iter=8, directed=directed)
+    want = _numpy_pagerank(edges, n_iter=8, directed=directed)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # a probability distribution, not a relative score
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_star_graph_analytic_shape(spark):
+    """Undirected star: the hub outranks every leaf; leaves tie."""
+    edges = [(0, i) for i in range(1, 9)]
+    got = _spark_ranks(spark, edges, max_iter=20)
+    leaves = [got[i] for i in range(1, 9)]
+    assert got[0] > max(leaves) * 2
+    assert max(leaves) - min(leaves) < 1e-12
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_directed_dangling_mass_is_redistributed(spark):
+    """2 -> sink 3: the sink has no out-edges; its mass must recycle
+    uniformly (sum stays 1) rather than leak."""
+    edges = [(0, 1), (1, 2), (2, 3)]
+    got = _spark_ranks(spark, edges, max_iter=15, directed=True)
+    want = _numpy_pagerank(edges, n_iter=15, directed=True)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_on_event_coactivity_graph(spark, sf_dir):
+    """End-to-end over the same edge builder the registry graph
+    queries use; sanity properties only (the exact values are pinned
+    by the numpy differential above)."""
+    from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    buckets = events.select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        (F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 3_600_000_000)
+        .cast("long")
+        .alias("hr"),
+    )
+    edges = cooccurrence_edges(buckets, node_col="user_id", bucket_cols=["et", "hr"])
+    ranks = pagerank(edges, max_iter=5)
+    rows = ranks.collect()
+    assert rows
+    total = sum(r["rank"] for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-6)
+    assert min(r["rank"] for r in rows) > 0
