@@ -279,6 +279,17 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
     )
     from .sources.tpch import load_tables
 
+    # validate BEFORE the session: an explicit 0 is not "flag not
+    # given" (the old `or 1` conflated them), and a non-positive count
+    # would only surface downstream as a pmod-by-zero error
+    if args.files_per_partition is not None and args.files_per_partition < 1:
+        print(
+            f"ann-index: --files-per-partition must be >= 1 "
+            f"(got {args.files_per_partition}); omit the flag for the "
+            "action's default",
+            file=sys.stderr,
+        )
+        return 2
     spark = _session(args)
     if args.action == "append":
         emb = load_tables(spark, args.sf_dir, [args.table])[args.table]
@@ -300,8 +311,19 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
         else:
             batch = load_tables(spark, args.sf_dir, [args.table])[args.table]
         meta = load_ann_meta(args.path)
+        if meta.get("kind") != "minhash":
+            # mirror the build/--kind validation style: a clean
+            # stderr+2, not _require_kind's raw traceback
+            print(
+                f"ann-index dedup: index at {args.path} is "
+                f"kind={meta.get('kind')!r} — dedup probes need a "
+                "minhash index (build one with ann-index build "
+                "--kind minhash)",
+                file=sys.stderr,
+            )
+            return 2
         missing = {meta.get("id_col"), meta.get("text_col")} - set(batch.columns)
-        if meta.get("kind") == "minhash" and missing:
+        if missing:
             print(
                 f"ann-index dedup: batch lacks the index's column(s) "
                 f"{sorted(missing)} (sidecar: id_col={meta['id_col']!r}, "
@@ -325,11 +347,36 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
     if args.action == "compact":
         from .operators.similarity import compact_ann_index
 
+        if args.regeometry and load_ann_meta(args.path).get("kind") != "minhash":
+            print(
+                f"ann-index compact --regeometry: index at {args.path} "
+                f"is kind={load_ann_meta(args.path).get('kind')!r} — "
+                "geometry refresh only applies to minhash dedup "
+                "indexes (IVF seeds / LSH planes define routing "
+                "semantics, not just partitioning)",
+                file=sys.stderr,
+            )
+            return 2
         n_files = compact_ann_index(
             spark, args.path,
-            files_per_partition=args.files_per_partition or 1,
+            # explicit-None-vs-default: flag not given keeps the
+            # deliberate compaction default (1); values < 1 were
+            # rejected before the session was built
+            files_per_partition=(
+                1 if args.files_per_partition is None
+                else args.files_per_partition
+            ),
+            regeometry=args.regeometry,
         )
-        print(f"compacted index at {args.path}: {n_files} data files")
+        if args.regeometry:
+            meta = load_ann_meta(args.path)
+            print(
+                f"compacted index at {args.path}: {n_files} data files, "
+                f"regeometry -> {meta['bands']}x{meta['n_buckets']} "
+                "bucket dirs"
+            )
+        else:
+            print(f"compacted index at {args.path}: {n_files} data files")
         return 0
     if args.action == "build":
         if not args.kind:
@@ -361,10 +408,13 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
                 bands=args.bands,
                 shingle_k=args.shingle_k,
                 n_buckets=args.n_buckets if args.n_buckets else "auto",
-                # None here means "flag not given": keep the writer's
-                # deliberate compaction default (1) rather than
-                # forwarding None and silently disabling it
-                files_per_partition=args.files_per_partition or 1,
+                # explicit-None-vs-default: flag not given keeps the
+                # writer's deliberate compaction default (1); values
+                # < 1 were rejected before the session was built
+                files_per_partition=(
+                    1 if args.files_per_partition is None
+                    else args.files_per_partition
+                ),
             )
             meta = load_ann_meta(args.path)
             n = spark.read.parquet(args.path).count()
@@ -545,6 +595,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seed", type=int, default=42, help="lsh: plane RNG seed")
     p.add_argument("--files-per-partition", type=int, default=None,
                    help="bound files per cell/bucket dir (one build shuffle)")
+    p.add_argument("--regeometry", action="store_true",
+                   help="compact (minhash only): re-derive n_buckets "
+                   "from the current corpus size and re-route postings")
     p.add_argument("--query-id", type=int, default=0,
                    help="probe: take the query vector from this source row")
     p.add_argument("--query-vec", default=None,

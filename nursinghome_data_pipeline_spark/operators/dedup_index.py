@@ -68,6 +68,25 @@ from .similarity import (
 )
 
 
+#: Internal projection names (`sig` is _banded_rows-local; pb/band/
+#: bkey/sh persist in the index; batch_id/corpus_id are the probe's
+#: output aliases). A caller id_col with one of these names would
+#: silently collide or misbind — same guard as
+#: ``skew.bucketed_global_order``'s reserved columns.
+_RESERVED_COLS = frozenset(
+    {"pb", "band", "bkey", "sh", "sig", "batch_id", "corpus_id"}
+)
+
+
+def _require_unreserved(id_col: str, caller: str) -> None:
+    if id_col in _RESERVED_COLS:
+        raise ValueError(
+            f"{caller}: id_col {id_col!r} collides with an internal "
+            f"index column — rename it (reserved: "
+            f"{sorted(_RESERVED_COLS)})"
+        )
+
+
 def _banded_rows(
     df: DataFrame,
     *,
@@ -81,6 +100,7 @@ def _banded_rows(
     """(pb, band, bkey, <id>, sh) rows — bands rows per doc, the shared
     projection for index build, append routing, and the batch side of
     the probe. One pass: tokenize/shingle once, signature once."""
+    _require_unreserved(id_col, "_banded_rows")
     if n_hashes % bands != 0:
         raise ValueError(
             f"bands ({bands}) must divide n_hashes ({n_hashes})"
@@ -201,6 +221,21 @@ def write_dedup_index(
     the internal count), so the geometry tracks corpus growth the way
     ``n_planes="auto"`` does for the embedding LSH.
 
+    ``(n_hashes, bands)`` set the recall curve, and the curve is
+    MEASURED, not assumed (tests/test_minhash_recall.py + SCALE.md
+    "minhash banding recall"): recall at Jaccard j is
+    ``dedup.banding_detection_prob(j, n_hashes=…, bands=…)`` =
+    ``1−(1−j^r)^b`` within sampling tolerance for this signature
+    family. Guidance from the measured table: the default 16×4
+    (r=4) reads ~0.99 at j≈0.90 but only ~0.59 at j≈0.67 — size for
+    the LOOSEST threshold you probe at. Holding r=4 and doubling
+    bands (32×8) lifts the j≈0.67 floor to ~0.83 at 2× signature
+    cost; 64×16 reaches ~0.97. Raising r at fixed bands (32×4, r=8)
+    COSTS recall at every level (~0.91 at j≈0.90) — do that only to
+    suppress low-j candidate noise, never to "use more hashes".
+    Recall composes with the banding only — the exact verify never
+    rejects a true pair above ``threshold``.
+
     Unlike the IVF/LSH writers, ``files_per_partition`` DEFAULTS ON
     (1): band keys are uniform by construction, so a shuffle-free
     write puts every input task's rows into every directory — measured
@@ -212,6 +247,9 @@ def write_dedup_index(
     from .similarity import _compact_for_write
 
     _require_local_path(path, "write_dedup_index")
+    # before the auto-sizing count — a reserved id_col must not cost
+    # a full corpus scan to discover
+    _require_unreserved(id_col, "write_dedup_index")
     if n_hashes % bands != 0:
         # validate BEFORE the auto-sizing count — invalid parameters
         # must not cost a full corpus scan to discover

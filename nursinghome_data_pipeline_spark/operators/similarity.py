@@ -847,11 +847,30 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
 
 
 def compact_ann_index(
-    spark, path: str, *, files_per_partition: int = 1
+    spark, path: str, *, files_per_partition: int = 1,
+    regeometry: bool = False,
 ) -> int:
     """Rewrite an at-rest ANN index with bounded files per partition
     directory, preserving rows, routing, and the sidecar. Returns the
     new data-file count.
+
+    ``regeometry=True`` (``kind="minhash"`` only) additionally
+    re-derives the bucket count from the CURRENT corpus size
+    (``dedup_index.auto_dedup_buckets`` — the same formula the build
+    uses) and re-routes every posting under the new geometry.
+    ``write_dedup_index`` sizes ``n_buckets`` once, at build time; a
+    corpus grown 100× by appends keeps that stale geometry, so each of
+    the fixed ``bands × n_buckets`` directories accumulates ∝ corpus
+    postings — the per-directory scan-task bound the auto-sizing
+    exists to hold. Re-routing needs NO re-shingling: the stored
+    ``band``/``bkey`` columns recompute ``pb`` exactly as the build
+    does (``pb = band·n_buckets' + bkey mod n_buckets'``), so the
+    result is bit-identical to a fresh rebuild at the new geometry
+    (pinned by ``tests/test_dedup_index.py``) and the sidecar's
+    ``n_buckets`` is updated under the same atomic-swap + Dekker
+    protocol as the plain rewrite. IVF/LSH kinds reject the flag:
+    their geometry (seeds/planes) defines routing semantics, not just
+    partitioning, and cannot be re-derived from stored rows.
 
     Closes the index lifecycle: repeated :func:`append_to_ann_index`
     batches each add files to the probed directories, and at some
@@ -900,6 +919,13 @@ def compact_ann_index(
             f"in {path}/{ANN_META_FILE}"
         )
     part = parts[meta["kind"]]
+    if regeometry and meta["kind"] != "minhash":
+        raise ValueError(
+            f"compact_ann_index: regeometry=True only applies to "
+            f"kind='minhash' (got {meta['kind']!r}) — IVF seeds / LSH "
+            "planes define routing semantics and cannot be re-derived "
+            "from stored rows"
+        )
     tmp = path.rstrip("/") + ".compact.tmp"
     lock = os.path.join(path, ANN_COMPACT_LOCK)
     # Reclaim a crashed compaction's lock: singleton-compactor is the
@@ -950,6 +976,22 @@ def compact_ann_index(
 
         before = _data_files()
         df = spark.read.parquet(path)
+        if regeometry:
+            from .dedup_index import auto_dedup_buckets
+
+            # distinct ids, not row count: every doc posts `bands`
+            # rows, and replay-duplicated postings (benign, see
+            # append_to_ann_index) must not inflate the size estimate
+            n_docs = df.select(meta["id_col"]).distinct().count()
+            new_nb = auto_dedup_buckets(n_docs, bands=int(meta["bands"]))
+            df = df.withColumn(
+                "pb",
+                (
+                    F.col("band") * new_nb
+                    + F.pmod(F.col("bkey"), F.lit(new_nb))
+                ).cast("int"),
+            )
+            meta = {**meta, "n_buckets": new_nb}
         _compact_for_write(
             df, part, files_per_partition, meta["id_col"]
         ).write.mode("overwrite").partitionBy(part).parquet(tmp)

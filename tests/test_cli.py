@@ -238,3 +238,38 @@ def test_cli_ann_index_probe_with_inline_query_vec(tmp_path, spark, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "cosine_sim" in out and "|3 " in out.replace("| 3 ", "|3 ")
+
+
+def test_cli_ann_index_dedup_wrong_kind(tmp_path, spark, capsys):
+    """ADVICE r7: pointing the dedup action at a non-minhash index must
+    exit 2 with a clean stderr message, not surface _require_kind's
+    raw traceback."""
+    path = str(tmp_path / "lsh_not_dedup")
+    assert main(
+        ["ann-index", "build", path, "--kind", "lsh", "--sf-dir", SF_DIR,
+         "--n-planes", "4"]
+    ) == 0
+    capsys.readouterr()
+    rc = main(["ann-index", "dedup", path, "--sf-dir", SF_DIR])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "kind='lsh'" in err and "minhash" in err
+
+
+def test_cli_ann_index_nonpositive_files_per_partition_rejected(capsys):
+    """ADVICE r7: an explicit --files-per-partition 0 is not 'flag not
+    given' — reject non-positive values before any session/work (a 0
+    would only fail later as pmod-by-zero)."""
+    for action in ("compact", "build"):
+        rc = main(
+            ["ann-index", action, "/tmp/never-touched-idx",
+             "--kind", "minhash", "--files-per-partition", "0"]
+        )
+        assert rc == 2
+        assert "--files-per-partition must be >= 1" in capsys.readouterr().err
+    rc = main(
+        ["ann-index", "compact", "/tmp/never-touched-idx",
+         "--files-per-partition", "-3"]
+    )
+    assert rc == 2
+    assert "got -3" in capsys.readouterr().err

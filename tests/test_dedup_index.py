@@ -221,3 +221,83 @@ def test_probe_kind_mismatch_names_the_right_probe(spark, sf_dir, tmp_path):
     docs = _docs(spark, sf_dir)
     with pytest.raises(ValueError, match="minhash.*kind='ivf'"):
         dedup_batch_against_index(spark, docs.limit(1), path)
+
+
+def test_reserved_id_col_rejected(spark):
+    """ADVICE r7: an id_col named like an internal projection column
+    (pb/band/bkey/sh/sig) or a probe output alias (batch_id/corpus_id)
+    would silently collide or misbind — rejected up front, before the
+    auto-sizing corpus count."""
+    df = spark.range(3).select(
+        F.col("id").alias("band"), F.lit("a b c d").alias("text")
+    )
+    for bad in ("band", "pb", "bkey", "sh", "sig", "batch_id", "corpus_id"):
+        bad_df = df.select(F.col("band").alias(bad), "text")
+        with pytest.raises(ValueError, match=f"id_col '{bad}'"):
+            write_dedup_index(bad_df, "/tmp/never-written", id_col=bad)
+
+
+def test_regeometry_compaction_matches_fresh_rebuild(spark, sf_dir, tmp_path):
+    """r7 verdict ask #2: an index grown far past its build-time
+    geometry re-derives n_buckets on compact(regeometry=True) — and
+    the result (rows, sidecar, probe) is bit-identical to a fresh
+    rebuild at the auto geometry. Re-routing uses the STORED
+    band/bkey columns; no re-shingling."""
+    docs = _docs(spark, sf_dir)
+    corpus, batch = _split(docs)
+    small = corpus.where(F.col("doc_id") % 7 == 0)
+    rest = corpus.where(F.col("doc_id") % 7 != 0)
+    grown = str(tmp_path / "grown")
+    # deliberately outgrown geometry: 64 buckets where auto for the
+    # full corpus resolves to the lo-clamp (16 at this SF)
+    write_dedup_index(small, grown, n_buckets=64)
+    append_to_ann_index(rest.select("doc_id", "text"), grown)
+    fresh = str(tmp_path / "fresh")
+    write_dedup_index(corpus, fresh, n_buckets="auto")
+    assert load_ann_meta(grown)["n_buckets"] != load_ann_meta(fresh)["n_buckets"]
+
+    compact_ann_index(spark, grown, regeometry=True)
+    m_g, m_f = load_ann_meta(grown), load_ann_meta(fresh)
+    assert m_g["n_buckets"] == m_f["n_buckets"]
+    assert m_g["kind"] == "minhash" and m_g["bands"] == m_f["bands"]
+
+    key = lambda r: (r["pb"], r["band"], r["bkey"], r["doc_id"])  # noqa: E731
+    rows_g = sorted(
+        [(r["pb"], r["band"], r["bkey"], r["doc_id"], tuple(r["sh"]))
+         for r in spark.read.parquet(grown).collect()]
+    )
+    rows_f = sorted(
+        [(r["pb"], r["band"], r["bkey"], r["doc_id"], tuple(r["sh"]))
+         for r in spark.read.parquet(fresh).collect()]
+    )
+    assert rows_g == rows_f
+
+    pk = lambda r: (r["batch_id"], r["corpus_id"], r["jaccard"])  # noqa: E731
+    got = sorted(
+        dedup_batch_against_index(
+            spark, batch, grown, threshold=THRESHOLD
+        ).collect(),
+        key=pk,
+    )
+    want = sorted(
+        dedup_batch_against_index(
+            spark, batch, fresh, threshold=THRESHOLD
+        ).collect(),
+        key=pk,
+    )
+    assert [pk(r) for r in got] == [pk(r) for r in want]
+    assert got, "probe unexpectedly empty — the pin proves nothing"
+
+
+def test_regeometry_rejected_for_non_minhash(spark, sf_dir, tmp_path):
+    """IVF/LSH geometry defines routing semantics — regeometry must
+    reject, not silently no-op."""
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "lsh")
+    write_lsh_index(emb, path, dim=64, n_planes=4)
+    with pytest.raises(ValueError, match="regeometry=True only applies"):
+        compact_ann_index(spark, path, regeometry=True)
