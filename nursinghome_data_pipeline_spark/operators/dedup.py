@@ -344,6 +344,27 @@ def minhash_lsh_candidate_pairs(
     )
 
 
+def banding_detection_prob(jaccard: float, *, n_hashes: int, bands: int) -> float:
+    """P[a pair at exactly this Jaccard shares ≥1 band] under the
+    standard minhash banding model: each of the ``n_hashes`` rows
+    collides independently w.p. ``jaccard`` (the minhash identity), so
+    a band of ``r = n_hashes/bands`` rows collides w.p. ``jaccard^r``
+    and detection is ``1 − (1 − jaccard^r)^bands`` (Broder '97 /
+    MMDS ch.3). This is the recall FLOOR over pairs ≥ the threshold —
+    more-similar pairs collide more often. MEASURED against planted
+    Jaccard-controlled pairs in ``tests/test_minhash_recall.py`` and
+    SCALE.md ("minhash banding recall"): the xxhash64-XOR signature
+    family tracks this closed form within sampling tolerance, so the
+    formula is safe to size (n_hashes, bands) with. The dual of
+    :func:`~.similarity.srp_collision_prob` for the Jaccard family."""
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes})"
+        )
+    j = max(0.0, min(1.0, jaccard))
+    return 1.0 - (1.0 - j ** (n_hashes // bands)) ** bands
+
+
 def jaccard_verify_col(sh_a: Column, sh_b: Column) -> Column:
     """Exact Jaccard of two DISTINCT-shingle-hash arrays — the single
     owner of the verify expression. :func:`near_duplicate_pairs` and
