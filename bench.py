@@ -303,6 +303,83 @@ def _dedup_index_probe(spark, sf_dir: str):
     return dedup_batch_against_index(spark, batch, path, threshold=0.35)
 
 
+def _streaming_dedup_ingest_batch(spark, sf_dir: str):
+    """ONE representative micro-batch of the streaming dedup-ingest
+    loop (streaming/ingest_dedup.py): a fresh + corpus-dup +
+    within-batch-near-dup mix through every stage — exact →
+    near-in-batch → near-vs-index → target write → index append —
+    against the cached minhash index (COPIED per run: the loop
+    appends, and a mutated cache would poison the sibling probe entry
+    and later reps). Returns the accepted docs. The full 20-batch
+    1×/10× growth table (incl. the cross-batch dedup path) lives in
+    scaling_probe --ingestloop / SCALE.md; this entry keeps the
+    per-batch constant (~7 s fixed job cadence, measured flat in both
+    batch index and corpus size) visible round over round."""
+    import json as _json
+    import shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from nursinghome_data_pipeline_spark.operators.dedup_index import (
+        write_dedup_index,
+    )
+    from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+    from nursinghome_data_pipeline_spark.streaming.ingest_dedup import (
+        streaming_dedup_ingest,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    cache = _fresh_index_cache_path(
+        "minhash", tag, _dataset_fingerprint(sf_dir, "documents")
+    )
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        write_dedup_index(docs.where(F.col("doc_id") % 10 != 9), cache)
+    root = _tempfile.mkdtemp(prefix="bench-ingest-")
+    index = os.path.join(root, "idx")
+    shutil.copytree(cache, index)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    corpus_texts = [
+        r["text"]
+        for r in docs.where(F.col("doc_id") % 10 != 9)
+        .orderBy("doc_id").limit(50).collect()
+    ]
+    fresh = [
+        (1_000_000 + j, " ".join(f"bw{j}t{k}" for k in range(40)))
+        for j in range(150)
+    ]
+    variants = []
+    for j, (_fid, text) in enumerate(fresh[:25]):
+        toks = text.split()
+        toks[20] = f"bv{j}"  # within-batch near-dup of a fresh doc
+        variants.append((3_000_000 + j, " ".join(toks)))
+    batch0 = fresh + variants + [
+        (2_000_000 + j, corpus_texts[j % len(corpus_texts)])
+        for j in range(25)
+    ]
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = streaming_dedup_ingest(
+        stream,
+        index,
+        os.path.join(root, "target"),
+        threshold=0.8,
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    try:
+        with open(
+            os.path.join(src, "b0.json"), "w", encoding="utf-8"
+        ) as fh:
+            for did, text in batch0:
+                fh.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    data = os.path.join(root, "target", "data")
+    return spark.read.option("basePath", data).parquet(data)
+
+
 def _sessionize_bucketed_events(spark, sf_dir: str):
     """The skew-safe split-and-stitch sessionizer over the events
     table (operators/sessions.py) — bit-equal to the registry's
@@ -345,6 +422,7 @@ EXTRA_BENCH = {
     "embedding_near_dup_auto": _embedding_near_dup_auto,
     "dedup_index_batch_probe": _dedup_index_probe,
     "sessionize_bucketed_events": _sessionize_bucketed_events,
+    "streaming_dedup_ingest_batch": _streaming_dedup_ingest_batch,
 }
 
 

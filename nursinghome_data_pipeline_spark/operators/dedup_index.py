@@ -177,7 +177,15 @@ def route_dedup_append(df: DataFrame, meta: dict) -> tuple[DataFrame, str]:
     repartitioned by ``pb`` before the write (one small shuffle): band
     keys are uniform, so an un-shuffled append of a B-task batch would
     add up to B files to EVERY matched directory per append — the
-    small-file explosion the build-side default guards against."""
+    small-file explosion the build-side default guards against.
+
+    Even so, each append adds up to ONE file per matched directory, so
+    N append batches ≈ N files/dir. Measured cadence (SCALE.md r8,
+    ``scaling_probe --dedupcadence``): probe latency +25% after 32
+    appends, 3.0× after 128; one ``compact_ann_index`` call (≈4
+    appends' cost) restores the fresh-build probe exactly. **Compact
+    every ~32 appends** — the cadence is in append COUNT, not data
+    volume, because this repartition already bounds files per append."""
     missing = {meta["id_col"], meta["text_col"]} - set(df.columns)
     if missing:
         raise ValueError(

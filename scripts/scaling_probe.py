@@ -690,6 +690,371 @@ def _compaction_probes(cores: int = 32, inflate: int = 256) -> dict:
     return out
 
 
+def _dedup_cadence_probes(
+    cores: int = 32,
+    checkpoints: tuple[int, ...] = (1, 32, 128),
+    batch_docs: int = 100,
+    legs: tuple[str, ...] = ("cadence", "regeo"),
+) -> dict:
+    """Append-cadence file growth on the at-rest minhash index (r8
+    asks #2/#3): probe latency + file counts after 1/32/128
+    sidecar-routed appends, the compaction restore point, and the
+    regeometry before/after on a deliberately outgrown index.
+
+    Each append repartitions by ``pb`` (route_dedup_append), so a
+    batch adds up to ONE file per matched directory — N daily batches
+    ≈ N files/dir before compaction. This measures where that curve
+    starts to bite (the footer/listing tax the ANN compaction probe
+    measured at 27%) so SCALE.md can state a compaction cadence
+    instead of "eventually".
+
+    The regeometry leg: a 30× corpus indexed at the geometry auto
+    would pick for the 1× corpus (n_buckets=16 where auto(150k)=64) —
+    the exact shape an append-grown index reaches — probed with a
+    SMALL batch (20 docs), where pruning granularity is the whole
+    game: per band, k keys match ≤k of n_buckets directories, so 4×
+    more buckets reads ~¼ the postings.
+
+    Run: python scripts/scaling_probe.py --dedupcadence
+    """
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nursinghome_data_pipeline_spark.operators.dedup_index import (
+        dedup_batch_against_index,
+        write_dedup_index,
+    )
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        append_to_ann_index,
+        compact_ann_index,
+        load_ann_meta,
+    )
+    from nursinghome_data_pipeline_spark.session import build_session
+
+    spark = build_session(
+        f"dedup-cadence-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    out: dict = {"cores": cores, "sf_dir": SF_DIR, "batch_docs": batch_docs}
+
+    def _index_stats(path: str) -> tuple[int, int, float]:
+        per = [
+            len([f for f in os.listdir(d) if f.endswith(".parquet")])
+            for d in glob.glob(os.path.join(path, "pb=*"))
+        ]
+        return sum(per), max(per), round(sum(per) / len(per), 2)
+
+    def _probe_best(path: str, batch, n: int = 3) -> float:
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            dedup_batch_against_index(spark, batch, path).count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    def _matched_rows(path: str, batch) -> tuple[int, int, int]:
+        """(matched dirs, postings rows behind them, total rows) — the
+        scan-volume quantity the wall can't show at probe-overhead-
+        dominated corpus sizes; reuses the probe's own banding."""
+        from nursinghome_data_pipeline_spark.operators.dedup_index import (
+            _banded_rows,
+        )
+
+        meta = load_ann_meta(path)
+        b = _banded_rows(
+            batch,
+            id_col=meta["id_col"],
+            text_col=meta["text_col"],
+            n_hashes=int(meta["n_hashes"]),
+            bands=int(meta["bands"]),
+            shingle_k=int(meta["shingle_k"]),
+            n_buckets=int(meta["n_buckets"]),
+        )
+        pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
+        idx = spark.read.parquet(path)
+        return (
+            len(pbs),
+            idx.where(F.col("pb").isin(pbs)).count(),
+            idx.count(),
+        )
+
+    # ---- append-cadence leg: base index + 128 fresh-content appends
+    if "cadence" in legs:
+        path = os.path.join(
+            tempfile.gettempdir(), "spark-graft-dedup-cadence"
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        write_dedup_index(docs, path, n_buckets="auto")
+        out["base_docs"] = docs.count()
+        out["geometry"] = (
+            f"{load_ann_meta(path)['bands']}"
+            f"x{load_ann_meta(path)['n_buckets']}"
+        )
+        # fixed probe batch: known-match copies of 1k corpus docs under
+        # fresh ids (timed probes exercise the verify join, not an
+        # empty candidate set) — materialized so probe timing excludes
+        # staging
+        probe_batch = (
+            docs.orderBy("doc_id").limit(1000)
+            .select((F.col("doc_id") + (1 << 50)).alias("doc_id"), "text")
+            .localCheckpoint(eager=True)
+        )
+        out["probe_sec_appends_0"] = _probe_best(path, probe_batch)
+        files0, mx0, mean0 = _index_stats(path)
+        out["files_appends_0"] = files0
+        # 128 append batches of fresh docs (per-batch token tag →
+        # disjoint shingles: content-fresh daily batches, uniform
+        # band keys)
+        append_wall = 0.0
+        for i in range(max(checkpoints)):
+            batch = (
+                docs.orderBy("doc_id").limit(batch_docs)
+                .select(
+                    (F.col("doc_id") + (i + 1) * (1 << 40)).alias("doc_id"),
+                    F.regexp_replace(
+                        "text", r"(\S+)", f"a{i}$1"
+                    ).alias("text"),
+                )
+            )
+            t0 = time.perf_counter()
+            append_to_ann_index(batch, path)
+            append_wall += time.perf_counter() - t0
+            if (i + 1) in checkpoints:
+                files, mx, mean = _index_stats(path)
+                out[f"files_appends_{i + 1}"] = files
+                out[f"max_files_per_dir_appends_{i + 1}"] = mx
+                out[f"probe_sec_appends_{i + 1}"] = _probe_best(
+                    path, probe_batch
+                )
+        out["append_wall_total_sec"] = round(append_wall, 2)
+        t0 = time.perf_counter()
+        compact_ann_index(spark, path)
+        out["compact_sec"] = round(time.perf_counter() - t0, 2)
+        files_c, mx_c, mean_c = _index_stats(path)
+        out["files_after_compact"] = files_c
+        out["probe_sec_after_compact"] = _probe_best(path, probe_batch)
+
+    if "regeo" not in legs:
+        spark.stop()
+        return out
+
+    # ---- regeometry leg: 30× corpus indexed at the 1×-corpus geometry
+    big_dir = os.path.join(tempfile.gettempdir(), "spark-graft-dedup-regeo-src")
+    if not os.path.exists(os.path.join(big_dir, "_SUCCESS")):
+        # 30 content-distinct copies (per-copy token tag → cross-copy
+        # Jaccard 0, no fake dup inflation)
+        docs.crossJoin(
+            spark.range(30).select(F.col("id").alias("__rep"))
+        ).select(
+            (F.col("doc_id") + F.col("__rep") * (1 << 40)).alias("doc_id"),
+            F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                F.regexp_replace(
+                    "text", r"(\S+)",
+                    F.concat(F.lit("c"), F.col("__rep"), F.lit("$1")),
+                )
+            ).alias("text"),
+        ).write.mode("overwrite").parquet(big_dir)
+    big = spark.read.parquet(big_dir)
+    out["regeo_docs"] = big.count()
+    stale = os.path.join(tempfile.gettempdir(), "spark-graft-dedup-regeo-idx")
+    shutil.rmtree(stale, ignore_errors=True)
+    write_dedup_index(big, stale, n_buckets=16)  # the outgrown geometry
+    small_probe = (
+        big.orderBy("doc_id").limit(20)
+        .select((F.col("doc_id") + (1 << 50)).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    out["regeo_before_geometry"] = f"4x{load_ann_meta(stale)['n_buckets']}"
+    out["regeo_before_probe_sec"] = _probe_best(stale, small_probe, n=5)
+    dirs_b, rows_b, total_b = _matched_rows(stale, small_probe)
+    out["regeo_before_matched_dirs"] = dirs_b
+    out["regeo_before_rows_scanned"] = rows_b
+    t0 = time.perf_counter()
+    compact_ann_index(spark, stale, regeometry=True)
+    out["regeo_compact_sec"] = round(time.perf_counter() - t0, 2)
+    out["regeo_after_geometry"] = f"4x{load_ann_meta(stale)['n_buckets']}"
+    out["regeo_after_probe_sec"] = _probe_best(stale, small_probe, n=5)
+    dirs_a, rows_a, total_a = _matched_rows(stale, small_probe)
+    out["regeo_after_matched_dirs"] = dirs_a
+    out["regeo_after_rows_scanned"] = rows_a
+    out["regeo_total_postings"] = total_a
+    spark.stop()
+    return out
+
+
+def _ingest_loop_probes(
+    cores: int = 32,
+    n_batches: int = 20,
+    scales: tuple[int, ...] = (1, 10),
+    batch_docs: int = 200,
+) -> dict:
+    """End-to-end ``streaming_dedup_ingest`` scale point (r8 ask #4):
+    drive the composed loop — exact-in-batch → near-in-batch →
+    near-vs-index → target write → index append — for ``n_batches``
+    micro-batches at 1× and 10× batch size against a 150k-doc index,
+    recording per-batch wall, accepted rate, and index file count
+    per batch. The pieces are each measured flat (probe at r7, state
+    at r7); this measures the composition: per-batch wall should be
+    FLAT in batch index (corpus size never appears in the loop's
+    cost) and ~linear in batch size.
+
+    Batch mix: 75% fresh docs (unique tokens), 12.5% exact copies of
+    indexed corpus docs (dropped via the index probe), 12.5% one-token
+    variants of the PREVIOUS batch's fresh docs (dropped via the
+    index the previous batch appended to — the cross-batch path).
+
+    Run: python scripts/scaling_probe.py --ingestloop
+    """
+    import glob
+    import json as _json
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nursinghome_data_pipeline_spark.operators.dedup_index import (
+        write_dedup_index,
+    )
+    from nursinghome_data_pipeline_spark.session import build_session
+    from nursinghome_data_pipeline_spark.streaming.ingest_dedup import (
+        streaming_dedup_ingest,
+    )
+
+    spark = build_session(
+        f"ingest-loop-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    # 150k-doc corpus: same 30× content-distinct staging as the
+    # regeometry leg (per-copy token tag → cross-copy Jaccard 0)
+    big_dir = os.path.join(tempfile.gettempdir(), "spark-graft-dedup-regeo-src")
+    if not os.path.exists(os.path.join(big_dir, "_SUCCESS")):
+        docs.crossJoin(
+            spark.range(30).select(F.col("id").alias("__rep"))
+        ).select(
+            (F.col("doc_id") + F.col("__rep") * (1 << 40)).alias("doc_id"),
+            F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                F.regexp_replace(
+                    "text", r"(\S+)",
+                    F.concat(F.lit("c"), F.col("__rep"), F.lit("$1")),
+                )
+            ).alias("text"),
+        ).write.mode("overwrite").parquet(big_dir)
+    big = spark.read.parquet(big_dir)
+    pristine = os.path.join(tempfile.gettempdir(), "spark-graft-ingest-pristine")
+    if not os.path.exists(os.path.join(pristine, "_SUCCESS")):
+        write_dedup_index(big, pristine, n_buckets="auto")
+    n_corpus = big.count()
+    # driver-side corpus sample for the exact-copy slice of each batch
+    corpus_sample = [
+        (int(r["doc_id"]), r["text"])
+        for r in big.orderBy("doc_id").limit(
+            max(1, batch_docs * max(scales) * n_batches // 8)
+        ).collect()
+    ]
+    out: dict = {
+        "cores": cores, "sf_dir": SF_DIR, "corpus_docs": n_corpus,
+        "n_batches": n_batches, "batch_docs_1x": batch_docs,
+    }
+
+    def _mk_batch(scale: int, i: int, prev_fresh: list[tuple[int, str]]):
+        """(rows, fresh) for batch i at this scale — see docstring mix."""
+        size = batch_docs * scale
+        n_fresh = size * 3 // 4
+        n_corp = (size - n_fresh) // 2
+        n_prev = size - n_fresh - n_corp
+        base_id = (scale * 100 + i) * (1 << 32)
+        fresh = [
+            (
+                base_id + j,
+                " ".join(f"w{scale}b{i}d{j}t{k}" for k in range(40)),
+            )
+            for j in range(n_fresh)
+        ]
+        rows = list(fresh)
+        off = (scale * 100 + i) * n_corp
+        for j in range(n_corp):
+            cid, text = corpus_sample[(off + j) % len(corpus_sample)]
+            rows.append((base_id + n_fresh + j, text))
+        if prev_fresh:
+            for j in range(n_prev):
+                pid, text = prev_fresh[j % len(prev_fresh)]
+                toks = text.split()
+                toks[20] = f"v{scale}b{i}j{j}"  # one-token near-variant
+                rows.append((base_id + n_fresh + n_corp + j, " ".join(toks)))
+        return rows, fresh
+
+    for scale in scales:
+        index = os.path.join(
+            tempfile.gettempdir(), f"spark-graft-ingest-idx-x{scale}"
+        )
+        shutil.rmtree(index, ignore_errors=True)
+        shutil.copytree(pristine, index)
+        root = os.path.join(
+            tempfile.gettempdir(), f"spark-graft-ingest-run-x{scale}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = streaming_dedup_ingest(
+            stream,
+            index,
+            os.path.join(root, "target"),
+            threshold=0.8,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        walls, accepted, idx_files = [], [], []
+        prev_fresh: list[tuple[int, str]] = []
+        try:
+            for i in range(n_batches):
+                rows, prev_fresh = _mk_batch(scale, i, prev_fresh)
+                with open(
+                    os.path.join(src, f"batch-{i:03d}.json"),
+                    "w", encoding="utf-8",
+                ) as fh:
+                    for did, text in rows:
+                        fh.write(
+                            _json.dumps({"doc_id": did, "text": text}) + "\n"
+                        )
+                t0 = time.perf_counter()
+                q.processAllAvailable()
+                walls.append(round(time.perf_counter() - t0, 3))
+                part = os.path.join(root, "target", "data", f"ingest_batch={i}")
+                accepted.append(
+                    spark.read.parquet(part).count()
+                    if os.path.exists(part) else 0
+                )
+                idx_files.append(len(glob.glob(
+                    os.path.join(index, "**", "*.parquet"), recursive=True
+                )))
+        finally:
+            q.stop()
+        size = batch_docs * scale
+        out[f"x{scale}"] = {
+            "batch_docs": size,
+            "wall_sec": walls,
+            "first_batch_sec": walls[0],
+            "steady_mean_sec": round(sum(walls[2:]) / len(walls[2:]), 3),
+            "steady_last5_mean_sec": round(sum(walls[-5:]) / 5, 3),
+            "accepted_per_batch": accepted,
+            "accepted_rate": round(sum(accepted) / (size * n_batches), 3),
+            "index_files_per_batch": idx_files,
+        }
+    spark.stop()
+    return out
+
+
 def _zorder_probes(cores: int = 32, n: int = 4_000_000, n_files: int = 64) -> dict:
     """MEASURE the z-order data-skipping claim instead of deriving it.
 
@@ -798,6 +1163,12 @@ SFCURVE_QUERIES = [
     # n_planes=6 for oracle tractability (frozen), so the adaptive
     # default is measured through a probe-local entry instead
     "embedding_near_dup_auto",
+    # operator-level (r8): pagerank has no registry twin (registry
+    # frozen at 192) — curve it through the same co-activity edge
+    # builder the graph queries use; under --skewed the 5%-hot user
+    # is a hub of degree ∝ N, the adversarial case for the
+    # contribution groupBy
+    "pagerank_events",
 ]
 
 
@@ -820,7 +1191,32 @@ def _sfcurve_extra_queries():
             emb, dim=64, threshold=0.9, n_planes="auto"
         )
 
-    return {"embedding_near_dup_auto": embedding_near_dup_auto}
+    def pagerank_events(spark, sf_dir):
+        # the same hourly co-activity edge builder the registry graph
+        # queries (triangle/BFS) run on, -> 5-iteration power method
+        from nursinghome_data_pipeline_spark.operators.graph import (
+            cooccurrence_edges,
+            pagerank,
+        )
+        from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+
+        events = load_tables(spark, sf_dir, ["events"])["events"]
+        buckets = events.select(
+            "user_id",
+            F.col("event_type").alias("et"),
+            (F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 3_600_000_000)
+            .cast("long")
+            .alias("hr"),
+        )
+        edges = cooccurrence_edges(
+            buckets, node_col="user_id", bucket_cols=["et", "hr"]
+        )
+        return pagerank(edges, max_iter=5)
+
+    return {
+        "embedding_near_dup_auto": embedding_near_dup_auto,
+        "pagerank_events": pagerank_events,
+    }
 
 #: All engine tables, staged per factor so every registry query runs
 #: unmodified against the scaled copy.
@@ -1531,6 +1927,24 @@ def main() -> None:
         "of N_ROWS (default 20M) on one user",
     )
     ap.add_argument(
+        "--dedupcadence", action="store_true",
+        help="run only the dedup-index append-cadence probe: probe "
+        "latency + files per dir after 1/32/128 appends, compaction "
+        "restore point, and regeometry before/after on an outgrown "
+        "index",
+    )
+    ap.add_argument(
+        "--dedupcadence-legs", default="cadence,regeo",
+        help="comma-separated subset of the --dedupcadence legs "
+        "(cadence = append-growth curve, regeo = geometry refresh)",
+    )
+    ap.add_argument(
+        "--ingestloop", action="store_true",
+        help="run only the end-to-end streaming dedup-ingest probe: "
+        "20 micro-batches at 1x/10x batch size against a 150k-doc "
+        "index (per-batch wall, accepted rate, index files)",
+    )
+    ap.add_argument(
         "--zorder", action="store_true",
         help="run only the z-order data-skipping probe (realized "
         "per-file min/max pruning, three layouts x three predicates)",
@@ -1552,6 +1966,14 @@ def main() -> None:
         return
     if args.hotsession is not None:
         print(json.dumps(_hotsession_probe(args.hotsession), indent=2))
+        return
+    if args.dedupcadence:
+        print(json.dumps(_dedup_cadence_probes(
+            legs=tuple(args.dedupcadence_legs.split(","))
+        ), indent=2))
+        return
+    if args.ingestloop:
+        print(json.dumps(_ingest_loop_probes(), indent=2))
         return
     if args.zorder:
         print(json.dumps(_zorder_probes(), indent=2))
