@@ -71,6 +71,8 @@ def streaming_dedup_ingest(
     *,
     threshold: float = 0.8,
     checkpoint_dir: str,
+    compact_every: int | None = 32,
+    regeometry_on_compact: bool = True,
 ):
     """Start the dedup-ingest stream; returns the StreamingQuery.
 
@@ -78,6 +80,26 @@ def streaming_dedup_ingest(
     ``text_col`` (extra columns pass through to the sink). Accepted
     docs land under ``target_dir/data/ingest_batch=<batch_id>/`` and
     are appended to the index at ``index_path``.
+
+    ``compact_every``: every N committed batches the index is
+    compacted in place (after the manifest commit, so acceptance is
+    never gated on maintenance). The default 32 is MEASURED, not
+    guessed (SCALE.md r8): each append adds ≤1 file per matched
+    directory, probe latency reads +25% at 32 appends and 3.0× at
+    128, and one compaction (≈4 appends' cost) restores the
+    fresh-build probe — so a 32-batch cadence holds the loop's
+    per-batch wall flat forever at ~3% amortized overhead (the
+    20-batch growth run showed the tax arriving on schedule at 10×
+    batch size). ``regeometry_on_compact`` additionally re-derives
+    the bucket count from the grown corpus on each cadence compaction
+    (bit-identical to a fresh rebuild — pinned), so directory payload
+    stays ∝ corpus/auto_buckets no matter how far appends outgrow the
+    build-time geometry. Compaction here is crash-safe maintenance:
+    a cadence point skipped by a crash is simply picked up at a later
+    multiple, and a Dekker-handshake abort (a foreign writer's
+    in-flight append) defers to the next cadence point instead of
+    failing the batch. Pass ``compact_every=None`` to manage
+    compaction externally.
     """
     import os
 
@@ -176,6 +198,30 @@ def streaming_dedup_ingest(
         os.makedirs(target_dir, exist_ok=True)
         with open(manifest, "a", encoding="utf-8") as fh:
             fh.write(f"{batch_id}\n")
+        if compact_every:
+            n_committed = len(
+                open(manifest, encoding="utf-8").read().split()
+            )
+            if n_committed % compact_every == 0:
+                from ..operators.similarity import compact_ann_index
+
+                try:
+                    compact_ann_index(
+                        spark, index_path,
+                        regeometry=regeometry_on_compact,
+                    )
+                except RuntimeError as e:
+                    # the handshake's defer signal (a foreign writer's
+                    # in-flight append / stranded intent): maintenance
+                    # waits for the next cadence point rather than
+                    # failing a committed batch
+                    import sys as _sys
+
+                    print(
+                        f"streaming_dedup_ingest: cadence compaction "
+                        f"deferred at batch {batch_id}: {e}",
+                        file=_sys.stderr,
+                    )
 
     return (
         stream.writeStream.foreachBatch(ingest_batch)

@@ -894,6 +894,7 @@ def _ingest_loop_probes(
     n_batches: int = 20,
     scales: tuple[int, ...] = (1, 10),
     batch_docs: int = 200,
+    compact_every: int | None = None,
 ) -> dict:
     """End-to-end ``streaming_dedup_ingest`` scale point (r8 ask #4):
     drive the composed loop — exact-in-batch → near-in-batch →
@@ -965,6 +966,7 @@ def _ingest_loop_probes(
     out: dict = {
         "cores": cores, "sf_dir": SF_DIR, "corpus_docs": n_corpus,
         "n_batches": n_batches, "batch_docs_1x": batch_docs,
+        "compact_every": compact_every,
     }
 
     def _mk_batch(scale: int, i: int, prev_fresh: list[tuple[int, str]]):
@@ -1013,6 +1015,10 @@ def _ingest_loop_probes(
             os.path.join(root, "target"),
             threshold=0.8,
             checkpoint_dir=os.path.join(root, "ckpt"),
+            # None here = exercise the unmaintained curve (the r8
+            # table); pass --ingestloop-compact-every to measure the
+            # folded-in cadence flattening the tail
+            compact_every=compact_every,
         )
         walls, accepted, idx_files = [], [], []
         prev_fresh: list[tuple[int, str]] = []
@@ -1939,6 +1945,15 @@ def main() -> None:
         "(cadence = append-growth curve, regeo = geometry refresh)",
     )
     ap.add_argument(
+        "--ingestloop-compact-every", type=int, default=None,
+        help="with --ingestloop: in-loop compaction cadence "
+        "(default none, the unmaintained curve)",
+    )
+    ap.add_argument(
+        "--ingestloop-scales", default="1,10",
+        help="with --ingestloop: comma-separated batch-size multipliers",
+    )
+    ap.add_argument(
         "--ingestloop", action="store_true",
         help="run only the end-to-end streaming dedup-ingest probe: "
         "20 micro-batches at 1x/10x batch size against a 150k-doc "
@@ -1973,7 +1988,10 @@ def main() -> None:
         ), indent=2))
         return
     if args.ingestloop:
-        print(json.dumps(_ingest_loop_probes(), indent=2))
+        print(json.dumps(_ingest_loop_probes(
+            scales=tuple(int(x) for x in args.ingestloop_scales.split(",")),
+            compact_every=args.ingestloop_compact_every,
+        ), indent=2))
         return
     if args.zorder:
         print(json.dumps(_zorder_probes(), indent=2))

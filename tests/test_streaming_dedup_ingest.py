@@ -212,3 +212,68 @@ def test_crash_replay_after_index_append_is_idempotent(spark, tmp_path):
     # directory was rewritten with identical content, not emptied
     rows = spark.read.parquet(os.path.join(target, "data")).collect()
     assert {r["doc_id"] for r in rows} == {11}
+
+
+def test_cadence_compaction_preserves_results_and_bounds_files(
+    spark, tmp_path
+):
+    """r8: the measured 32-append cadence is now folded into the loop
+    (compact_every, default 32). Driving 6 batches at compact_every=2
+    must (a) accept exactly what the no-compaction twin accepts,
+    (b) preserve every index posting, (c) actually bound the file
+    count (compactions fired at batches 2/4/6), and (d) keep the
+    sidecar geometry auto-derived (regeometry_on_compact default)."""
+    import glob
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        load_ann_meta,
+    )
+
+    corpus = spark.createDataFrame(_corpus_rows(), "doc_id long, text string")
+
+    def run(compact_every, tag):
+        index = str(tmp_path / f"index-{tag}")
+        write_dedup_index(corpus, index, n_buckets=16)
+        src = str(tmp_path / f"src-{tag}")
+        os.makedirs(src)
+        target = str(tmp_path / f"target-{tag}")
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).json(src)
+        q = streaming_dedup_ingest(
+            stream, index, target, threshold=0.6,
+            checkpoint_dir=str(tmp_path / f"ckpt-{tag}"),
+            compact_every=compact_every,
+        )
+        try:
+            for i in range(6):
+                rows = [
+                    (100 * (i + 1) + j,
+                     f"fresh batch {i} doc {j} " + " ".join(
+                         f"tok{i}x{j}y{k}" for k in range(30)))
+                    for j in range(3)
+                ]
+                if i == 3:
+                    rows.append((999, _BASE))  # corpus dup — dropped
+                _write_batch(src, f"b{i}.json", rows)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        files = len(glob.glob(
+            os.path.join(index, "**", "*.parquet"), recursive=True
+        ))
+        return index, target, files
+
+    idx_c, tgt_c, files_c = run(2, "cadence")
+    idx_n, tgt_n, files_n = run(None, "nocompact")
+    assert _accepted_ids(spark, tgt_c) == _accepted_ids(spark, tgt_n)
+    # postings preserved bit-for-bit (compaction rewrites, never drops)
+    key = lambda r: (r["pb"], r["band"], r["bkey"], r["doc_id"])  # noqa: E731
+    assert sorted(map(key, spark.read.parquet(idx_c).collect())) == sorted(
+        map(key, spark.read.parquet(idx_n).collect())
+    )
+    # no-compact: build(64 dirs x 1) + 6 appends x matched dirs;
+    # cadence: last compaction at batch 6 -> bounded at 1 file/dir
+    assert files_c < files_n
+    assert files_c <= 64
+    assert load_ann_meta(idx_c)["n_buckets"] == 16  # auto lo-clamp here
