@@ -690,6 +690,32 @@ def _compaction_probes(cores: int = 32, inflate: int = 256) -> dict:
     return out
 
 
+def _stage_big_docs(spark, docs):
+    """30× content-distinct copy of the sf docs (per-copy token tag →
+    cross-copy Jaccard 0, no fake dup inflation) — shared staging for
+    the --dedupcadence regeometry leg and --ingestloop (one cached
+    parquet, one tagging scheme; a drift between two copies of this
+    block would silently reuse the other leg's stale cache)."""
+    from pyspark.sql import functions as F
+
+    big_dir = os.path.join(
+        tempfile.gettempdir(), "spark-graft-dedup-regeo-src"
+    )
+    if not os.path.exists(os.path.join(big_dir, "_SUCCESS")):
+        docs.crossJoin(
+            spark.range(30).select(F.col("id").alias("__rep"))
+        ).select(
+            (F.col("doc_id") + F.col("__rep") * (1 << 40)).alias("doc_id"),
+            F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                F.regexp_replace(
+                    "text", r"(\S+)",
+                    F.concat(F.lit("c"), F.col("__rep"), F.lit("$1")),
+                )
+            ).alias("text"),
+        ).write.mode("overwrite").parquet(big_dir)
+    return spark.read.parquet(big_dir)
+
+
 def _dedup_cadence_probes(
     cores: int = 32,
     checkpoints: tuple[int, ...] = (1, 32, 128),
@@ -846,22 +872,7 @@ def _dedup_cadence_probes(
         return out
 
     # ---- regeometry leg: 30× corpus indexed at the 1×-corpus geometry
-    big_dir = os.path.join(tempfile.gettempdir(), "spark-graft-dedup-regeo-src")
-    if not os.path.exists(os.path.join(big_dir, "_SUCCESS")):
-        # 30 content-distinct copies (per-copy token tag → cross-copy
-        # Jaccard 0, no fake dup inflation)
-        docs.crossJoin(
-            spark.range(30).select(F.col("id").alias("__rep"))
-        ).select(
-            (F.col("doc_id") + F.col("__rep") * (1 << 40)).alias("doc_id"),
-            F.when(F.col("__rep") == 0, F.col("text")).otherwise(
-                F.regexp_replace(
-                    "text", r"(\S+)",
-                    F.concat(F.lit("c"), F.col("__rep"), F.lit("$1")),
-                )
-            ).alias("text"),
-        ).write.mode("overwrite").parquet(big_dir)
-    big = spark.read.parquet(big_dir)
+    big = _stage_big_docs(spark, docs)
     out["regeo_docs"] = big.count()
     stale = os.path.join(tempfile.gettempdir(), "spark-graft-dedup-regeo-idx")
     shutil.rmtree(stale, ignore_errors=True)
@@ -936,22 +947,8 @@ def _ingest_loop_probes(
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
         "doc_id", "text"
     )
-    # 150k-doc corpus: same 30× content-distinct staging as the
-    # regeometry leg (per-copy token tag → cross-copy Jaccard 0)
-    big_dir = os.path.join(tempfile.gettempdir(), "spark-graft-dedup-regeo-src")
-    if not os.path.exists(os.path.join(big_dir, "_SUCCESS")):
-        docs.crossJoin(
-            spark.range(30).select(F.col("id").alias("__rep"))
-        ).select(
-            (F.col("doc_id") + F.col("__rep") * (1 << 40)).alias("doc_id"),
-            F.when(F.col("__rep") == 0, F.col("text")).otherwise(
-                F.regexp_replace(
-                    "text", r"(\S+)",
-                    F.concat(F.lit("c"), F.col("__rep"), F.lit("$1")),
-                )
-            ).alias("text"),
-        ).write.mode("overwrite").parquet(big_dir)
-    big = spark.read.parquet(big_dir)
+    # 150k-doc corpus: shared 30× content-distinct staging
+    big = _stage_big_docs(spark, docs)
     pristine = os.path.join(tempfile.gettempdir(), "spark-graft-ingest-pristine")
     if not os.path.exists(os.path.join(pristine, "_SUCCESS")):
         write_dedup_index(big, pristine, n_buckets="auto")
@@ -1911,8 +1908,8 @@ def main() -> None:
     ap.add_argument(
         "--skewed", action="store_true",
         help="with --sfcurve: plant hot keys in the staged copies (one "
-        "100-char passage shared by 5% of documents, one user_id "
-        "shared by 5% of events) — isolates hot-key scaling from "
+        "100-char passage shared by 5%% of documents, one user_id "
+        "shared by 5%% of events) — isolates hot-key scaling from "
         "volume scaling",
     )
     ap.add_argument(
