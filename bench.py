@@ -380,6 +380,31 @@ def _streaming_dedup_ingest_batch(spark, sf_dir: str):
     return spark.read.option("basePath", data).parquet(data)
 
 
+def _simhash_index_probe(spark, sf_dir: str):
+    """The Hamming-family twin of _dedup_index_probe: the 10% batch
+    probes the 90% corpus through the at-rest simhash index
+    (operators/dedup_index.write_simhash_index, 5 chunks × pair keys)
+    — pruned scan + bucket equi-join + bit_count verify, pinned
+    bit-equal to simhash_near_duplicate_pairs cross pairs."""
+    from pyspark.sql import functions as F
+
+    from nursinghome_data_pipeline_spark.operators.dedup_index import (
+        simhash_batch_against_index,
+        write_simhash_index,
+    )
+    from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = _fresh_index_cache_path(
+        "simhash", tag, _dataset_fingerprint(sf_dir, "documents")
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_simhash_index(docs.where(F.col("doc_id") % 10 != 9), path)
+    batch = docs.where(F.col("doc_id") % 10 == 9)
+    return simhash_batch_against_index(spark, batch, path, max_hamming=20)
+
+
 def _sessionize_bucketed_events(spark, sf_dir: str):
     """The skew-safe split-and-stitch sessionizer over the events
     table (operators/sessions.py) — bit-equal to the registry's
@@ -421,6 +446,7 @@ EXTRA_BENCH = {
     "knn_lsh_partitioned_probe": _lsh_partitioned_probe,
     "embedding_near_dup_auto": _embedding_near_dup_auto,
     "dedup_index_batch_probe": _dedup_index_probe,
+    "simhash_index_batch_probe": _simhash_index_probe,
     "sessionize_bucketed_events": _sessionize_bucketed_events,
     "streaming_dedup_ingest_batch": _streaming_dedup_ingest_batch,
 }

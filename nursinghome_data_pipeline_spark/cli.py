@@ -304,21 +304,24 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
         )
         return 0
     if args.action == "dedup":
-        from .operators.dedup_index import dedup_batch_against_index
+        from .operators.dedup_index import (
+            dedup_batch_against_index,
+            simhash_batch_against_index,
+        )
 
         if args.batch_path:
             batch = spark.read.parquet(args.batch_path)
         else:
             batch = load_tables(spark, args.sf_dir, [args.table])[args.table]
         meta = load_ann_meta(args.path)
-        if meta.get("kind") != "minhash":
+        if meta.get("kind") not in ("minhash", "simhash"):
             # mirror the build/--kind validation style: a clean
             # stderr+2, not _require_kind's raw traceback
             print(
                 f"ann-index dedup: index at {args.path} is "
                 f"kind={meta.get('kind')!r} — dedup probes need a "
-                "minhash index (build one with ann-index build "
-                "--kind minhash)",
+                "minhash or simhash index (build one with ann-index "
+                "build --kind minhash|simhash)",
                 file=sys.stderr,
             )
             return 2
@@ -332,6 +335,19 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
                 file=sys.stderr,
             )
             return 2
+        if meta["kind"] == "simhash":
+            pairs = simhash_batch_against_index(
+                spark, batch, args.path, max_hamming=args.max_hamming
+            ).localCheckpoint(eager=False)
+            rows = pairs.orderBy("hamming").limit(20).collect()
+            print(
+                f"{pairs.count()} near-dup pairs <= hamming "
+                f"{args.max_hamming} (top {len(rows)} shown)"
+            )
+            for r in rows:
+                print(f"  batch={r['batch_id']} corpus={r['corpus_id']} "
+                      f"hamming={r['hamming']}")
+            return 0
         pairs = dedup_batch_against_index(
             spark, batch, args.path, threshold=args.threshold
         ).localCheckpoint(eager=False)  # count + top-20 share one run
@@ -381,10 +397,45 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
     if args.action == "build":
         if not args.kind:
             print(
-                "ann-index build requires --kind ivf|lsh|minhash",
+                "ann-index build requires --kind ivf|lsh|minhash|simhash",
                 file=sys.stderr,
             )
             return 2
+        if args.kind == "simhash":
+            from .operators.dedup_index import write_simhash_index
+
+            emb = load_tables(spark, args.sf_dir, [args.table])[args.table]
+            missing = {args.id_col, args.text_col} - set(emb.columns)
+            if missing:
+                print(
+                    f"ann-index build --kind simhash: table "
+                    f"{args.table!r} lacks column(s) {sorted(missing)} — "
+                    "set --id-col/--text-col (and likely --table "
+                    "documents --id-col doc_id)",
+                    file=sys.stderr,
+                )
+                return 2
+            write_simhash_index(
+                emb,
+                args.path,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                n_chunks=args.n_chunks,
+                chunks_per_key=args.chunks_per_key,
+                n_buckets=args.n_buckets if args.n_buckets else "auto",
+                files_per_partition=(
+                    1 if args.files_per_partition is None
+                    else args.files_per_partition
+                ),
+            )
+            meta = load_ann_meta(args.path)
+            n = spark.read.parquet(args.path).count()
+            print(
+                f"built simhash dedup index at {args.path}: {n} posting "
+                f"rows, {meta['n_buckets']} bucket dirs "
+                f"({meta['n_chunks']} chunks x {meta['chunks_per_key']})"
+            )
+            return 0
         emb = load_tables(spark, args.sf_dir, [args.table])[args.table]
         if args.kind == "minhash":
             from .operators.dedup_index import write_dedup_index
@@ -583,7 +634,8 @@ def main(argv: list[str] | None = None) -> int:
         "action", choices=["build", "probe", "append", "compact", "dedup"]
     )
     p.add_argument("path", help="index directory")
-    p.add_argument("--kind", choices=["ivf", "lsh", "minhash"], default=None,
+    p.add_argument("--kind", choices=["ivf", "lsh", "minhash", "simhash"],
+                   default=None,
                    help="build only; probe/dedup read the sidecar")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.add_argument("--table", default="embeddings")
@@ -617,7 +669,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="minhash: partition dirs per band "
                    "(default: corpus-size-adaptive)")
     p.add_argument("--threshold", type=float, default=0.8,
-                   help="dedup: exact-Jaccard verify floor")
+                   help="dedup (minhash): exact-Jaccard verify floor")
+    p.add_argument("--n-chunks", type=int, default=5,
+                   help="simhash: fingerprint chunks")
+    p.add_argument("--chunks-per-key", type=int, default=2,
+                   help="simhash: chunks packed per bucket key (1 or 2)")
+    p.add_argument("--max-hamming", type=int, default=8,
+                   help="dedup (simhash): Hamming verify ceiling")
     p.add_argument("--batch-path", default=None,
                    help="dedup: parquet path of the new batch "
                    "(default: the --table of --sf-dir)")

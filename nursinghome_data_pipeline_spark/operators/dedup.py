@@ -482,6 +482,53 @@ def hamming_distance_col(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_bucket_keys(
+    sh: Column, *, n_chunks: int, chunks_per_key: int
+) -> list[Column]:
+    """Packed chunk-bucket keys of one SimHash fingerprint — THE
+    single owner of the bucket formula (pigeonhole banding, see
+    :func:`simhash_near_duplicate_pairs` for the guarantee): the
+    in-memory candidate join and the at-rest index
+    (``dedup_index.write_simhash_index`` / append routing / batch
+    probe) must compute byte-identical keys or index and query
+    silently stop agreeing on bucket routing. Each key packs
+    (combo index, chunk value(s)) into one bigint; chunk values are
+    < 2^width so the shifted fields never collide."""
+    if chunks_per_key not in (1, 2):
+        raise ValueError("chunks_per_key must be 1 or 2")
+    if not 2 <= n_chunks <= 16:
+        # above 16 chunks each key carries < 4 bits and buckets stop
+        # discriminating (population → N/2^width): the intra-bucket
+        # pair generator would materialize ~population² candidates.
+        # The pigeonhole use case needs n_chunks ≈ max_hamming + 1 (or
+        # + chunks_per_key) — single digits.
+        raise ValueError("n_chunks must be in [2, 16]")
+    if chunks_per_key == 2 and n_chunks < 3:
+        # 2 chunks of 32 bits packed pairwise would need a 64-bit
+        # shift — past bigint range (and pointless: one pair-combo of
+        # both chunks is plain full-fingerprint equality)
+        raise ValueError("chunks_per_key=2 needs n_chunks >= 3")
+    bounds = [SIMHASH_BITS * i // n_chunks for i in range(n_chunks + 1)]
+    width = max(bounds[i + 1] - bounds[i] for i in range(n_chunks))
+
+    def chunk(i: int) -> Column:
+        lo, hi = bounds[i], bounds[i + 1]
+        return F.shiftrightunsigned(sh, lo).bitwiseAND(
+            F.lit((1 << (hi - lo)) - 1)
+        )
+
+    if chunks_per_key == 1:
+        return [chunk(i) + F.lit(i << width) for i in range(n_chunks)]
+    from itertools import combinations
+
+    return [
+        chunk(i) * F.lit(1 << width)
+        + chunk(j)
+        + F.lit(c << (2 * width))
+        for c, (i, j) in enumerate(combinations(range(n_chunks), 2))
+    ]
+
+
 def simhash_near_duplicate_pairs(
     df: DataFrame,
     *,
@@ -516,45 +563,14 @@ def simhash_near_duplicate_pairs(
     corpus size. Both variants verify identically, so for pairs within
     the WEAKER guarantee the outputs coincide exactly (pinned by
     differential test)."""
-    if chunks_per_key not in (1, 2):
-        raise ValueError("chunks_per_key must be 1 or 2")
-    if not 2 <= n_chunks <= 16:
-        # above 16 chunks each key carries < 4 bits and buckets stop
-        # discriminating (population → N/2^width): the intra-bucket
-        # pair generator would materialize ~population² candidates.
-        # The pigeonhole use case needs n_chunks ≈ max_hamming + 1 (or
-        # + chunks_per_key) — single digits.
-        raise ValueError("n_chunks must be in [2, 16]")
-    if chunks_per_key == 2 and n_chunks < 3:
-        # 2 chunks of 32 bits packed pairwise would need a 64-bit
-        # shift — past bigint range (and pointless: one pair-combo of
-        # both chunks is plain full-fingerprint equality)
-        raise ValueError("chunks_per_key=2 needs n_chunks >= 3")
     sig = df.select(
         F.col(id_col), simhash_col(text_col, hash_family=hash_family).alias("sh")
     )
-    bounds = [SIMHASH_BITS * i // n_chunks for i in range(n_chunks + 1)]
-    width = max(bounds[i + 1] - bounds[i] for i in range(n_chunks))
-
-    def chunk(i: int):
-        lo, hi = bounds[i], bounds[i + 1]
-        return F.shiftrightunsigned(F.col("sh"), lo).bitwiseAND(
-            F.lit((1 << (hi - lo)) - 1)
-        )
-
-    # bucket id packs (combo index, chunk value(s)) into one bigint —
-    # chunk values are < 2^width so the shifted fields never collide
-    if chunks_per_key == 1:
-        keys = [chunk(i) + F.lit(i << width) for i in range(n_chunks)]
-    else:
-        from itertools import combinations
-
-        keys = [
-            chunk(i) * F.lit(1 << width)
-            + chunk(j)
-            + F.lit(c << (2 * width))
-            for c, (i, j) in enumerate(combinations(range(n_chunks), 2))
-        ]
+    # bucket formula owned by simhash_bucket_keys (shared with the
+    # at-rest index — byte-identical routing)
+    keys = simhash_bucket_keys(
+        F.col("sh"), n_chunks=n_chunks, chunks_per_key=chunks_per_key
+    )
     banded = sig.select(
         id_col,
         "sh",

@@ -35,7 +35,10 @@ append/compact protocol as the ANN indexes
 (:func:`~.similarity.append_to_ann_index` routes new docs with the
 sidecar's own geometry; :func:`~.similarity.compact_ann_index` bounds
 files per directory under the Dekker intent/lock handshake) — one
-lifecycle implementation, three index kinds.
+lifecycle implementation, four index kinds (r8 adds
+``kind="simhash"``: the same incremental-dedup story for the Hamming
+family — :func:`write_simhash_index` / :func:`simhash_batch_against_index`,
+pinned bit-equal to ``simhash_near_duplicate_pairs`` cross pairs).
 
 The same probe is decontamination-at-rest: index the TRAINING corpus
 once, probe with the evaluation/benchmark set — every returned pair is
@@ -69,12 +72,14 @@ from .similarity import (
 
 
 #: Internal projection names (`sig` is _banded_rows-local; pb/band/
-#: bkey/sh persist in the index; batch_id/corpus_id are the probe's
-#: output aliases). A caller id_col with one of these names would
-#: silently collide or misbind — same guard as
-#: ``skew.bucketed_global_order``'s reserved columns.
+#: bkey/sh persist in the minhash index; bucket/sh in the simhash
+#: index; batch_id/corpus_id/hamming are probe output aliases). A
+#: caller id_col with one of these names would silently collide or
+#: misbind — same guard as ``skew.bucketed_global_order``'s reserved
+#: columns.
 _RESERVED_COLS = frozenset(
-    {"pb", "band", "bkey", "sh", "sig", "batch_id", "corpus_id"}
+    {"pb", "band", "bkey", "sh", "sig", "bucket",
+     "batch_id", "corpus_id", "hamming"}
 )
 
 
@@ -383,3 +388,227 @@ def dedup_batch_against_index(
         "corpus_id",
         jaccard_verify_col(F.col("_sh_b"), F.col("_sh_c")).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash at rest — the same incremental-dedup story for the Hamming
+# family (near_duplicate_pairs ↔ write_dedup_index is the Jaccard
+# pair). One parquet table partitioned by pb = xxhash64(bucket) mod
+# n_buckets, rows carrying the packed chunk-bucket key AND the full
+# 64-bit fingerprint, so a probe is one pruned scan + bucket equi-join
+# + bit_count verify — never a corpus re-fingerprint. Rides the SAME
+# sidecar/append/compact lifecycle (kind="simhash"), including
+# regeometry (pb recomputes from the stored bucket column).
+# ---------------------------------------------------------------------------
+
+
+def _simhash_rows(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    hash_family: str,
+    n_chunks: int,
+    chunks_per_key: int,
+    n_buckets: int,
+) -> DataFrame:
+    """(pb, bucket, <id>, sh) rows — keys_per_doc rows per doc, the
+    shared projection for build, append routing, and the probe's batch
+    side. Fingerprint once, explode the packed keys once. The bucket
+    formula is owned by :func:`~.dedup.simhash_bucket_keys` (byte-
+    identical to the in-memory operator); ``pb`` mixes the packed key
+    through xxhash64 before the mod because the key's low bits are raw
+    chunk bits (a plain mod would route every combo's chunk-value
+    residue to the same few directories)."""
+    from .dedup import simhash_bucket_keys, simhash_col
+
+    _require_unreserved(id_col, "_simhash_rows")
+    sig = df.select(
+        F.col(id_col),
+        simhash_col(text_col, hash_family=hash_family).alias("sh"),
+    )
+    keys = simhash_bucket_keys(
+        F.col("sh"), n_chunks=n_chunks, chunks_per_key=chunks_per_key
+    )
+    banded = sig.select(
+        id_col, "sh", F.explode(F.array(*keys)).alias("bucket")
+    )
+    return banded.select(
+        F.pmod(F.xxhash64(F.col("bucket")), F.lit(n_buckets))
+        .cast("int")
+        .alias("pb"),
+        "bucket",
+        id_col,
+        "sh",
+    )
+
+
+def simhash_keys_per_doc(n_chunks: int, chunks_per_key: int) -> int:
+    """Rows each doc posts: n_chunks single-chunk keys, or
+    C(n_chunks, 2) pair-chunk keys."""
+    if chunks_per_key == 1:
+        return n_chunks
+    return n_chunks * (n_chunks - 1) // 2
+
+
+def route_simhash_append(df: DataFrame, meta: dict) -> tuple[DataFrame, str]:
+    """Append routing for ``kind="simhash"`` — sidecar geometry only,
+    same contract (and same small pb-shuffle rationale) as
+    :func:`route_dedup_append`."""
+    missing = {meta["id_col"], meta["text_col"]} - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"append to simhash index: batch lacks column(s) "
+            f"{sorted(missing)} — the sidecar expects "
+            f"id_col={meta['id_col']!r}, text_col={meta['text_col']!r}"
+        )
+    routed = _simhash_rows(
+        df,
+        id_col=meta["id_col"],
+        text_col=meta["text_col"],
+        hash_family=meta["hash_family"],
+        n_chunks=int(meta["n_chunks"]),
+        chunks_per_key=int(meta["chunks_per_key"]),
+        n_buckets=int(meta["n_buckets"]),
+    )
+    return routed.repartition(F.col("pb")), "pb"
+
+
+def write_simhash_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+    n_chunks: int = 5,
+    chunks_per_key: int = 2,
+    n_buckets: int | str = "auto",
+    n_docs: int | None = None,
+    files_per_partition: int | None = 1,
+) -> None:
+    """Build the at-rest SimHash near-dup index.
+
+    Defaults to the SCALE-PATH banding (5 chunks, pair keys → C(5,2)
+    keys of ~2^26 space, pigeonhole guarantee h ≤ 3) rather than the
+    in-memory operator's 4×1 default: an index exists because the
+    corpus is large, which is exactly the regime where 16-bit
+    single-chunk buckets saturate (measured r6: candidates 24.6M→7.4M,
+    wall 15.4→2.8 s at 50k docs). ``n_buckets="auto"`` holds directory
+    payload constant like the minhash index — each doc posts
+    ``keys_per_doc`` rows, so the bucket count derives from
+    ``n_docs × keys_per_doc``. Probes verify with ``bit_count`` ≤ the
+    caller's max_hamming; pairs beyond the geometry's pigeonhole
+    guarantee may be missed (same recall trade as the in-memory
+    operator — the guarantee, not a probability, is the contract).
+    ``files_per_partition`` defaults ON for the same measured reason
+    as :func:`write_dedup_index` (uniform keys → shuffle-free write
+    explodes file count)."""
+    from .similarity import _compact_for_write
+
+    _require_local_path(path, "write_simhash_index")
+    _require_unreserved(id_col, "write_simhash_index")
+    from .dedup import simhash_bucket_keys as _validate
+
+    # parameter validation (raises on bad n_chunks/chunks_per_key)
+    # BEFORE the auto-sizing count — same rule as write_dedup_index
+    _validate(F.lit(0), n_chunks=n_chunks, chunks_per_key=chunks_per_key)
+    kpd = simhash_keys_per_doc(n_chunks, chunks_per_key)
+    if n_buckets == "auto":
+        n_buckets = auto_dedup_buckets(
+            (n_docs if n_docs is not None else docs.count()) * kpd,
+            bands=1,
+        )
+    n_buckets = int(n_buckets)
+    rows = _simhash_rows(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        hash_family=hash_family,
+        n_chunks=n_chunks,
+        chunks_per_key=chunks_per_key,
+        n_buckets=n_buckets,
+    )
+    _compact_for_write(rows, "pb", files_per_partition, id_col).write.mode(
+        "overwrite"
+    ).partitionBy("pb").parquet(path)
+    _write_ann_meta(
+        path,
+        {
+            "kind": "simhash",
+            "id_col": id_col,
+            "text_col": text_col,
+            "hash_family": hash_family,
+            "n_chunks": n_chunks,
+            "chunks_per_key": chunks_per_key,
+            "n_buckets": n_buckets,
+        },
+    )
+
+
+def simhash_batch_against_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    *,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs between ``batch`` and the indexed corpus under
+    Hamming distance — ``(batch_id, corpus_id, hamming)`` with
+    hamming ≤ max_hamming, the cross-set slice of what
+    :func:`~.dedup.simhash_near_duplicate_pairs` emits over
+    corpus ∪ batch (pinned bit-equal), at O(batch + matched buckets)
+    cost. Same partition-pruned matched-directories read, bounded
+    driver collect, self-pair filter, and per-pair dedup as the
+    minhash probe."""
+    meta = load_ann_meta(path)
+    _require_kind(meta, "simhash", "simhash_batch_against_index")
+    b = _simhash_rows(
+        batch,
+        id_col=meta["id_col"],
+        text_col=meta["text_col"],
+        hash_family=meta["hash_family"],
+        n_chunks=int(meta["n_chunks"]),
+        chunks_per_key=int(meta["chunks_per_key"]),
+        n_buckets=int(meta["n_buckets"]),
+    ).localCheckpoint(eager=False)
+    pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
+    id_col = meta["id_col"]
+    rel = read_matched_partitions(spark, path, "pb", pbs)
+    if rel is None:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        idt = batch.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("batch_id", idt),
+                    StructField("corpus_id", idt),
+                    StructField("hamming", IntegerType()),
+                ]
+            ),
+        )
+    corpus = rel.where(F.col("pb").isin(pbs)).select(
+        "bucket",
+        F.col(id_col).alias("corpus_id"),
+        F.col("sh").alias("_sh_c"),
+    )
+    bb = b.select(
+        "bucket",
+        F.col(id_col).alias("batch_id"),
+        F.col("sh").alias("_sh_b"),
+    )
+    cands = (
+        bb.join(corpus, "bucket")
+        .where(F.col("batch_id") != F.col("corpus_id"))
+        .select("batch_id", "corpus_id", "_sh_b", "_sh_c")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    return cands.select(
+        "batch_id",
+        "corpus_id",
+        F.bit_count(F.col("_sh_b").bitwiseXOR(F.col("_sh_c")))
+        .cast("int")
+        .alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -791,7 +791,7 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
 
     _require_local_path(path, "append_to_ann_index")
     meta = load_ann_meta(path)
-    if meta.get("kind") not in ("ivf", "lsh", "minhash"):
+    if meta.get("kind") not in ("ivf", "lsh", "minhash", "simhash"):
         raise ValueError(
             f"append_to_ann_index: unknown index kind "
             f"{meta.get('kind')!r} in {path}/{ANN_META_FILE}"
@@ -817,6 +817,10 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
             from .dedup_index import route_dedup_append
 
             routed, part = route_dedup_append(df, meta)
+        elif meta["kind"] == "simhash":
+            from .dedup_index import route_simhash_append
+
+            routed, part = route_simhash_append(df, meta)
         elif meta["kind"] == "ivf":
             id_col, vec_col = meta["id_col"], meta["vec_col"]
             seeds = [(int(s), vec) for s, vec in meta["seeds"]]
@@ -912,19 +916,19 @@ def compact_ann_index(
         else:
             os.rename(old, path)
     meta = load_ann_meta(path)
-    parts = {"ivf": "cell", "lsh": "bucket", "minhash": "pb"}
+    parts = {"ivf": "cell", "lsh": "bucket", "minhash": "pb", "simhash": "pb"}
     if meta.get("kind") not in parts:
         raise ValueError(
             f"compact_ann_index: unknown index kind {meta.get('kind')!r} "
             f"in {path}/{ANN_META_FILE}"
         )
     part = parts[meta["kind"]]
-    if regeometry and meta["kind"] != "minhash":
+    if regeometry and meta["kind"] not in ("minhash", "simhash"):
         raise ValueError(
             f"compact_ann_index: regeometry=True only applies to "
-            f"kind='minhash' (got {meta['kind']!r}) — IVF seeds / LSH "
-            "planes define routing semantics and cannot be re-derived "
-            "from stored rows"
+            f"kind='minhash'/'simhash' (got {meta['kind']!r}) — IVF "
+            "seeds / LSH planes define routing semantics and cannot "
+            "be re-derived from stored rows"
         )
     tmp = path.rstrip("/") + ".compact.tmp"
     lock = os.path.join(path, ANN_COMPACT_LOCK)
@@ -977,20 +981,27 @@ def compact_ann_index(
         before = _data_files()
         df = spark.read.parquet(path)
         if regeometry:
-            from .dedup_index import auto_dedup_buckets
+            from .dedup_index import auto_dedup_buckets, simhash_keys_per_doc
 
-            # distinct ids, not row count: every doc posts `bands`
-            # rows, and replay-duplicated postings (benign, see
-            # append_to_ann_index) must not inflate the size estimate
+            # distinct ids, not row count: every doc posts bands /
+            # keys_per_doc rows, and replay-duplicated postings
+            # (benign, see append_to_ann_index) must not inflate the
+            # size estimate. pb recomputes from STORED routing columns
+            # (band/bkey or bucket) — no re-fingerprinting.
             n_docs = df.select(meta["id_col"]).distinct().count()
-            new_nb = auto_dedup_buckets(n_docs, bands=int(meta["bands"]))
-            df = df.withColumn(
-                "pb",
-                (
+            if meta["kind"] == "minhash":
+                new_nb = auto_dedup_buckets(n_docs, bands=int(meta["bands"]))
+                new_pb = (
                     F.col("band") * new_nb
                     + F.pmod(F.col("bkey"), F.lit(new_nb))
-                ).cast("int"),
-            )
+                )
+            else:
+                kpd = simhash_keys_per_doc(
+                    int(meta["n_chunks"]), int(meta["chunks_per_key"])
+                )
+                new_nb = auto_dedup_buckets(n_docs * kpd, bands=1)
+                new_pb = F.pmod(F.xxhash64(F.col("bucket")), F.lit(new_nb))
+            df = df.withColumn("pb", new_pb.cast("int"))
             meta = {**meta, "n_buckets": new_nb}
         _compact_for_write(
             df, part, files_per_partition, meta["id_col"]

@@ -900,6 +900,117 @@ def _dedup_cadence_probes(
     return out
 
 
+def _simhash_index_probes(cores: int = 32) -> dict:
+    """At-rest simhash index (r8): fixed-batch probe cost vs corpus
+    size — the same flat-probe claim the minhash index carries,
+    measured at 1× (5k docs) and 30× (150k content-distinct docs).
+    Records wall, auto geometry, matched dirs, and postings rows
+    behind them (the quantity that scales when wall is overhead-
+    dominated). Run: python scripts/scaling_probe.py --simhashindex
+    """
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nursinghome_data_pipeline_spark.operators.dedup_index import (
+        simhash_batch_against_index,
+        write_simhash_index,
+    )
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        load_ann_meta,
+    )
+    from nursinghome_data_pipeline_spark.session import build_session
+
+    spark = build_session(
+        f"simhash-index-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    big = _stage_big_docs(spark, docs)
+    out: dict = {"cores": cores, "sf_dir": SF_DIR}
+    for label, corpus in (("x1", docs), ("x30", big)):
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark-graft-simhash-idx-{label}"
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        t0 = time.perf_counter()
+        write_simhash_index(corpus, path)
+        out[f"{label}_build_sec"] = round(time.perf_counter() - t0, 2)
+        meta = load_ann_meta(path)
+        out[f"{label}_docs"] = corpus.count()
+        out[f"{label}_n_buckets"] = meta["n_buckets"]
+        batch = (
+            corpus.orderBy("doc_id").limit(1000)
+            .select((F.col("doc_id") + (1 << 50)).alias("doc_id"), "text")
+            .localCheckpoint(eager=True)
+        )
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            simhash_batch_against_index(
+                spark, batch, path, max_hamming=8
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{label}_probe_sec"] = round(best, 3)
+        # scan volume behind the matched dirs (the scaling quantity)
+        from nursinghome_data_pipeline_spark.operators.dedup_index import (
+            _simhash_rows,
+        )
+
+        b = _simhash_rows(
+            batch,
+            id_col=meta["id_col"],
+            text_col=meta["text_col"],
+            hash_family=meta["hash_family"],
+            n_chunks=int(meta["n_chunks"]),
+            chunks_per_key=int(meta["chunks_per_key"]),
+            n_buckets=int(meta["n_buckets"]),
+        )
+        pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
+        idx = spark.read.parquet(path)
+        out[f"{label}_matched_dirs"] = len(pbs)
+        out[f"{label}_rows_scanned"] = idx.where(
+            F.col("pb").isin(pbs)
+        ).count()
+        out[f"{label}_total_postings"] = idx.count()
+        # a SMALL batch is where partition pruning pays (a 1k-doc
+        # batch posts 10k keys and matches every directory): 20 docs
+        # -> 200 keys -> a bounded fraction of the dirs
+        small = (
+            corpus.orderBy("doc_id").limit(20)
+            .select((F.col("doc_id") + (1 << 51)).alias("doc_id"), "text")
+            .localCheckpoint(eager=True)
+        )
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            simhash_batch_against_index(
+                spark, small, path, max_hamming=8
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{label}_small_probe_sec"] = round(best, 3)
+        bs = _simhash_rows(
+            small,
+            id_col=meta["id_col"],
+            text_col=meta["text_col"],
+            hash_family=meta["hash_family"],
+            n_chunks=int(meta["n_chunks"]),
+            chunks_per_key=int(meta["chunks_per_key"]),
+            n_buckets=int(meta["n_buckets"]),
+        )
+        spbs = [r["pb"] for r in bs.select("pb").distinct().collect()]
+        out[f"{label}_small_matched_dirs"] = len(spbs)
+        out[f"{label}_small_rows_scanned"] = idx.where(
+            F.col("pb").isin(spbs)
+        ).count()
+    spark.stop()
+    return out
+
+
 def _ingest_loop_probes(
     cores: int = 32,
     n_batches: int = 20,
@@ -1951,6 +2062,11 @@ def main() -> None:
         help="with --ingestloop: comma-separated batch-size multipliers",
     )
     ap.add_argument(
+        "--simhashindex", action="store_true",
+        help="run only the at-rest simhash index probe: fixed-batch "
+        "probe wall + scan volume at 1x/30x corpus",
+    )
+    ap.add_argument(
         "--ingestloop", action="store_true",
         help="run only the end-to-end streaming dedup-ingest probe: "
         "20 micro-batches at 1x/10x batch size against a 150k-doc "
@@ -1983,6 +2099,9 @@ def main() -> None:
         print(json.dumps(_dedup_cadence_probes(
             legs=tuple(args.dedupcadence_legs.split(","))
         ), indent=2))
+        return
+    if args.simhashindex:
+        print(json.dumps(_simhash_index_probes(), indent=2))
         return
     if args.ingestloop:
         print(json.dumps(_ingest_loop_probes(

@@ -273,3 +273,30 @@ def test_cli_ann_index_nonpositive_files_per_partition_rejected(capsys):
     )
     assert rc == 2
     assert "got -3" in capsys.readouterr().err
+
+
+def test_cli_ann_index_simhash_build_and_dedup(tmp_path, spark, capsys):
+    """r8: the simhash kind through the one-surface CLI — build writes
+    the pb-partitioned layout + sidecar, dedup probes by Hamming."""
+    path = str(tmp_path / "sh_idx")
+    rc = main(
+        ["ann-index", "build", path, "--kind", "simhash",
+         "--sf-dir", SF_DIR, "--table", "documents",
+         "--id-col", "doc_id", "--text-col", "text"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built simhash dedup index" in out and "5 chunks x 2" in out
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        load_ann_meta,
+    )
+
+    meta = load_ann_meta(path)
+    assert meta["kind"] == "simhash" and meta["n_chunks"] == 5
+    rc = main(
+        ["ann-index", "dedup", path, "--sf-dir", SF_DIR,
+         "--table", "documents", "--max-hamming", "20"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "near-dup pairs <= hamming 20" in out
