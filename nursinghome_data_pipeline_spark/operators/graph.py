@@ -223,14 +223,15 @@ def pagerank(
       aggregate — a bounded driver action per iteration, same class
       as the CC convergence counter. With ``directed=False`` every
       vertex has out-edges, the dangling sum is provably zero, and
-      the per-iteration ACTION is skipped. (Honest precision, r8: the
-      lazy per-iteration checkpoint still materializes that
-      iteration's shuffle stages at construction time under AQE —
-      work each iteration runs exactly once anyway, just earlier than
-      the terminal action. The pinned invariant is constant jobs per
-      iteration — construction cost exactly linear in ``max_iter``,
-      no lineage re-execution — plus the directed path's one extra
-      action; see tests/test_pagerank.py. Skewed 10× hub-graph
+      the per-iteration ACTION is skipped. (Honest precision, r8:
+      under AQE the lazy per-iteration checkpoint still materializes
+      that iteration's shuffle stages at construction time — work
+      each iteration runs exactly once anyway, just earlier than the
+      terminal action, with per-iteration job counts that jitter
+      under AQE re-planning. The pinned invariant, tested with AQE
+      off where construction is deterministic: ZERO loop actions on
+      this path, exactly one dangling ``first()`` per directed
+      iteration; see tests/test_pagerank.py. Skewed 10× hub-graph
       exponent 0.511, SCALE.md r8.)
 
     Fixed ``max_iter`` (no tolerance test) keeps the iteration count —
