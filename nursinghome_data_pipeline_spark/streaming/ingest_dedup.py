@@ -70,6 +70,7 @@ def streaming_dedup_ingest(
     target_dir: str,
     *,
     threshold: float = 0.8,
+    max_hamming: int = 8,
     checkpoint_dir: str,
     compact_every: int | None = 32,
     regeometry_on_compact: bool = True,
@@ -80,6 +81,13 @@ def streaming_dedup_ingest(
     ``text_col`` (extra columns pass through to the sink). Accepted
     docs land under ``target_dir/data/ingest_batch=<batch_id>/`` and
     are appended to the index at ``index_path``.
+
+    The dedup FAMILY follows the index sidecar's kind (r8): a
+    ``kind="minhash"`` index dedups by exact Jaccard ≥ ``threshold``;
+    a ``kind="simhash"`` index by Hamming ≤ ``max_hamming`` — both the
+    within-batch pass and the corpus probe band with the sidecar's own
+    geometry, so in-batch and cross-corpus decisions can never
+    diverge. The unused knob of the other family is ignored.
 
     ``compact_every``: every N committed batches the index is
     compacted in place (after the manifest commit, so acceptance is
@@ -108,8 +116,12 @@ def streaming_dedup_ingest(
     from ..operators.dedup import (
         exact_dedup_fingerprints,
         near_duplicate_pairs,
+        simhash_near_duplicate_pairs,
     )
-    from ..operators.dedup_index import dedup_batch_against_index
+    from ..operators.dedup_index import (
+        dedup_batch_against_index,
+        simhash_batch_against_index,
+    )
     from ..operators.similarity import (
         _require_local_path,
         append_to_ann_index,
@@ -135,11 +147,46 @@ def streaming_dedup_ingest(
                 return  # re-delivered batch: idempotent skip
         meta = load_ann_meta(index_path)
         id_col, text_col = meta["id_col"], meta["text_col"]
-        params = dict(
-            n_hashes=int(meta["n_hashes"]),
-            bands=int(meta["bands"]),
-            shingle_k=int(meta["shingle_k"]),
-        )
+        # family dispatch on the SIDECAR kind: the in-batch near pass
+        # and the index probe must band/verify with the same family
+        # (and the same geometry) the index was built with, or
+        # batch-vs-batch and batch-vs-corpus dedup silently diverge
+        if meta["kind"] == "simhash":
+            def in_batch_pairs(df):
+                return simhash_near_duplicate_pairs(
+                    df,
+                    id_col=id_col,
+                    text_col=text_col,
+                    max_hamming=max_hamming,
+                    hash_family=meta["hash_family"],
+                    n_chunks=int(meta["n_chunks"]),
+                    chunks_per_key=int(meta["chunks_per_key"]),
+                )
+
+            def index_matches(spark, df):
+                return simhash_batch_against_index(
+                    spark, df, index_path, max_hamming=max_hamming
+                )
+        else:
+            params = dict(
+                n_hashes=int(meta["n_hashes"]),
+                bands=int(meta["bands"]),
+                shingle_k=int(meta["shingle_k"]),
+            )
+
+            def in_batch_pairs(df):
+                return near_duplicate_pairs(
+                    df,
+                    id_col=id_col,
+                    text_col=text_col,
+                    threshold=threshold,
+                    **params,
+                )
+
+            def index_matches(spark, df):
+                return dedup_batch_against_index(
+                    spark, df, index_path, threshold=threshold
+                )
         # Null-text rows carry no content to fingerprint: they cannot
         # be near-dups of anything, so they bypass every dedup stage
         # and pass straight to the sink (never the index — there is
@@ -161,13 +208,7 @@ def streaming_dedup_ingest(
         exact = exact.localCheckpoint(eager=False)
         # stage 2 — near within batch: drop the higher id of each
         # verified pair (id_a < id_b by construction)
-        pairs = near_duplicate_pairs(
-            exact.select(id_col, text_col),
-            id_col=id_col,
-            text_col=text_col,
-            threshold=threshold,
-            **params,
-        )
+        pairs = in_batch_pairs(exact.select(id_col, text_col))
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
         survivors = exact.join(drop, id_col, "left_anti").localCheckpoint(
             eager=False
@@ -175,9 +216,7 @@ def streaming_dedup_ingest(
         # stage 3 — near against the indexed corpus, EXCLUDING matches
         # to this very batch's ids (the crash-replay guard — module
         # docstring): O(batch + matched buckets), corpus never rescanned
-        matches = dedup_batch_against_index(
-            spark, survivors, index_path, threshold=threshold
-        )
+        matches = index_matches(spark, survivors)
         own_ids = exact.select(F.col(id_col).alias("corpus_id"))
         dup_ids = (
             matches.join(own_ids, "corpus_id", "left_anti")

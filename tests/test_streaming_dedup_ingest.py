@@ -277,3 +277,68 @@ def test_cadence_compaction_preserves_results_and_bounds_files(
     assert files_c < files_n
     assert files_c <= 64
     assert load_ann_meta(idx_c)["n_buckets"] == 16  # auto lo-clamp here
+
+
+def test_simhash_index_drives_the_same_loop(spark, tmp_path):
+    """r8: the loop's dedup family follows the sidecar kind. Against a
+    simhash index, a near-copy of a corpus doc (low Hamming) is
+    dropped via the index probe, a within-batch near-copy via the
+    in-batch pass, and a fresh doc is accepted AND indexed so the
+    next batch dedups against it — the same three stages, Hamming
+    semantics."""
+    from nursinghome_data_pipeline_spark.operators.dedup_index import (
+        simhash_batch_against_index,
+        write_simhash_index,
+    )
+
+    corpus = spark.createDataFrame(_corpus_rows(), "doc_id long, text string")
+    index = str(tmp_path / "sh_index")
+    write_simhash_index(corpus, index, n_buckets=16)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    target = str(tmp_path / "target")
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = streaming_dedup_ingest(
+        stream, index, target, max_hamming=12,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        # 10 = one-word variant of corpus doc 1 (corpus match, drop);
+        # 11 fresh; 12 = one-word variant of 11 (in-batch near, drop)
+        _write_batch(
+            src, "b0.json",
+            [
+                (10, _BASE.replace("seventeen", "eighteen")),
+                (11, _FRESH),
+                (12, _variant("fifty")),
+            ],
+        )
+        q.processAllAvailable()
+        assert _accepted_ids(spark, target) == {11}
+        # 20 = variant of ACCEPTED 11 — must drop via the postings
+        # batch 0 appended; 21 fresh
+        _write_batch(
+            src, "b1.json",
+            [
+                (20, _variant("ninety")),
+                (21, "entirely new content about broadcast joins and "
+                     "shuffle partition coalescing under adaptive "
+                     "execution with skew handling enabled everywhere"),
+            ],
+        )
+        q.processAllAvailable()
+        assert _accepted_ids(spark, target) == {11, 21}
+    finally:
+        q.stop()
+    # probing the grown index finds the accepted 11, not the rejects
+    probe = spark.createDataFrame(
+        [(900, _variant("ninety"))], "doc_id long, text string"
+    )
+    got = {
+        (r["batch_id"], r["corpus_id"])
+        for r in simhash_batch_against_index(
+            spark, probe, index, max_hamming=12
+        ).collect()
+    }
+    assert (900, 11) in got
+    assert all(c not in (10, 12, 20) for _, c in got)
