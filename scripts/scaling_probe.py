@@ -2062,6 +2062,10 @@ def main() -> None:
         help="with --ingestloop: comma-separated batch-size multipliers",
     )
     ap.add_argument(
+        "--ingestloop-batches", type=int, default=20,
+        help="with --ingestloop: micro-batches per scale",
+    )
+    ap.add_argument(
         "--simhashindex", action="store_true",
         help="run only the at-rest simhash index probe: fixed-batch "
         "probe wall + scan volume at 1x/30x corpus",
@@ -2107,6 +2111,7 @@ def main() -> None:
         print(json.dumps(_ingest_loop_probes(
             scales=tuple(int(x) for x in args.ingestloop_scales.split(",")),
             compact_every=args.ingestloop_compact_every,
+            n_batches=args.ingestloop_batches,
         ), indent=2))
         return
     if args.zorder:
