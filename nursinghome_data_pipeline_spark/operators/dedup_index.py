@@ -249,6 +249,13 @@ def write_dedup_index(
     Recall composes with the banding only — the exact verify never
     rejects a true pair above ``threshold``.
 
+    Probe cost is O(batch + matched-bucket population), so a corpus
+    carrying m exact copies of one document makes every probe that
+    hits their bucket verify against all m (same population² caveat
+    as the in-memory operator): run ``exact_dedup_fingerprints``
+    before indexing — the streaming ingest loop does this as its
+    stage 1, so index growth through the loop stays copy-free.
+
     Unlike the IVF/LSH writers, ``files_per_partition`` DEFAULTS ON
     (1): band keys are uniform by construction, so a shuffle-free
     write puts every input task's rows into every directory — measured
@@ -503,7 +510,9 @@ def write_simhash_index(
     operator — the guarantee, not a probability, is the contract).
     ``files_per_partition`` defaults ON for the same measured reason
     as :func:`write_dedup_index` (uniform keys → shuffle-free write
-    explodes file count)."""
+    explodes file count) — and the same exact-dedup-before-indexing
+    guidance applies (m exact copies share every bucket; the ingest
+    loop's stage 1 already guarantees this for loop-grown indexes)."""
     from .similarity import _compact_for_write
 
     _require_local_path(path, "write_simhash_index")
