@@ -363,13 +363,14 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
     if args.action == "compact":
         from .operators.similarity import compact_ann_index
 
-        if args.regeometry and load_ann_meta(args.path).get("kind") != "minhash":
+        kind = load_ann_meta(args.path).get("kind")
+        if args.regeometry and kind not in ("minhash", "simhash"):
+            # same kinds compact_ann_index itself accepts for the flag
             print(
                 f"ann-index compact --regeometry: index at {args.path} "
-                f"is kind={load_ann_meta(args.path).get('kind')!r} — "
-                "geometry refresh only applies to minhash dedup "
-                "indexes (IVF seeds / LSH planes define routing "
-                "semantics, not just partitioning)",
+                f"is kind={kind!r} — geometry refresh only applies to "
+                "minhash/simhash dedup indexes (IVF seeds / LSH planes "
+                "define routing semantics, not just partitioning)",
                 file=sys.stderr,
             )
             return 2
@@ -386,10 +387,16 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
         )
         if args.regeometry:
             meta = load_ann_meta(args.path)
+            # minhash dirs = bands × n_buckets; simhash has no band
+            # dimension (pb is a plain mod over the packed keys)
+            geom = (
+                f"{meta['bands']}x{meta['n_buckets']}"
+                if "bands" in meta
+                else f"{meta['n_buckets']}"
+            )
             print(
                 f"compacted index at {args.path}: {n_files} data files, "
-                f"regeometry -> {meta['bands']}x{meta['n_buckets']} "
-                "bucket dirs"
+                f"regeometry -> {geom} bucket dirs"
             )
         else:
             print(f"compacted index at {args.path}: {n_files} data files")
@@ -648,7 +655,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--files-per-partition", type=int, default=None,
                    help="bound files per cell/bucket dir (one build shuffle)")
     p.add_argument("--regeometry", action="store_true",
-                   help="compact (minhash only): re-derive n_buckets "
+                   help="compact (minhash/simhash): re-derive n_buckets "
                    "from the current corpus size and re-route postings")
     p.add_argument("--query-id", type=int, default=0,
                    help="probe: take the query vector from this source row")

@@ -357,6 +357,12 @@ def banding_detection_prob(jaccard: float, *, n_hashes: int, bands: int) -> floa
     family tracks this closed form within sampling tolerance, so the
     formula is safe to size (n_hashes, bands) with. The dual of
     :func:`~.similarity.srp_collision_prob` for the Jaccard family."""
+    if n_hashes < 1 or bands < 1:
+        # before the divisibility check — `n_hashes % 0` would raise an
+        # opaque ZeroDivisionError instead of naming the bad input
+        raise ValueError(
+            f"n_hashes ({n_hashes}) and bands ({bands}) must be >= 1"
+        )
     if n_hashes % bands != 0:
         raise ValueError(
             f"bands ({bands}) must divide n_hashes ({n_hashes})"

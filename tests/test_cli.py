@@ -300,3 +300,10 @@ def test_cli_ann_index_simhash_build_and_dedup(tmp_path, spark, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "near-dup pairs <= hamming 20" in out
+    # r8 ADVICE: the CLI gate must allow --regeometry for simhash too
+    # (compact_ann_index supports it; the old gate said minhash-only)
+    rc = main(["ann-index", "compact", path, "--regeometry"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # simhash has no band dimension — the summary prints plain buckets
+    assert "regeometry ->" in out and "x" not in out.split("->")[1]

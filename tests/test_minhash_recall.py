@@ -74,6 +74,12 @@ def test_banding_detection_prob_pinned():
     ) < banding_detection_prob(0.8, n_hashes=16, bands=4)
     with pytest.raises(ValueError, match="must divide"):
         banding_detection_prob(0.8, n_hashes=16, bands=5)
+    # bands=0 must hit the descriptive guard, not ZeroDivisionError
+    # from the divisibility check's modulo (r8 ADVICE)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        banding_detection_prob(0.8, n_hashes=16, bands=0)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        banding_detection_prob(0.8, n_hashes=0, bands=0)
 
 
 def test_planted_construction_is_analytically_exact(spark):
