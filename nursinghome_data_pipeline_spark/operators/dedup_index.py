@@ -32,13 +32,17 @@ and keeping the cross pairs (pinned by ``tests/test_dedup_index.py``).
 
 Lifecycle: the index is ``kind="minhash"`` under the SAME sidecar +
 append/compact protocol as the ANN indexes
-(:func:`~.similarity.append_to_ann_index` routes new docs with the
+(:func:`~.similarity.append_to_ann_index` bands new docs with the
 sidecar's own geometry; :func:`~.similarity.compact_ann_index` bounds
 files per directory under the Dekker intent/lock handshake) — one
 lifecycle implementation, four index kinds (r8 adds
 ``kind="simhash"``: the same incremental-dedup story for the Hamming
 family — :func:`write_simhash_index` / :func:`simhash_batch_against_index`,
 pinned bit-equal to ``simhash_near_duplicate_pairs`` cross pairs).
+Appends are LSM-style (r9): each batch lands as ONE file in a
+``pb=-1`` delta directory (:data:`DELTA_PB`) that every probe also
+reads, and compaction merges deltas into their true buckets — append
+cost ∝ batch instead of ∝ ``bands × n_buckets`` file creations.
 
 The same probe is decontamination-at-rest: index the TRAINING corpus
 once, probe with the evaluation/benchmark set — every returned pair is
@@ -57,6 +61,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import (
+    _intra_bucket_pairs,
     band_key_col,
     jaccard_verify_col,
     minhash_signature_col,
@@ -81,6 +86,33 @@ _RESERVED_COLS = frozenset(
     {"pb", "band", "bkey", "sh", "sig", "bucket",
      "batch_id", "corpus_id", "hamming"}
 )
+
+#: partition value of the LSM-style append delta (r9). Builds route
+#: every posting to its real ``pb`` directory; APPENDS instead land
+#: whole in the single ``pb=-1`` directory, one file per append —
+#: cost ∝ batch, not ∝ ``bands × n_buckets`` (the routed append wrote
+#: ≤1 file into EVERY matched directory, measured 3.5 s of a 6.9 s
+#: ingest micro-batch for ~230 file creations + commits). Probes read
+#: their matched directories PLUS the delta (bounded by the
+#: compaction cadence — ~32 micro-batches of postings, a trivial
+#: scan); compaction re-routes delta rows to their true buckets from
+#: the STORED routing columns, so the compacted index is bit-identical
+#: to a fresh rebuild. Real pb values are non-negative by
+#: construction (band·n_buckets + pmod ≥ 0), so -1 can never collide.
+DELTA_PB = -1
+
+
+def as_delta_append(rows: DataFrame) -> DataFrame:
+    """Stamp a routed ``_banded_rows``/``_simhash_rows`` projection as
+    one LSM delta append: every row goes to the ``pb=-1`` directory in
+    a single file (micro-batch appends are small by contract — a bulk
+    backfill should use ``write_dedup_index`` or compact right after).
+    The routing columns (band/bkey or bucket) stay untouched — they
+    are what compaction re-routes from and what probes join on, so
+    delta rows match candidates exactly like base rows."""
+    return rows.withColumn(
+        "pb", F.lit(DELTA_PB).cast("int")
+    ).repartition(1)
 
 
 def _require_unreserved(id_col: str, caller: str) -> None:
@@ -146,6 +178,59 @@ def _banded_rows(
     )
 
 
+def pairs_from_banded_rows(
+    banded: DataFrame, *, id_col: str, threshold: float
+) -> DataFrame:
+    """Within-set near-dup pairs from a precomputed ``_banded_rows``
+    projection — ``(id_a, id_b, jaccard)`` with ``id_a < id_b`` and
+    jaccard ≥ threshold, identical (as a set) to
+    :func:`~.dedup.near_duplicate_pairs` over the same docs at the
+    same geometry (pinned by ``tests/test_dedup_index.py``): the band
+    keys are the same :func:`~.dedup.band_key_col` values and the
+    verify is the same :func:`~.dedup.jaccard_verify_col` over the
+    same distinct-shingle arrays, just read from the rows instead of
+    recomputed from text. This is the streaming ingest loop's
+    in-batch pass (r9): one fingerprint pass feeds in-batch pairing,
+    the index probe, AND the append routing. Verification happens
+    inside the bucket (before the pair explode), so sub-threshold
+    candidates are pruned without a second sets-join."""
+    return _intra_bucket_pairs(
+        banded,
+        ["band", "bkey"],
+        [id_col, "sh"],
+        lambda x, y: F.struct(
+            x[id_col].alias("id_a"),
+            y[id_col].alias("id_b"),
+            jaccard_verify_col(x["sh"], y["sh"]).alias("jaccard"),
+        ),
+        lambda p: (p["id_a"] < p["id_b"])
+        & (p["jaccard"] >= F.lit(threshold)),
+    )
+
+
+def pairs_from_simhash_rows(
+    rows: DataFrame, *, id_col: str, max_hamming: int
+) -> DataFrame:
+    """Within-set near-dup pairs from a precomputed ``_simhash_rows``
+    projection — ``(id_a, id_b, hamming)``, identical (as a set) to
+    :func:`~.dedup.simhash_near_duplicate_pairs` over the same docs at
+    the same geometry (same :func:`~.dedup.simhash_bucket_keys`
+    buckets, same ``bit_count`` verify — pinned). The Hamming-family
+    twin of :func:`pairs_from_banded_rows`."""
+    return _intra_bucket_pairs(
+        rows,
+        ["bucket"],
+        [id_col, "sh"],
+        lambda x, y: F.struct(
+            x[id_col].alias("id_a"),
+            y[id_col].alias("id_b"),
+            F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
+        ),
+        lambda p: (p["id_a"] < p["id_b"])
+        & (p["hamming"] <= F.lit(max_hamming)),
+    )
+
+
 def auto_dedup_buckets(
     n_docs: int,
     *,
@@ -178,19 +263,19 @@ def auto_dedup_buckets(
 def route_dedup_append(df: DataFrame, meta: dict) -> tuple[DataFrame, str]:
     """Append routing for ``kind="minhash"`` — called by
     :func:`~.similarity.append_to_ann_index` so new batches band with
-    the SIDECAR's geometry (never recomputed parameters). The batch is
-    repartitioned by ``pb`` before the write (one small shuffle): band
-    keys are uniform, so an un-shuffled append of a B-task batch would
-    add up to B files to EVERY matched directory per append — the
-    small-file explosion the build-side default guards against.
+    the SIDECAR's geometry (never recomputed parameters).
 
-    Even so, each append adds up to ONE file per matched directory, so
-    N append batches ≈ N files/dir. Measured cadence (SCALE.md r8,
-    ``scaling_probe --dedupcadence``): probe latency +25% after 32
-    appends, 3.0× after 128; one ``compact_ann_index`` call (≈4
-    appends' cost) restores the fresh-build probe exactly. **Compact
-    every ~32 appends** — the cadence is in append COUNT, not data
-    volume, because this repartition already bounds files per append."""
+    Appends are LSM-style deltas (r9, see :data:`DELTA_PB`): the whole
+    batch lands as ONE file in the ``pb=-1`` directory instead of ≤1
+    file in every matched directory. The r8 routed-append cadence
+    measured probe latency +25% after 32 appends and 3.0× after 128
+    from exactly that per-directory file growth; the delta form writes
+    one file per append regardless of geometry, and probes pay one
+    small extra directory scan bounded by the compaction cadence.
+    **Compact every ~32 appends** still — compaction
+    (``compact_ann_index``) re-routes delta rows to their true buckets
+    from the stored band/bkey columns, bit-identical to a fresh
+    rebuild."""
     missing = {meta["id_col"], meta["text_col"]} - set(df.columns)
     if missing:
         raise ValueError(
@@ -207,7 +292,7 @@ def route_dedup_append(df: DataFrame, meta: dict) -> tuple[DataFrame, str]:
         shingle_k=int(meta["shingle_k"]),
         n_buckets=int(meta["n_buckets"]),
     )
-    return routed.repartition(F.col("pb")), "pb"
+    return as_delta_append(routed), "pb"
 
 
 def write_dedup_index(
@@ -337,10 +422,39 @@ def dedup_batch_against_index(
         shingle_k=int(meta["shingle_k"]),
         n_buckets=int(meta["n_buckets"]),
     ).localCheckpoint(eager=False)
+    return probe_index_with_banded_rows(
+        spark, b, path, meta, threshold=threshold
+    )
+
+
+def probe_index_with_banded_rows(
+    spark,
+    b: DataFrame,
+    path: str,
+    meta: dict,
+    *,
+    threshold: float,
+) -> DataFrame:
+    """The probe body of :func:`dedup_batch_against_index`, taking the
+    batch side as an ALREADY-COMPUTED ``_banded_rows`` projection (at
+    the sidecar's geometry — the caller's contract). Exists so the
+    streaming ingest loop can fingerprint each micro-batch ONCE and
+    feed the same projection to the in-batch pass, this probe, and the
+    append routing (r9 — the fixed per-batch fingerprint redundancy
+    measured as part of the loop's ~7 s cadence). ``b`` should be
+    pinned (localCheckpoint) by the caller: the pb collect below and
+    the candidate join both consume it."""
+    import os
+
     # bounded driver collect: ≤ bands × n_buckets ints (256 at the
     # default geometry) — the partition-pruning literal, same shape as
     # the ANN probes' cell/bucket lists
     pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
+    # un-compacted LSM delta appends (pb=-1, see DELTA_PB) hold recent
+    # postings for EVERY bucket, so every probe reads them too — a
+    # single small directory bounded by the compaction cadence
+    if os.path.isdir(os.path.join(path, f"pb={DELTA_PB}")):
+        pbs = pbs + [DELTA_PB]
     id_col = meta["id_col"]
     # Matched-directories-only read: above ~32 directories Spark's
     # partition discovery launches a listing JOB over every directory
@@ -352,7 +466,7 @@ def dedup_batch_against_index(
     if rel is None:
         from pyspark.sql.types import DoubleType, StructField, StructType
 
-        idt = batch.schema[id_col].dataType
+        idt = b.schema[id_col].dataType
         return spark.createDataFrame(
             [],
             StructType(
@@ -460,7 +574,7 @@ def simhash_keys_per_doc(n_chunks: int, chunks_per_key: int) -> int:
 
 def route_simhash_append(df: DataFrame, meta: dict) -> tuple[DataFrame, str]:
     """Append routing for ``kind="simhash"`` — sidecar geometry only,
-    same contract (and same small pb-shuffle rationale) as
+    same contract (and the same LSM delta form) as
     :func:`route_dedup_append`."""
     missing = {meta["id_col"], meta["text_col"]} - set(df.columns)
     if missing:
@@ -478,7 +592,7 @@ def route_simhash_append(df: DataFrame, meta: dict) -> tuple[DataFrame, str]:
         chunks_per_key=int(meta["chunks_per_key"]),
         n_buckets=int(meta["n_buckets"]),
     )
-    return routed.repartition(F.col("pb")), "pb"
+    return as_delta_append(routed), "pb"
 
 
 def write_simhash_index(
@@ -581,13 +695,34 @@ def simhash_batch_against_index(
         chunks_per_key=int(meta["chunks_per_key"]),
         n_buckets=int(meta["n_buckets"]),
     ).localCheckpoint(eager=False)
+    return probe_index_with_simhash_rows(
+        spark, b, path, meta, max_hamming=max_hamming
+    )
+
+
+def probe_index_with_simhash_rows(
+    spark,
+    b: DataFrame,
+    path: str,
+    meta: dict,
+    *,
+    max_hamming: int,
+) -> DataFrame:
+    """Probe body of :func:`simhash_batch_against_index` over an
+    already-computed ``_simhash_rows`` projection — the Hamming twin
+    of :func:`probe_index_with_banded_rows`, same caller contract
+    (including the delta-directory read)."""
+    import os
+
     pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
+    if os.path.isdir(os.path.join(path, f"pb={DELTA_PB}")):
+        pbs = pbs + [DELTA_PB]
     id_col = meta["id_col"]
     rel = read_matched_partitions(spark, path, "pb", pbs)
     if rel is None:
         from pyspark.sql.types import IntegerType, StructField, StructType
 
-        idt = batch.schema[id_col].dataType
+        idt = b.schema[id_col].dataType
         return spark.createDataFrame(
             [],
             StructType(

@@ -754,10 +754,13 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
     full index rebuild per batch is a non-starter. New rows are routed
     with the SIDECAR's own geometry (the IVF seeds / LSH planes the
     index was built with — never recomputed, so old and new rows
-    always agree on cell/bucket routing) and appended as new files
-    under the matching partition directories; existing files are
-    untouched and probes see the union immediately (same
-    ``PartitionFilters`` pruning). Works for both index kinds. Id
+    always agree on cell/bucket routing) and appended as new files:
+    IVF/LSH batches under their matching cell/bucket directories, the
+    dedup kinds (minhash/simhash) as ONE LSM delta file under
+    ``pb=-1`` (``dedup_index.DELTA_PB`` — their postings fan out to
+    nearly every directory, so per-directory appends cost ∝ geometry;
+    the delta costs ∝ batch and compaction folds it in). Existing
+    files are untouched and probes see the union immediately. Id
     uniqueness is the CALLER's contract — appending an id that already
     exists stores both copies, exactly like any parquet append; run
     the batch through ``operators/dedup.incremental_ingest`` style
@@ -786,9 +789,6 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
     strand its intent marker —
     compact_ann_index names the stale file in its error; remove it by
     hand after confirming no append is running."""
-    import os
-    import uuid
-
     _require_local_path(path, "append_to_ann_index")
     meta = load_ann_meta(path)
     if meta.get("kind") not in ("ivf", "lsh", "minhash", "simhash"):
@@ -796,6 +796,58 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
             f"append_to_ann_index: unknown index kind "
             f"{meta.get('kind')!r} in {path}/{ANN_META_FILE}"
         )
+    if meta["kind"] == "minhash":
+        # routing owned by the dedup-index module (runtime import:
+        # dedup_index imports this module's protocol helpers)
+        from .dedup_index import route_dedup_append
+
+        routed, part = route_dedup_append(df, meta)
+    elif meta["kind"] == "simhash":
+        from .dedup_index import route_simhash_append
+
+        routed, part = route_simhash_append(df, meta)
+    elif meta["kind"] == "ivf":
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        seeds = [(int(s), vec) for s, vec in meta["seeds"]]
+        routed = df.select(
+            id_col, vec_col, ivf_cell_col(seeds, vec_col).alias("cell")
+        )
+        part = "cell"
+    else:
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        routed = random_projection_buckets(
+            df,
+            vec_col=vec_col,
+            dim=int(meta["dim"]),
+            n_planes=int(meta["n_planes"]),
+            seed=int(meta["seed"]),
+        ).select(id_col, vec_col, "bucket")
+        part = "bucket"
+    append_routed_rows(routed, path, part)
+
+
+def append_routed_rows(routed: DataFrame, path: str, part: str) -> None:
+    """The write half of :func:`append_to_ann_index`: commit
+    ALREADY-ROUTED rows under the Dekker intent/lock handshake.
+
+    The caller's contract is that ``routed`` carries the index's full
+    row schema with partition values computed from the CURRENT
+    sidecar's geometry — either via the ``route_*`` helpers (what
+    :func:`append_to_ann_index` does) or by reusing a
+    ``_banded_rows``/``_simhash_rows`` projection it already computed
+    at that geometry (what the streaming ingest loop does, r9 — one
+    fingerprint pass per micro-batch instead of one per stage). Under
+    the loop's single-writer contract the sidecar cannot change
+    between the caller's meta read and this write; a multi-writer
+    deployment must route and append under one external lock.
+
+    Handshake (see :func:`append_to_ann_index` for the full story):
+    intent marker FIRST, then the compactor-lock check — whatever the
+    interleaving, at least one side sees the other and backs off."""
+    import os
+    import uuid
+
+    _require_local_path(path, "append_routed_rows")
     # intent BEFORE lock-check (the handshake's whole point): if the
     # compactor's lock lands between our check and our write, the
     # compactor's own intent-check — which happens after its lock is
@@ -805,39 +857,12 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
     try:
         if os.path.exists(os.path.join(path, ANN_COMPACT_LOCK)):
             raise RuntimeError(
-                f"append_to_ann_index: {path} is being compacted "
+                f"append_routed_rows: {path} is being compacted "
                 f"({ANN_COMPACT_LOCK} present) — retry after compaction "
                 "finishes; if no compactor is running, a previous "
                 "compaction crashed and the next compact_ann_index call "
                 "will repair it (or remove the lockfile by hand)."
             )
-        if meta["kind"] == "minhash":
-            # routing owned by the dedup-index module (runtime import:
-            # dedup_index imports this module's protocol helpers)
-            from .dedup_index import route_dedup_append
-
-            routed, part = route_dedup_append(df, meta)
-        elif meta["kind"] == "simhash":
-            from .dedup_index import route_simhash_append
-
-            routed, part = route_simhash_append(df, meta)
-        elif meta["kind"] == "ivf":
-            id_col, vec_col = meta["id_col"], meta["vec_col"]
-            seeds = [(int(s), vec) for s, vec in meta["seeds"]]
-            routed = df.select(
-                id_col, vec_col, ivf_cell_col(seeds, vec_col).alias("cell")
-            )
-            part = "cell"
-        else:
-            id_col, vec_col = meta["id_col"], meta["vec_col"]
-            routed = random_projection_buckets(
-                df,
-                vec_col=vec_col,
-                dim=int(meta["dim"]),
-                n_planes=int(meta["n_planes"]),
-                seed=int(meta["seed"]),
-            ).select(id_col, vec_col, "bucket")
-            part = "bucket"
         routed.write.mode("append").partitionBy(part).parquet(path)
     finally:
         import contextlib
@@ -856,12 +881,15 @@ def compact_ann_index(
 ) -> int:
     """Rewrite an at-rest ANN index with bounded files per partition
     directory, preserving rows, routing, and the sidecar. Returns the
-    new data-file count.
+    new data-file count. For the dedup kinds (minhash/simhash) this is
+    also the LSM merge: rows appended as ``pb=-1`` deltas
+    (``dedup_index.DELTA_PB``) re-route to their true bucket
+    directories from the stored routing columns.
 
-    ``regeometry=True`` (``kind="minhash"`` only) additionally
-    re-derives the bucket count from the CURRENT corpus size
-    (``dedup_index.auto_dedup_buckets`` — the same formula the build
-    uses) and re-routes every posting under the new geometry.
+    ``regeometry=True`` (``kind="minhash"`` / ``"simhash"``)
+    additionally re-derives the bucket count from the CURRENT corpus
+    size (``dedup_index.auto_dedup_buckets`` — the same formula the
+    builds use) and re-routes every posting under the new geometry.
     ``write_dedup_index`` sizes ``n_buckets`` once, at build time; a
     corpus grown 100× by appends keeps that stale geometry, so each of
     the fixed ``bands × n_buckets`` directories accumulates ∝ corpus
@@ -980,26 +1008,40 @@ def compact_ann_index(
 
         before = _data_files()
         df = spark.read.parquet(path)
-        if regeometry:
+        if meta["kind"] in ("minhash", "simhash"):
             from .dedup_index import auto_dedup_buckets, simhash_keys_per_doc
 
-            # distinct ids, not row count: every doc posts bands /
-            # keys_per_doc rows, and replay-duplicated postings
-            # (benign, see append_to_ann_index) must not inflate the
-            # size estimate. pb recomputes from STORED routing columns
-            # (band/bkey or bucket) — no re-fingerprinting.
-            n_docs = df.select(meta["id_col"]).distinct().count()
+            # pb is DERIVED for these kinds — recompute it from the
+            # STORED routing columns (band/bkey or bucket) on EVERY
+            # compaction, never re-fingerprinting: base rows map to
+            # themselves, and un-compacted LSM delta appends (pb=-1,
+            # see dedup_index.DELTA_PB) fold into their true bucket
+            # directories, so the result is bit-identical to a fresh
+            # rebuild. regeometry additionally re-derives the bucket
+            # COUNT from the current corpus size (distinct ids, not
+            # row count: every doc posts bands / keys_per_doc rows,
+            # and replay-duplicated postings — benign, see
+            # append_to_ann_index — must not inflate the estimate).
+            if regeometry:
+                n_docs = df.select(meta["id_col"]).distinct().count()
             if meta["kind"] == "minhash":
-                new_nb = auto_dedup_buckets(n_docs, bands=int(meta["bands"]))
+                new_nb = (
+                    auto_dedup_buckets(n_docs, bands=int(meta["bands"]))
+                    if regeometry
+                    else int(meta["n_buckets"])
+                )
                 new_pb = (
                     F.col("band") * new_nb
                     + F.pmod(F.col("bkey"), F.lit(new_nb))
                 )
             else:
-                kpd = simhash_keys_per_doc(
-                    int(meta["n_chunks"]), int(meta["chunks_per_key"])
-                )
-                new_nb = auto_dedup_buckets(n_docs * kpd, bands=1)
+                if regeometry:
+                    kpd = simhash_keys_per_doc(
+                        int(meta["n_chunks"]), int(meta["chunks_per_key"])
+                    )
+                    new_nb = auto_dedup_buckets(n_docs * kpd, bands=1)
+                else:
+                    new_nb = int(meta["n_buckets"])
                 new_pb = F.pmod(F.xxhash64(F.col("bucket")), F.lit(new_nb))
             df = df.withColumn("pb", new_pb.cast("int"))
             meta = {**meta, "n_buckets": new_nb}

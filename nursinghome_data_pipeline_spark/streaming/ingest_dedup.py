@@ -33,14 +33,18 @@ Idempotency is CRASH-POINT-COMPLETE, not just manifest-gated:
   (``ingest_batch=<id>/``), so replays rewrite in place instead of
   double-appending.
 
-Known constant-factor trade, documented rather than hidden: the
-surviving docs are fingerprinted up to three times per micro-batch
-(the within-batch pair pass, the index probe's banding, and the
-append's sidecar-routed banding). Each pass is bounded by BATCH size —
-never corpus size — so the asymptotic story is unchanged; threading
-one banded projection through all three stages would save the
-redundancy at the cost of a private cross-module API, a trade worth
-taking only if profiled batches show the fingerprint dominating.
+One fingerprint pass per micro-batch (r9): the batch's banded
+projection (``dedup_index._banded_rows`` / ``_simhash_rows``) is
+computed once and pinned, then read by all three consumers — the
+within-batch pair pass (``pairs_from_banded_rows``), the index probe
+(``probe_index_with_banded_rows``), and the append
+(``append_routed_rows`` over the accepted slice of the same rows).
+Earlier rounds fingerprinted up to three times per batch; the r8
+ingest-loop probe measured the resulting fixed per-batch cadence at
+~7 s, dominated by redundant job count rather than data volume, which
+bought this cross-module API (the sharing is pinned accepted-set-
+identical to the composed in-memory operators by
+``tests/test_streaming_dedup_ingest.py``).
 
 Null-text rows (no content to fingerprint) bypass every dedup stage:
 they pass straight to the sink and are never posted to the index —
@@ -87,7 +91,22 @@ def streaming_dedup_ingest(
     a ``kind="simhash"`` index by Hamming ≤ ``max_hamming`` — both the
     within-batch pass and the corpus probe band with the sidecar's own
     geometry, so in-batch and cross-corpus decisions can never
-    diverge. The unused knob of the other family is ignored.
+    diverge. The unused knob of the other family is ignored. Any
+    other sidecar kind (ivf/lsh) raises a ValueError at stream start
+    (the index must already exist when the stream is constructed) —
+    those indexes hold vectors, not text postings.
+
+    ``max_hamming`` (simhash family) is a VERIFY threshold, not a
+    recall promise: the banding only guarantees candidate generation
+    for pairs within ``n_chunks − chunks_per_key`` bits of each other
+    (the pigeonhole bound — see ``dedup.simhash_near_duplicate_pairs``).
+    The default index geometry (5 chunks × pair keys) guarantees
+    h ≤ 3, so with the default ``max_hamming=8`` pairs at Hamming 4–8
+    are caught only when they happen to share a clean chunk pair —
+    both in the in-batch pass and the index probe. A ``UserWarning``
+    is emitted when ``max_hamming`` exceeds the sidecar geometry's
+    guarantee; tighten ``max_hamming`` or widen ``n_chunks`` at index
+    build time to close the gap.
 
     ``compact_every``: every N committed batches the index is
     compacted in place (after the manifest commit, so acceptance is
@@ -113,18 +132,19 @@ def streaming_dedup_ingest(
 
     from pyspark.sql import SparkSession
 
-    from ..operators.dedup import (
-        exact_dedup_fingerprints,
-        near_duplicate_pairs,
-        simhash_near_duplicate_pairs,
-    )
+    from ..operators.dedup import exact_dedup_fingerprints
     from ..operators.dedup_index import (
-        dedup_batch_against_index,
-        simhash_batch_against_index,
+        _banded_rows,
+        _simhash_rows,
+        as_delta_append,
+        pairs_from_banded_rows,
+        pairs_from_simhash_rows,
+        probe_index_with_banded_rows,
+        probe_index_with_simhash_rows,
     )
     from ..operators.similarity import (
         _require_local_path,
-        append_to_ann_index,
+        append_routed_rows,
         load_ann_meta,
     )
 
@@ -136,56 +156,102 @@ def streaming_dedup_ingest(
     _require_local_path(index_path, "streaming_dedup_ingest")
     manifest = os.path.join(target_dir, "_committed_batches")
 
+    def _require_dedup_kind(meta: dict) -> None:
+        if meta.get("kind") not in ("minhash", "simhash"):
+            # fail at the dispatch point with the kinds named, not
+            # later with a raw KeyError('n_hashes') from an ivf/lsh
+            # sidecar missing the minhash geometry fields
+            raise ValueError(
+                f"streaming_dedup_ingest: index at {index_path} is "
+                f"kind={meta.get('kind')!r} — the ingest loop dedups "
+                "text against a 'minhash' or 'simhash' index"
+            )
+
+    # fail/warn at stream START (the index must already exist): a bad
+    # index kind raises synchronously instead of inside the first
+    # micro-batch's StreamingQueryException, and the simhash
+    # geometry-vs-max_hamming recall warning fires once, up front.
+    # n_chunks/chunks_per_key never change after build (regeometry
+    # only re-derives n_buckets), so start-time is the right scope.
+    meta0 = load_ann_meta(index_path)
+    _require_dedup_kind(meta0)
+    if meta0["kind"] == "simhash":
+        guarantee = int(meta0["n_chunks"]) - int(meta0["chunks_per_key"])
+        if max_hamming > guarantee:
+            import warnings
+
+            warnings.warn(
+                f"streaming_dedup_ingest: max_hamming={max_hamming} "
+                f"exceeds the index geometry's pigeonhole guarantee "
+                f"(h <= {guarantee} for {meta0['n_chunks']} chunks x "
+                f"{meta0['chunks_per_key']}-chunk keys) — pairs at "
+                f"Hamming {guarantee + 1}..{max_hamming} may be missed "
+                "by banding",
+                UserWarning,
+                stacklevel=2,
+            )
+
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:
         spark = SparkSession.getActiveSession()
         if os.path.exists(manifest):
-            committed = {
-                int(line)
-                for line in open(manifest, encoding="utf-8").read().split()
-            }
+            with open(manifest, encoding="utf-8") as fh:
+                committed = {int(line) for line in fh.read().split()}
             if batch_id in committed:
                 return  # re-delivered batch: idempotent skip
         meta = load_ann_meta(index_path)
+        # re-checked per batch: an index swapped out underneath a
+        # running stream must still fail with the kinds named
+        _require_dedup_kind(meta)
         id_col, text_col = meta["id_col"], meta["text_col"]
         # family dispatch on the SIDECAR kind: the in-batch near pass
         # and the index probe must band/verify with the same family
         # (and the same geometry) the index was built with, or
-        # batch-vs-batch and batch-vs-corpus dedup silently diverge
+        # batch-vs-batch and batch-vs-corpus dedup silently diverge.
+        # All three fingerprint consumers — in-batch pairing, the
+        # index probe, and the append routing — read ONE shared
+        # banded projection (r9): the batch is tokenized/shingled/
+        # signed exactly once per micro-batch.
         if meta["kind"] == "simhash":
-            def in_batch_pairs(df):
-                return simhash_near_duplicate_pairs(
+            def project(df):
+                return _simhash_rows(
                     df,
                     id_col=id_col,
                     text_col=text_col,
-                    max_hamming=max_hamming,
                     hash_family=meta["hash_family"],
                     n_chunks=int(meta["n_chunks"]),
                     chunks_per_key=int(meta["chunks_per_key"]),
+                    n_buckets=int(meta["n_buckets"]),
                 )
 
-            def index_matches(spark, df):
-                return simhash_batch_against_index(
-                    spark, df, index_path, max_hamming=max_hamming
+            def in_batch_pairs(rows):
+                return pairs_from_simhash_rows(
+                    rows, id_col=id_col, max_hamming=max_hamming
+                )
+
+            def index_matches(spark, rows):
+                return probe_index_with_simhash_rows(
+                    spark, rows, index_path, meta, max_hamming=max_hamming
                 )
         else:
-            params = dict(
-                n_hashes=int(meta["n_hashes"]),
-                bands=int(meta["bands"]),
-                shingle_k=int(meta["shingle_k"]),
-            )
-
-            def in_batch_pairs(df):
-                return near_duplicate_pairs(
+            def project(df):
+                return _banded_rows(
                     df,
                     id_col=id_col,
                     text_col=text_col,
-                    threshold=threshold,
-                    **params,
+                    n_hashes=int(meta["n_hashes"]),
+                    bands=int(meta["bands"]),
+                    shingle_k=int(meta["shingle_k"]),
+                    n_buckets=int(meta["n_buckets"]),
                 )
 
-            def index_matches(spark, df):
-                return dedup_batch_against_index(
-                    spark, df, index_path, threshold=threshold
+            def in_batch_pairs(rows):
+                return pairs_from_banded_rows(
+                    rows, id_col=id_col, threshold=threshold
+                )
+
+            def index_matches(spark, rows):
+                return probe_index_with_banded_rows(
+                    spark, rows, index_path, meta, threshold=threshold
                 )
         # Null-text rows carry no content to fingerprint: they cannot
         # be near-dups of anything, so they bypass every dedup stage
@@ -204,19 +270,33 @@ def streaming_dedup_ingest(
             batch, text_col=text_col, id_col=id_col
         ).select(id_col)
         exact = batch.join(winners, id_col, "left_semi")
-        # the batch is re-read by three dedup stages — pin it
+        # the batch is re-read by the projection, the own-ids guard,
+        # and the accepted anti-joins — pin it
         exact = exact.localCheckpoint(eager=False)
-        # stage 2 — near within batch: drop the higher id of each
-        # verified pair (id_a < id_b by construction)
-        pairs = in_batch_pairs(exact.select(id_col, text_col))
-        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        survivors = exact.join(drop, id_col, "left_anti").localCheckpoint(
+        # THE one fingerprint pass: every later stage reads these rows
+        rows = project(exact.select(id_col, text_col)).localCheckpoint(
             eager=False
+        )
+        # stage 2 — near within batch: drop the higher id of each
+        # verified pair (id_a < id_b by construction); the pair set is
+        # identical to the in-memory operator's (pinned — see
+        # pairs_from_banded_rows)
+        pairs = in_batch_pairs(rows)
+        drop = (
+            pairs.select(F.col("id_b").alias(id_col))
+            .distinct()
+            # consumed three times (survivor rows for the probe, the
+            # accepted anti-join, and through them the append's
+            # semi-join) — pin the pair shuffle
+            .localCheckpoint(eager=False)
         )
         # stage 3 — near against the indexed corpus, EXCLUDING matches
         # to this very batch's ids (the crash-replay guard — module
-        # docstring): O(batch + matched buckets), corpus never rescanned
-        matches = index_matches(spark, survivors)
+        # docstring): O(batch + matched buckets), corpus never
+        # rescanned. The probe reuses the projection (survivor rows =
+        # the pinned rows minus in-batch drops), never re-fingerprints.
+        surv_rows = rows.join(drop, id_col, "left_anti")
+        matches = index_matches(spark, surv_rows)
         own_ids = exact.select(F.col(id_col).alias("corpus_id"))
         dup_ids = (
             matches.join(own_ids, "corpus_id", "left_anti")
@@ -225,42 +305,51 @@ def streaming_dedup_ingest(
         )
         # the accepted set is materialized TWICE below (target write +
         # index append) — pin it so the probe/anti-join subtree runs once
-        accepted = survivors.join(dup_ids, id_col, "left_anti").localCheckpoint(
-            eager=False
+        accepted = (
+            exact.join(drop, id_col, "left_anti")
+            .join(dup_ids, id_col, "left_anti")
+            .localCheckpoint(eager=False)
         )
         # commit order: target (idempotent per-batch overwrite) →
         # index append (replay-benign) → manifest (gates the skip)
         accepted.unionByName(null_text).write.mode("overwrite").parquet(
             os.path.join(target_dir, "data", f"ingest_batch={batch_id}")
         )
-        append_to_ann_index(accepted.select(id_col, text_col), index_path)
+        # index append: the accepted docs' slice of the SAME projection
+        # (already banded at the sidecar's geometry), written as one
+        # LSM delta file (as_delta_append) — no re-fingerprint, no
+        # per-directory file fan-out. Safe under the loop's
+        # single-writer contract (see append_routed_rows).
+        routed = rows.join(accepted.select(id_col), id_col, "left_semi")
+        append_routed_rows(as_delta_append(routed), index_path, "pb")
         os.makedirs(target_dir, exist_ok=True)
         with open(manifest, "a", encoding="utf-8") as fh:
             fh.write(f"{batch_id}\n")
         if compact_every:
-            n_committed = len(
-                open(manifest, encoding="utf-8").read().split()
-            )
-            if n_committed % compact_every == 0:
-                from ..operators.similarity import compact_ann_index
+            # the batch is already committed above — NOTHING in this
+            # maintenance block may fail it. RuntimeError is the
+            # handshake's defer signal (a foreign writer's in-flight
+            # append / stranded intent); OSError covers a rename or
+            # permission failure mid-swap; ValueError a corrupted
+            # sidecar. All defer to the next cadence point.
+            try:
+                with open(manifest, encoding="utf-8") as fh:
+                    n_committed = len(fh.read().split())
+                if n_committed % compact_every == 0:
+                    from ..operators.similarity import compact_ann_index
 
-                try:
                     compact_ann_index(
                         spark, index_path,
                         regeometry=regeometry_on_compact,
                     )
-                except RuntimeError as e:
-                    # the handshake's defer signal (a foreign writer's
-                    # in-flight append / stranded intent): maintenance
-                    # waits for the next cadence point rather than
-                    # failing a committed batch
-                    import sys as _sys
+            except (RuntimeError, OSError, ValueError) as e:
+                import sys as _sys
 
-                    print(
-                        f"streaming_dedup_ingest: cadence compaction "
-                        f"deferred at batch {batch_id}: {e}",
-                        file=_sys.stderr,
-                    )
+                print(
+                    f"streaming_dedup_ingest: cadence compaction "
+                    f"deferred at batch {batch_id}: {e}",
+                    file=_sys.stderr,
+                )
 
     return (
         stream.writeStream.foreachBatch(ingest_batch)

@@ -723,16 +723,18 @@ def _dedup_cadence_probes(
     legs: tuple[str, ...] = ("cadence", "regeo"),
 ) -> dict:
     """Append-cadence file growth on the at-rest minhash index (r8
-    asks #2/#3): probe latency + file counts after 1/32/128
-    sidecar-routed appends, the compaction restore point, and the
-    regeometry before/after on a deliberately outgrown index.
+    asks #2/#3, re-measured r9 after the LSM delta change): probe
+    latency + file counts after 1/32/128 appends, the compaction
+    restore point, and the regeometry before/after on a deliberately
+    outgrown index.
 
-    Each append repartitions by ``pb`` (route_dedup_append), so a
-    batch adds up to ONE file per matched directory — N daily batches
-    ≈ N files/dir before compaction. This measures where that curve
-    starts to bite (the footer/listing tax the ANN compaction probe
-    measured at 27%) so SCALE.md can state a compaction cadence
-    instead of "eventually".
+    r8 measured the per-directory routed appends (≤1 file per matched
+    directory per append → N appends ≈ N files/dir): +25% probe
+    latency at 32 appends, 3.0× at 128. r9's appends are single-file
+    ``pb=-1`` deltas, so the same sweep now measures the DELTA curve:
+    +1 file and one small extra directory scan per append, which
+    should hold the probe nearly flat until the delta's row count
+    itself matters.
 
     The regeometry leg: a 30× corpus indexed at the geometry auto
     would pick for the 1× corpus (n_buckets=16 where auto(150k)=64) —

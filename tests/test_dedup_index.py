@@ -66,6 +66,36 @@ def _rows(df):
     )
 
 
+def test_pairs_from_banded_rows_equals_in_memory_operator(spark, sf_dir):
+    """r9 shared-projection pin: the ingest loop's in-batch pass reads
+    a precomputed ``_banded_rows`` projection instead of re-
+    fingerprinting; its pair set (ids AND bit-equal jaccard doubles)
+    must be IDENTICAL to ``near_duplicate_pairs`` over the same docs
+    at the same geometry."""
+    from nursinghome_data_pipeline_spark.operators.dedup_index import (
+        _banded_rows,
+        pairs_from_banded_rows,
+    )
+
+    docs = _docs(spark, sf_dir)
+    rows = _banded_rows(
+        docs, id_col="doc_id", text_col="text",
+        n_hashes=16, bands=4, shingle_k=3, n_buckets=32,
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in pairs_from_banded_rows(
+            rows, id_col="doc_id", threshold=THRESHOLD
+        ).collect()
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in near_duplicate_pairs(docs, threshold=THRESHOLD).collect()
+    )
+    assert got == want
+    assert got, "empty pair set proves nothing — lower THRESHOLD"
+
+
 def test_probe_equals_in_memory_cross_pairs(spark, sf_dir, tmp_path):
     """The parity pin: same candidates (shared band keys), same verify
     expression, bit-equal jaccard doubles."""
@@ -144,6 +174,49 @@ def test_append_equals_full_rebuild(spark, sf_dir, tmp_path):
     got = _rows(dedup_batch_against_index(spark, batch, inc, threshold=THRESHOLD))
     want = _rows(dedup_batch_against_index(spark, batch, full, threshold=THRESHOLD))
     assert got == want and got
+
+
+def test_append_is_one_delta_file_and_compact_folds_it(
+    spark, sf_dir, tmp_path
+):
+    """r9 LSM layout pin: an append writes exactly ONE parquet file,
+    all in the pb=-1 delta directory (cost ∝ batch, not ∝ geometry);
+    a plain compact (regeometry=False) folds every delta row into its
+    derived bucket so the layout is row-identical to a fresh rebuild
+    of the same docs."""
+    import glob
+    import os
+
+    docs = _docs(spark, sf_dir)
+    corpus, _ = _split(docs)
+    first = corpus.where(F.col("doc_id") % 3 != 0)
+    second = corpus.where(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "lsm_idx")
+    write_dedup_index(first, path)
+    files_before = set(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    append_to_ann_index(second, path)
+    new_files = (
+        set(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        - files_before
+    )
+    assert len(new_files) == 1
+    assert all(os.sep + "pb=-1" + os.sep in f for f in new_files)
+    # delta rows carry real routing columns, only pb is the sentinel
+    delta = spark.read.parquet(path).where(F.col("pb") == -1)
+    assert delta.count() > 0
+    compact_ann_index(spark, path)
+    nb = load_ann_meta(path)["n_buckets"]
+    rows = spark.read.parquet(path).collect()
+    assert all(r["pb"] >= 0 for r in rows)
+    assert all(r["pb"] == r["band"] * nb + r["bkey"] % nb for r in rows)
+    full = str(tmp_path / "full_idx")
+    write_dedup_index(corpus, full, n_buckets=nb)
+    key = lambda r: (r["pb"], r["band"], r["bkey"], r["doc_id"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(
+        map(key, spark.read.parquet(full).collect())
+    )
 
 
 def test_compact_preserves_probe_and_sidecar(spark, sf_dir, tmp_path):

@@ -82,6 +82,37 @@ def test_probe_equals_in_memory_cross_pairs(spark, sf_dir, tmp_path):
     assert got, "cross twin empty — parity proves nothing at this SF"
 
 
+def test_pairs_from_simhash_rows_equals_in_memory_operator(spark, sf_dir):
+    """r9 shared-projection pin (Hamming twin of the minhash test):
+    pairing a precomputed ``_simhash_rows`` projection must emit the
+    SAME pair set as ``simhash_near_duplicate_pairs`` at the same
+    geometry."""
+    from nursinghome_data_pipeline_spark.operators.dedup_index import (
+        _simhash_rows,
+        pairs_from_simhash_rows,
+    )
+
+    docs = _docs(spark, sf_dir)
+    rows = _simhash_rows(
+        docs, id_col="doc_id", text_col="text",
+        hash_family="xxhash64", n_buckets=32, **GEO,
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in pairs_from_simhash_rows(
+            rows, id_col="doc_id", max_hamming=MAX_HAMMING
+        ).collect()
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_duplicate_pairs(
+            docs, max_hamming=MAX_HAMMING, **GEO
+        ).collect()
+    )
+    assert got == want
+    assert got, "empty pair set proves nothing at this SF"
+
+
 def test_single_chunk_geometry_also_matches(spark, sf_dir, tmp_path):
     """The in-memory default (4 chunks, single-chunk keys) through the
     same at-rest contract."""

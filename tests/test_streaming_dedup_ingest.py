@@ -267,16 +267,201 @@ def test_cadence_compaction_preserves_results_and_bounds_files(
     idx_c, tgt_c, files_c = run(2, "cadence")
     idx_n, tgt_n, files_n = run(None, "nocompact")
     assert _accepted_ids(spark, tgt_c) == _accepted_ids(spark, tgt_n)
-    # postings preserved bit-for-bit (compaction rewrites, never drops)
-    key = lambda r: (r["pb"], r["band"], r["bkey"], r["doc_id"])  # noqa: E731
-    assert sorted(map(key, spark.read.parquet(idx_c).collect())) == sorted(
-        map(key, spark.read.parquet(idx_n).collect())
-    )
-    # no-compact: build(64 dirs x 1) + 6 appends x matched dirs;
-    # cadence: last compaction at batch 6 -> bounded at 1 file/dir
-    assert files_c < files_n
+    # postings preserved by ROUTING identity (band, bkey, doc): pb is
+    # derived — the no-compact twin still holds its appends as pb=-1
+    # LSM deltas while the cadence run folded them into true buckets
+    key = lambda r: (r["band"], r["bkey"], r["doc_id"])  # noqa: E731
+    rows_c = spark.read.parquet(idx_c).collect()
+    rows_n = spark.read.parquet(idx_n).collect()
+    assert sorted(map(key, rows_c)) == sorted(map(key, rows_n))
+    # the cadence run's last compaction fired at batch 6, so no delta
+    # remains and every pb matches the derived formula; the no-compact
+    # twin carries exactly its 6 appends as delta rows
+    nb = load_ann_meta(idx_c)["n_buckets"]
+    assert all(r["pb"] == r["band"] * nb + r["bkey"] % nb for r in rows_c)
+    assert {r["pb"] for r in rows_n if r["pb"] < 0} == {-1}
+    # file bound: cadence ends compacted (≤ 1 file per bucket dir);
+    # no-compact = build files + ONE delta file per append (the LSM
+    # form — not one file per matched directory per append)
     assert files_c <= 64
+    assert files_n <= 64 + 6
     assert load_ann_meta(idx_c)["n_buckets"] == 16  # auto lo-clamp here
+
+
+def test_accepted_set_matches_composed_in_memory_operators(
+    spark, tmp_path
+):
+    """r9 shared-projection pin, end to end: the loop fingerprints each
+    batch ONCE and feeds the same banded rows to the in-batch pass,
+    the index probe, and the append — the accepted set must equal
+    composing the standalone operators stage by stage
+    (exact_dedup_fingerprints → near_duplicate_pairs →
+    dedup_batch_against_index) at the sidecar's geometry."""
+    import shutil
+
+    from nursinghome_data_pipeline_spark.operators.dedup import (
+        exact_dedup_fingerprints,
+        near_duplicate_pairs,
+    )
+
+    corpus = spark.createDataFrame(_corpus_rows(), "doc_id long, text string")
+    index = str(tmp_path / "index")
+    write_dedup_index(corpus, index, n_buckets=16)
+    pristine = str(tmp_path / "index_pristine")
+    shutil.copytree(index, pristine)  # the loop appends to `index`
+    # one batch exercising every drop category: 30 exact-copy of 31,
+    # 32 near-copy of 31, 33 corpus copy, 34 corpus near-copy, 35/36
+    # fresh
+    batch_rows = [
+        (30, _FRESH),
+        (31, _FRESH),
+        (32, _variant("ninety")),
+        (33, _BASE),
+        (34, _BASE.replace("seventeen", "eighteen")),
+        (35, "fresh content one about columnar encodings dictionary "
+             "pages and run length encoded boolean vectors in parquet "
+             "files written by large distributed spark clusters"),
+        (36, "fresh content two regarding cost based optimizer join "
+             "reordering statistics histograms and cardinality "
+             "estimation errors under correlated predicate filters"),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    target = str(tmp_path / "target")
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = streaming_dedup_ingest(
+        stream, index, target, threshold=0.6,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        _write_batch(src, "b0.json", batch_rows)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # composed twin over the PRISTINE index (pre-append state)
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    winners = exact_dedup_fingerprints(
+        batch, text_col="text", id_col="doc_id"
+    ).select("doc_id")
+    exact = batch.join(winners, "doc_id", "left_semi")
+    pairs = near_duplicate_pairs(exact, threshold=0.6)  # sidecar geometry
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = exact.join(drop, "doc_id", "left_anti")
+    matches = dedup_batch_against_index(
+        spark, survivors, pristine, threshold=0.6
+    )
+    dup = matches.select(F.col("batch_id").alias("doc_id")).distinct()
+    want = {
+        r["doc_id"]
+        for r in survivors.join(dup, "doc_id", "left_anti").collect()
+    }
+    assert _accepted_ids(spark, target) == want
+    # the fixture exercised something: at least one drop per stage
+    assert want and want < {r[0] for r in batch_rows}
+    # and the index grew by exactly the accepted docs' postings
+    grown = {r["doc_id"] for r in spark.read.parquet(index).collect()}
+    base = {r["doc_id"] for r in spark.read.parquet(pristine).collect()}
+    assert grown - base == want
+
+
+def test_wrong_index_kind_rejected_at_stream_start(spark, tmp_path):
+    """Pointing the loop at an ivf/lsh index must raise a ValueError
+    naming the supported kinds at stream CONSTRUCTION — not a raw
+    KeyError('n_hashes') from inside the first micro-batch (r8
+    ADVICE)."""
+    import pytest
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        write_lsh_index,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3]), (2, [0.9, 0.1, 0.4])],
+        "vec_id long, embedding array<float>",
+    )
+    index = str(tmp_path / "lsh_index")
+    write_lsh_index(vecs, index, dim=3, n_planes=2, seed=7)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    with pytest.raises(ValueError, match="'minhash' or 'simhash'"):
+        streaming_dedup_ingest(
+            stream, index, str(tmp_path / "target"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+
+
+def test_max_hamming_beyond_pigeonhole_guarantee_warns(spark, tmp_path):
+    """The default simhash geometry (5 chunks x pair keys) guarantees
+    candidate generation only for Hamming <= 3; asking the loop to
+    verify at a looser max_hamming silently trades recall — the trade
+    must be surfaced as a UserWarning at stream start (r8 ADVICE)."""
+    import warnings as _warnings
+
+    import pytest
+
+    from nursinghome_data_pipeline_spark.operators.dedup_index import (
+        write_simhash_index,
+    )
+
+    corpus = spark.createDataFrame(_corpus_rows(), "doc_id long, text string")
+    index = str(tmp_path / "sh_index")
+    write_simhash_index(corpus, index, n_buckets=16)  # guarantee h <= 3
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    with pytest.warns(UserWarning, match="pigeonhole guarantee"):
+        q = streaming_dedup_ingest(
+            stream, index, str(tmp_path / "target"), max_hamming=8,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.stop()
+    # within the guarantee: silent
+    stream2 = spark.readStream.schema("doc_id long, text string").json(src)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        q2 = streaming_dedup_ingest(
+            stream2, index, str(tmp_path / "target2"), max_hamming=3,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        )
+        q2.stop()
+
+
+def test_maintenance_failure_never_fails_a_committed_batch(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """An OSError out of cadence compaction (rename/permission failure
+    mid-swap) must defer maintenance to the next cadence point, not
+    abort the micro-batch — the batch was already committed (r8
+    ADVICE: only the commit path may fail the batch)."""
+    from nursinghome_data_pipeline_spark.operators import similarity
+
+    corpus = spark.createDataFrame(_corpus_rows(), "doc_id long, text string")
+    index = str(tmp_path / "index")
+    write_dedup_index(corpus, index, n_buckets=16)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    target = str(tmp_path / "target")
+
+    def boom(*a, **k):
+        raise OSError("simulated rename failure mid-swap")
+
+    monkeypatch.setattr(similarity, "compact_ann_index", boom)
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = streaming_dedup_ingest(
+        stream, index, target, threshold=0.6,
+        checkpoint_dir=str(tmp_path / "ckpt"), compact_every=1,
+    )
+    try:
+        _write_batch(src, "b0.json", [(11, _FRESH)])
+        q.processAllAvailable()  # would raise if the batch failed
+    finally:
+        q.stop()
+    assert _accepted_ids(spark, target) == {11}
+    with open(os.path.join(target, "_committed_batches")) as fh:
+        assert fh.read().split() == ["0"]
+    assert "deferred" in capsys.readouterr().err
 
 
 def test_simhash_index_drives_the_same_loop(spark, tmp_path):
