@@ -110,15 +110,21 @@ def streaming_dedup_ingest(
 
     ``compact_every``: every N committed batches the index is
     compacted in place (after the manifest commit, so acceptance is
-    never gated on maintenance). The default 32 is MEASURED, not
-    guessed (SCALE.md r8): each append adds ≤1 file per matched
-    directory, probe latency reads +25% at 32 appends and 3.0× at
-    128, and one compaction (≈4 appends' cost) restores the
-    fresh-build probe — so a 32-batch cadence holds the loop's
-    per-batch wall flat forever at ~3% amortized overhead (the
-    20-batch growth run showed the tax arriving on schedule at 10×
-    batch size). ``regeometry_on_compact`` additionally re-derives
-    the bucket count from the grown corpus on each cadence compaction
+    never gated on maintenance). Appends are single-file ``pb=-1``
+    LSM deltas (r9 — see ``dedup_index.DELTA_PB``), so the compaction
+    is the LSM merge: it folds delta rows into their true bucket
+    directories. The re-measured cadence (SCALE.md r9,
+    ``scaling_probe --dedupcadence``): probe latency is FLAT through
+    128 delta appends (1.77/1.47/1.23/1.14 s at 0/1/32/128 — within
+    warm-up noise; the r8 per-directory appends read +25% at 32 and
+    3.0× at 128), and file count grows exactly +1 per append (192
+    total at 128 appends vs 8,245 under the old routing). The default
+    32 now guards the two remaining growth terms — the delta's
+    full-scan row count on every probe and the delta directory's own
+    file listing — both trivial at micro-batch sizes; one compaction
+    (≈1 s at this corpus) restores the fresh build exactly.
+    ``regeometry_on_compact`` additionally re-derives the bucket
+    count from the grown corpus on each cadence compaction
     (bit-identical to a fresh rebuild — pinned), so directory payload
     stays ∝ corpus/auto_buckets no matter how far appends outgrow the
     build-time geometry. Compaction here is crash-safe maintenance:
