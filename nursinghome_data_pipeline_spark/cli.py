@@ -360,6 +360,31 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
             print(f"  batch={r['batch_id']} corpus={r['corpus_id']} "
                   f"jaccard={r['jaccard']:.4f}")
         return 0
+    if args.action == "stats":
+        from .operators.dedup_index import dedup_index_bucket_stats
+
+        meta = load_ann_meta(args.path)
+        if meta.get("kind") not in ("minhash", "simhash"):
+            print(
+                f"ann-index stats: index at {args.path} is "
+                f"kind={meta.get('kind')!r} — bucket stats apply to "
+                "minhash/simhash dedup indexes",
+                file=sys.stderr,
+            )
+            return 2
+        stats = dedup_index_bucket_stats(spark, args.path)
+        print(_json.dumps(stats, indent=2))
+        mean = stats["mean_postings_per_key"] or 1.0
+        ratio = stats["max_postings_per_key"] / mean
+        if ratio > 100:
+            print(
+                f"WARNING: hottest band key holds {ratio:.0f}x the mean "
+                "postings — likely mass-duplicated boilerplate; run "
+                "exact/passage dedup before indexing (see "
+                "dedup_index_bucket_stats docstring)",
+                file=sys.stderr,
+            )
+        return 0
     if args.action == "compact":
         from .operators.similarity import compact_ann_index
 
@@ -638,7 +663,8 @@ def main(argv: list[str] | None = None) -> int:
         "or LSH bucket-partitioned parquet + _ann_meta.json sidecar)",
     )
     p.add_argument(
-        "action", choices=["build", "probe", "append", "compact", "dedup"]
+        "action",
+        choices=["build", "probe", "append", "compact", "dedup", "stats"],
     )
     p.add_argument("path", help="index directory")
     p.add_argument("--kind", choices=["ivf", "lsh", "minhash", "simhash"],

@@ -231,6 +231,74 @@ def pairs_from_simhash_rows(
     )
 
 
+def dedup_index_bucket_stats(
+    spark, path: str, *, top_k: int = 10
+) -> dict:
+    """Hot-bucket debug stat (r9): postings per BAND KEY of an at-rest
+    dedup index — the ``top_k`` hottest keys plus max/mean/key-count,
+    so one small collect answers "is this index poisoned by a hot
+    bucket?".
+
+    Probe cost is O(batch + matched-bucket population) and a bucket's
+    pair contribution is population², so ONE hot key — mass-duplicated
+    boilerplate that survived exact dedup because of trivial
+    variations — quietly turns a bounded probe into a quadratic scan.
+    Band keys hash 4-row signature slices, so under uniform content
+    the max should sit within a small factor of
+    ``n_docs / distinct keys``; a max orders of magnitude above that
+    is the boilerplate signature. Remedies, in order: run
+    ``exact_dedup_fingerprints`` (and ``passage_dedup`` for shared
+    passages) BEFORE indexing; raise ``shingle_k`` so boilerplate
+    shingles stop dominating the minhash; drop the offending docs.
+    Works for both dedup kinds — for ``kind="simhash"`` the key is the
+    packed chunk ``bucket`` (reported with ``band = -1``).
+
+    One aggregation over the index, one bounded (top_k+1)-row collect —
+    at 100 TB run it on the cadence that runs compaction, not per
+    probe. Returns a plain dict:
+    ``{kind, n_postings, n_keys, max_postings_per_key,
+    mean_postings_per_key, top: [(band, bkey, n_postings), ...]}``."""
+    meta = load_ann_meta(path)
+    if meta.get("kind") not in ("minhash", "simhash"):
+        raise ValueError(
+            f"dedup_index_bucket_stats: index kind {meta.get('kind')!r} "
+            "not supported — expected one of ['minhash', 'simhash']"
+        )
+    rows = spark.read.parquet(path)
+    if meta["kind"] == "minhash":
+        keyed = rows.select("band", "bkey")
+    else:
+        keyed = rows.select(
+            F.lit(-1).alias("band"), F.col("bucket").alias("bkey")
+        )
+    counts = keyed.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).alias("n_postings")
+    )
+    summary = counts.agg(
+        F.sum("n_postings").alias("total"),
+        F.count(F.lit(1)).alias("keys"),
+        F.max("n_postings").alias("mx"),
+    ).collect()[0]
+    top = (
+        counts.orderBy(F.desc("n_postings"), "band", "bkey")
+        .limit(top_k)
+        .collect()
+    )
+    n_keys = int(summary["keys"] or 0)
+    total = int(summary["total"] or 0)
+    return {
+        "kind": meta["kind"],
+        "n_postings": total,
+        "n_keys": n_keys,
+        "max_postings_per_key": int(summary["mx"] or 0),
+        "mean_postings_per_key": (total / n_keys) if n_keys else 0.0,
+        "top": [
+            (int(r["band"]), int(r["bkey"]), int(r["n_postings"]))
+            for r in top
+        ],
+    }
+
+
 def auto_dedup_buckets(
     n_docs: int,
     *,

@@ -1013,6 +1013,165 @@ def _simhash_index_probes(cores: int = 32) -> dict:
     return out
 
 
+def _big_probe_probes(
+    cores: int = 32,
+    copies: int = 200,
+    batch_sizes: tuple[int, ...] = (10, 100, 1000, 10000),
+) -> dict:
+    """Minhash probe at the next order of magnitude (r9 ask #2):
+
+    (a) FLAT-PROBE: a fixed 100-doc batch probed against 5k / 150k /
+        1M-doc indexes (content-distinct staged copies) — the claim
+        that probe cost is O(batch + matched buckets), never corpus,
+        extended to ~1M docs where auto geometry reaches 4×256 dirs.
+    (b) CROSSOVER: at the 1M-doc index, sweep the probe batch size
+        and record matched-dirs fraction, rows scanned, and wall.
+        B docs post ``bands·B`` near-uniform keys over
+        ``bands·n_buckets`` directories, so the matched fraction is
+        ≈ 1 − exp(−B/n_buckets): pruning pays while B ≪ n_buckets and
+        dies at B ≈ n_buckets — the number the probe's docstring
+        guidance quotes.
+
+    Run: python scripts/scaling_probe.py --bigprobe
+    """
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nursinghome_data_pipeline_spark.operators.dedup_index import (
+        _banded_rows,
+        dedup_batch_against_index,
+        write_dedup_index,
+    )
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        load_ann_meta,
+    )
+    from nursinghome_data_pipeline_spark.session import build_session
+
+    spark = build_session(
+        f"big-probe-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    big30 = _stage_big_docs(spark, docs)
+    # 200× content-distinct staging (same per-copy token-tag bijection
+    # as _stage_big_docs — cross-copy Jaccard 0, so pair volume tracks
+    # real near-dup density, not staging artifacts)
+    huge_dir = os.path.join(
+        tempfile.gettempdir(), f"spark-graft-bigprobe-src-x{copies}"
+    )
+    if not os.path.exists(os.path.join(huge_dir, "_SUCCESS")):
+        docs.crossJoin(
+            spark.range(copies).select(F.col("id").alias("__rep"))
+        ).select(
+            (F.col("doc_id") + F.col("__rep") * (1 << 40)).alias("doc_id"),
+            F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                F.regexp_replace(
+                    "text", r"(\S+)",
+                    F.concat(F.lit("g"), F.col("__rep"), F.lit("$1")),
+                )
+            ).alias("text"),
+        ).write.mode("overwrite").parquet(huge_dir)
+    huge = spark.read.parquet(huge_dir)
+    out: dict = {"cores": cores, "sf_dir": SF_DIR, "copies": copies}
+
+    def probe_best_of_3(batch, path):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dedup_batch_against_index(
+                spark, batch, path, threshold=0.8
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    def matched(batch, meta, idx):
+        b = _banded_rows(
+            batch,
+            id_col=meta["id_col"], text_col=meta["text_col"],
+            n_hashes=int(meta["n_hashes"]), bands=int(meta["bands"]),
+            shingle_k=int(meta["shingle_k"]),
+            n_buckets=int(meta["n_buckets"]),
+        )
+        pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
+        return len(pbs), idx.where(F.col("pb").isin(pbs)).count()
+
+    # ---- (a) flat-probe across corpus sizes, fixed 100-doc batch
+    for label, corpus in (("x1", docs), ("x30", big30), ("x200", huge)):
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark-graft-bigprobe-idx-{label}"
+        )
+        if not os.path.exists(os.path.join(path, "_ann_meta.json")):
+            shutil.rmtree(path, ignore_errors=True)
+            t0 = time.perf_counter()
+            write_dedup_index(corpus, path)
+            out[f"{label}_build_sec"] = round(time.perf_counter() - t0, 2)
+        meta = load_ann_meta(path)
+        idx = spark.read.parquet(path)
+        out[f"{label}_docs"] = corpus.count()
+        out[f"{label}_geometry"] = f"{meta['bands']}x{meta['n_buckets']}"
+        batch = (
+            corpus.orderBy("doc_id").limit(100)
+            .select((F.col("doc_id") + (1 << 55)).alias("doc_id"), "text")
+            .localCheckpoint(eager=True)
+        )
+        out[f"{label}_probe100_sec"] = probe_best_of_3(batch, path)
+        dirs, rows = matched(batch, meta, idx)
+        out[f"{label}_probe100_matched_dirs"] = dirs
+        out[f"{label}_probe100_rows_scanned"] = rows
+        out[f"{label}_total_postings"] = idx.count()
+
+    # ---- (b) batch-size crossover at the biggest index
+    path = os.path.join(tempfile.gettempdir(), "spark-graft-bigprobe-idx-x200")
+    meta = load_ann_meta(path)
+    idx = spark.read.parquet(path)
+    total_dirs = int(meta["bands"]) * int(meta["n_buckets"])
+    out["x200_total_dirs"] = total_dirs
+    for bs in batch_sizes:
+        batch = (
+            huge.orderBy("doc_id").limit(bs)
+            .select((F.col("doc_id") + (1 << 56)).alias("doc_id"), "text")
+            .localCheckpoint(eager=True)
+        )
+        out[f"x200_bs{bs}_probe_sec"] = probe_best_of_3(batch, path)
+        dirs, rows = matched(batch, meta, idx)
+        out[f"x200_bs{bs}_matched_dirs"] = dirs
+        out[f"x200_bs{bs}_rows_scanned"] = rows
+
+    # ---- (c) lifecycle timings at 1M docs (r9 stretch): one 1k-doc
+    # delta append, the probe that then also reads the delta, and the
+    # LSM-merge compaction
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        append_to_ann_index,
+        compact_ann_index,
+    )
+
+    append_batch = (
+        huge.orderBy("doc_id").limit(1000)
+        .select((F.col("doc_id") + (1 << 57)).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.perf_counter()
+    append_to_ann_index(append_batch, path)
+    out["x200_append1k_sec"] = round(time.perf_counter() - t0, 2)
+    probe = (
+        huge.orderBy("doc_id").limit(100)
+        .select((F.col("doc_id") + (1 << 58)).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    out["x200_probe100_with_delta_sec"] = probe_best_of_3(probe, path)
+    t0 = time.perf_counter()
+    out["x200_compact_files"] = compact_ann_index(spark, path)
+    out["x200_compact_sec"] = round(time.perf_counter() - t0, 2)
+    out["x200_probe100_after_compact_sec"] = probe_best_of_3(probe, path)
+    spark.stop()
+    return out
+
+
 def _ingest_loop_probes(
     cores: int = 32,
     n_batches: int = 20,
@@ -2073,6 +2232,12 @@ def main() -> None:
         "probe wall + scan volume at 1x/30x corpus",
     )
     ap.add_argument(
+        "--bigprobe", action="store_true",
+        help="run only the 1M-doc minhash probe: flat-probe across "
+        "5k/150k/1M corpora + probe-batch-size crossover where "
+        "matched dirs saturate",
+    )
+    ap.add_argument(
         "--ingestloop", action="store_true",
         help="run only the end-to-end streaming dedup-ingest probe: "
         "20 micro-batches at 1x/10x batch size against a 150k-doc "
@@ -2108,6 +2273,9 @@ def main() -> None:
         return
     if args.simhashindex:
         print(json.dumps(_simhash_index_probes(), indent=2))
+        return
+    if args.bigprobe:
+        print(json.dumps(_big_probe_probes(), indent=2))
         return
     if args.ingestloop:
         print(json.dumps(_ingest_loop_probes(

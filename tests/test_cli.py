@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
 from nursinghome_data_pipeline_spark.cli import main
@@ -307,3 +309,8 @@ def test_cli_ann_index_simhash_build_and_dedup(tmp_path, spark, capsys):
     out = capsys.readouterr().out
     # simhash has no band dimension — the summary prints plain buckets
     assert "regeometry ->" in out and "x" not in out.split("->")[1]
+    # r9: the hot-bucket debug stat through the one-surface CLI
+    rc = main(["ann-index", "stats", path])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["kind"] == "simhash" and stats["n_keys"] > 0

@@ -310,6 +310,68 @@ def test_reserved_id_col_rejected(spark):
             write_dedup_index(bad_df, "/tmp/never-written", id_col=bad)
 
 
+def test_bucket_stats_surface_planted_boilerplate(spark, sf_dir, tmp_path):
+    """r9 hot-bucket debug stat: 200 trivially-varied copies of one
+    document (distinct ids and texts, so EXACT dedup keeps them all)
+    share band keys, so the hottest key's population must track the
+    copy count while a clean corpus sits near the mean — the probe-
+    poisoning signature the stat exists to surface."""
+    from nursinghome_data_pipeline_spark.operators.dedup_index import (
+        dedup_index_bucket_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    clean_path = str(tmp_path / "clean_idx")
+    write_dedup_index(docs, clean_path)
+    clean = dedup_index_bucket_stats(spark, clean_path)
+    assert clean["kind"] == "minhash"
+    assert clean["n_postings"] == docs.count() * 4  # bands rows per doc
+    # boilerplate: one doc copied 200x with a one-token tail variation
+    # (exact fingerprints all differ; minhash signatures mostly agree)
+    base = docs.orderBy("doc_id").limit(1).collect()[0]["text"]
+    boiler = spark.createDataFrame(
+        [(1 << 50 | i, f"{base} variant{i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    hot_path = str(tmp_path / "hot_idx")
+    write_dedup_index(docs.unionByName(boiler), hot_path)
+    hot = dedup_index_bucket_stats(spark, hot_path)
+    assert hot["max_postings_per_key"] >= 150  # ~all copies on one key
+    assert hot["max_postings_per_key"] > 20 * hot["mean_postings_per_key"]
+    assert hot["top"][0][2] == hot["max_postings_per_key"]
+    # the clean corpus shows no such spike
+    assert clean["max_postings_per_key"] < 20 * clean[
+        "mean_postings_per_key"
+    ]
+
+
+def test_bucket_stats_simhash_and_kind_gate(spark, sf_dir, tmp_path):
+    from nursinghome_data_pipeline_spark.operators.dedup_index import (
+        dedup_index_bucket_stats,
+        simhash_keys_per_doc,
+        write_simhash_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "sh_idx")
+    write_simhash_index(docs, path, n_buckets=16)
+    stats = dedup_index_bucket_stats(spark, path)
+    assert stats["kind"] == "simhash"
+    assert stats["n_postings"] == docs.count() * simhash_keys_per_doc(5, 2)
+    assert all(band == -1 for band, _, _ in stats["top"])
+    # vector indexes have no posting keys — named rejection
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        fixed_ivf_seeds,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, ivf, fixed_ivf_seeds(emb, n_seeds=4))
+    with pytest.raises(ValueError, match="not supported"):
+        dedup_index_bucket_stats(spark, ivf)
+
+
 def test_regeometry_compaction_matches_fresh_rebuild(spark, sf_dir, tmp_path):
     """r7 verdict ask #2: an index grown far past its build-time
     geometry re-derives n_buckets on compact(regeometry=True) — and
