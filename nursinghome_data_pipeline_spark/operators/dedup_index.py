@@ -478,6 +478,22 @@ def dedup_batch_against_index(
     become a partition ``isin`` filter, so unmatched corpus
     directories contribute ZERO I/O. "Fresh" docs for ingest are the
     batch anti-joined against this result's ``batch_id``.
+
+    Batch-size regime (MEASURED, SCALE.md r9 ``--bigprobe``, 1M-doc
+    corpus at the auto 4×256 geometry): a batch of B docs posts
+    ``bands·B`` near-uniform band keys, so the matched-directory
+    fraction is ≈ ``1 − exp(−B/n_buckets)`` — measured 39/1024 dirs at
+    B=10, 323 at B=100, 1002 at B=1000, all 1024 at B=10⁴, walls
+    0.84/1.60/3.58/4.45 s. Partition pruning pays while
+    ``B ≪ n_buckets`` (the daily-increment shape); at ``B ≳
+    n_buckets`` the probe reads the whole index ONCE — still bounded
+    (4.45 s for 10⁴ docs vs 10⁶-doc corpus here), but if your steady
+    batch size is that large, either split the batch to keep probes
+    pruned or size ``n_buckets`` above the batch size at build time.
+    Probe cost stays flat in CORPUS size either way: 100-doc probes
+    measured 1.17/1.32/1.72 s against 5k/150k/1M-doc indexes (auto
+    geometry growing 4×16 → 4×256 holds rows-behind-matched-dirs
+    bounded).
     """
     meta = load_ann_meta(path)
     _require_kind(meta, "minhash", "dedup_batch_against_index")

@@ -1172,6 +1172,93 @@ def _big_probe_probes(
     return out
 
 
+def _hot_bucket_probes(
+    cores: int = 32, boiler_docs: int = 5000
+) -> dict:
+    """Planted-boilerplate hot-bucket probe (r9 ask #3): index the
+    150k-doc staged corpus clean vs poisoned with ``boiler_docs``
+    one-token-tail variants of a single document (distinct texts, so
+    EXACT dedup keeps every one), then measure what the poison costs a
+    probe whose batch contains one more variant — the hot band key
+    makes that single doc verify against ~boiler_docs postings
+    (population² pair generation, bucket-local). Records the
+    ``dedup_index_bucket_stats`` summary for both indexes (the debug
+    stat must light up on the poisoned one), probe walls, and the
+    verified-candidate count behind them.
+
+    Run: python scripts/scaling_probe.py --hotbucket
+    """
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nursinghome_data_pipeline_spark.operators.dedup_index import (
+        dedup_batch_against_index,
+        dedup_index_bucket_stats,
+        write_dedup_index,
+    )
+    from nursinghome_data_pipeline_spark.session import build_session
+
+    spark = build_session(
+        f"hot-bucket-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    big = _stage_big_docs(spark, docs)
+    base = big.orderBy("doc_id").limit(1).collect()[0]["text"]
+    boiler = spark.createDataFrame(
+        [(1 << 50 | i, f"{base} boiler{i}") for i in range(boiler_docs)],
+        "doc_id long, text string",
+    )
+    out: dict = {
+        "cores": cores, "sf_dir": SF_DIR, "boiler_docs": boiler_docs,
+    }
+    probe_batch = spark.createDataFrame(
+        [(1 << 55, f"{base} probevariant")]
+        + [
+            (1 << 55 | i, " ".join(f"hb{i}t{k}" for k in range(40)))
+            for i in range(1, 20)
+        ],
+        "doc_id long, text string",
+    ).localCheckpoint(eager=True)
+    for label, corpus in (
+        ("clean", big),
+        ("poisoned", big.unionByName(boiler)),
+    ):
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark-graft-hotbucket-{label}"
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        write_dedup_index(corpus, path)
+        stats = dedup_index_bucket_stats(spark, path)
+        out[f"{label}_max_postings_per_key"] = stats[
+            "max_postings_per_key"
+        ]
+        out[f"{label}_mean_postings_per_key"] = round(
+            stats["mean_postings_per_key"], 2
+        )
+        best, n_pairs = float("inf"), None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n_pairs = dedup_batch_against_index(
+                spark, probe_batch, path, threshold=0.8
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{label}_probe_sec"] = round(best, 3)
+        out[f"{label}_pairs"] = n_pairs
+        # candidate volume BEHIND the verify (threshold 0 keeps every
+        # bucket-mate pair) — the population^2 quantity itself
+        out[f"{label}_candidates"] = dedup_batch_against_index(
+            spark, probe_batch, path, threshold=0.0
+        ).count()
+    spark.stop()
+    return out
+
+
 def _ingest_loop_probes(
     cores: int = 32,
     n_batches: int = 20,
@@ -2238,6 +2325,11 @@ def main() -> None:
         "matched dirs saturate",
     )
     ap.add_argument(
+        "--hotbucket", action="store_true",
+        help="run only the planted-boilerplate hot-bucket probe: "
+        "bucket stats + probe cost on a clean vs poisoned index",
+    )
+    ap.add_argument(
         "--ingestloop", action="store_true",
         help="run only the end-to-end streaming dedup-ingest probe: "
         "20 micro-batches at 1x/10x batch size against a 150k-doc "
@@ -2276,6 +2368,9 @@ def main() -> None:
         return
     if args.bigprobe:
         print(json.dumps(_big_probe_probes(), indent=2))
+        return
+    if args.hotbucket:
+        print(json.dumps(_hot_bucket_probes(), indent=2))
         return
     if args.ingestloop:
         print(json.dumps(_ingest_loop_probes(
