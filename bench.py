@@ -405,6 +405,42 @@ def _simhash_index_probe(spark, sf_dir: str):
     return simhash_batch_against_index(spark, batch, path, max_hamming=20)
 
 
+def _srp_index_probe(spark, sf_dir: str):
+    """The cosine-family twin of _dedup_index_probe (r9): the 10%
+    batch probes the 90% corpus through the at-rest SRP embedding
+    near-dup index (operators/embedding_index.write_srp_index, auto
+    planes/tables sized for cosine 0.95) — pruned scan + (tbl, bucket)
+    equi-join + exact cosine verify, pinned set-equal to
+    embedding_near_duplicate_pairs cross pairs. Testdata embeddings
+    are near-random so the pair count is ~0; the probe still pays the
+    full matched-dirs scan + bucket join + verify path this entry
+    times (the positive path is pinned in tests/test_srp_index.py
+    against planted partners)."""
+    from pyspark.sql import functions as F
+
+    from nursinghome_data_pipeline_spark.operators.embedding_index import (
+        embedding_batch_against_index,
+        write_srp_index,
+    )
+    from nursinghome_data_pipeline_spark.sources.tpch import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = _fresh_index_cache_path(
+        "srp", tag, _dataset_fingerprint(sf_dir, "embeddings")
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        dim = len(emb.select("embedding").first()[0])
+        write_srp_index(
+            emb.where(F.col("vec_id") % 10 != 9), path, dim=dim,
+            design_threshold=0.95,
+        )
+    batch = emb.where(F.col("vec_id") % 10 == 9)
+    return embedding_batch_against_index(spark, batch, path)
+
+
 def _sessionize_bucketed_events(spark, sf_dir: str):
     """The skew-safe split-and-stitch sessionizer over the events
     table (operators/sessions.py) — bit-equal to the registry's
@@ -447,6 +483,7 @@ EXTRA_BENCH = {
     "embedding_near_dup_auto": _embedding_near_dup_auto,
     "dedup_index_batch_probe": _dedup_index_probe,
     "simhash_index_batch_probe": _simhash_index_probe,
+    "srp_index_batch_probe": _srp_index_probe,
     "sessionize_bucketed_events": _sessionize_bucketed_events,
     "streaming_dedup_ingest_batch": _streaming_dedup_ingest_batch,
 }

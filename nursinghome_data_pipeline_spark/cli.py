@@ -314,27 +314,58 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
         else:
             batch = load_tables(spark, args.sf_dir, [args.table])[args.table]
         meta = load_ann_meta(args.path)
-        if meta.get("kind") not in ("minhash", "simhash"):
+        if meta.get("kind") not in ("minhash", "simhash", "srp"):
             # mirror the build/--kind validation style: a clean
             # stderr+2, not _require_kind's raw traceback
             print(
                 f"ann-index dedup: index at {args.path} is "
                 f"kind={meta.get('kind')!r} — dedup probes need a "
-                "minhash or simhash index (build one with ann-index "
-                "build --kind minhash|simhash)",
+                "minhash, simhash, or srp index (build one with "
+                "ann-index build --kind minhash|simhash|srp)",
                 file=sys.stderr,
             )
             return 2
-        missing = {meta.get("id_col"), meta.get("text_col")} - set(batch.columns)
+        payload_col = (
+            "vec_col" if meta["kind"] == "srp" else "text_col"
+        )
+        missing = {meta.get("id_col"), meta.get(payload_col)} - set(
+            batch.columns
+        )
         if missing:
             print(
                 f"ann-index dedup: batch lacks the index's column(s) "
                 f"{sorted(missing)} (sidecar: id_col={meta['id_col']!r}, "
-                f"text_col={meta['text_col']!r}) — point --batch-path/"
-                "--table at document rows",
+                f"{payload_col}={meta[payload_col]!r}) — point "
+                "--batch-path/--table at "
+                + ("embedding" if meta["kind"] == "srp" else "document")
+                + " rows",
                 file=sys.stderr,
             )
             return 2
+        if meta["kind"] == "srp":
+            from .operators.embedding_index import (
+                embedding_batch_against_index,
+            )
+
+            # threshold None -> the sidecar's design threshold (the
+            # boundary the geometry's recall was sized for)
+            pairs = embedding_batch_against_index(
+                spark, batch, args.path, threshold=args.threshold
+            ).localCheckpoint(eager=False)
+            rows = pairs.orderBy(F.desc("cosine_sim")).limit(20).collect()
+            thr = (
+                meta["design_threshold"]
+                if args.threshold is None
+                else args.threshold
+            )
+            print(
+                f"{pairs.count()} near-dup pairs >= cosine {thr} "
+                f"(top {len(rows)} shown)"
+            )
+            for r in rows:
+                print(f"  batch={r['batch_id']} corpus={r['corpus_id']} "
+                      f"cosine={r['cosine_sim']:.4f}")
+            return 0
         if meta["kind"] == "simhash":
             pairs = simhash_batch_against_index(
                 spark, batch, args.path, max_hamming=args.max_hamming
@@ -348,12 +379,15 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
                 print(f"  batch={r['batch_id']} corpus={r['corpus_id']} "
                       f"hamming={r['hamming']}")
             return 0
+        # the flag default is None so the srp branch can mean "use the
+        # sidecar's design threshold"; minhash keeps its historical 0.8
+        threshold = 0.8 if args.threshold is None else args.threshold
         pairs = dedup_batch_against_index(
-            spark, batch, args.path, threshold=args.threshold
+            spark, batch, args.path, threshold=threshold
         ).localCheckpoint(eager=False)  # count + top-20 share one run
         rows = pairs.orderBy(F.desc("jaccard")).limit(20).collect()
         print(
-            f"{pairs.count()} near-dup pairs >= {args.threshold} "
+            f"{pairs.count()} near-dup pairs >= {threshold} "
             f"(top {len(rows)} shown)"
         )
         for r in rows:
@@ -364,11 +398,11 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
         from .operators.dedup_index import dedup_index_bucket_stats
 
         meta = load_ann_meta(args.path)
-        if meta.get("kind") not in ("minhash", "simhash"):
+        if meta.get("kind") not in ("minhash", "simhash", "srp"):
             print(
                 f"ann-index stats: index at {args.path} is "
                 f"kind={meta.get('kind')!r} — bucket stats apply to "
-                "minhash/simhash dedup indexes",
+                "minhash/simhash/srp dedup indexes",
                 file=sys.stderr,
             )
             return 2
@@ -389,13 +423,14 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
         from .operators.similarity import compact_ann_index
 
         kind = load_ann_meta(args.path).get("kind")
-        if args.regeometry and kind not in ("minhash", "simhash"):
+        if args.regeometry and kind not in ("minhash", "simhash", "srp"):
             # same kinds compact_ann_index itself accepts for the flag
             print(
                 f"ann-index compact --regeometry: index at {args.path} "
                 f"is kind={kind!r} — geometry refresh only applies to "
-                "minhash/simhash dedup indexes (IVF seeds / LSH planes "
-                "define routing semantics, not just partitioning)",
+                "minhash/simhash/srp dedup indexes (IVF seeds / LSH "
+                "planes define routing semantics, not just "
+                "partitioning)",
                 file=sys.stderr,
             )
             return 2
@@ -412,11 +447,14 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
         )
         if args.regeometry:
             meta = load_ann_meta(args.path)
-            # minhash dirs = bands × n_buckets; simhash has no band
-            # dimension (pb is a plain mod over the packed keys)
+            # minhash dirs = bands × n_buckets; srp = tables ×
+            # n_buckets; simhash has no band dimension (pb is a plain
+            # mod over the packed keys)
             geom = (
                 f"{meta['bands']}x{meta['n_buckets']}"
                 if "bands" in meta
+                else f"{meta['n_tables']}x{meta['n_buckets']}"
+                if "n_tables" in meta
                 else f"{meta['n_buckets']}"
             )
             print(
@@ -429,10 +467,54 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
     if args.action == "build":
         if not args.kind:
             print(
-                "ann-index build requires --kind ivf|lsh|minhash|simhash",
+                "ann-index build requires --kind "
+                "ivf|lsh|minhash|simhash|srp",
                 file=sys.stderr,
             )
             return 2
+        if args.kind == "srp":
+            from .operators.embedding_index import write_srp_index
+
+            emb = load_tables(spark, args.sf_dir, [args.table])[args.table]
+            missing = {args.id_col, args.vec_col} - set(emb.columns)
+            if missing:
+                print(
+                    f"ann-index build --kind srp: table "
+                    f"{args.table!r} lacks column(s) {sorted(missing)} — "
+                    "set --id-col/--vec-col (and likely --table "
+                    "embeddings)",
+                    file=sys.stderr,
+                )
+                return 2
+            write_srp_index(
+                emb,
+                args.path,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+                dim=args.dim,
+                design_threshold=args.design_threshold,
+                n_planes=(
+                    "auto" if args.n_planes is None else args.n_planes
+                ),
+                n_tables=(
+                    "auto" if args.n_tables is None else args.n_tables
+                ),
+                seed=args.seed,
+                n_buckets=args.n_buckets if args.n_buckets else "auto",
+                files_per_partition=(
+                    1 if args.files_per_partition is None
+                    else args.files_per_partition
+                ),
+            )
+            meta = load_ann_meta(args.path)
+            n = spark.read.parquet(args.path).count()
+            print(
+                f"built srp embedding near-dup index at {args.path}: "
+                f"{n} posting rows, {meta['n_tables']}x"
+                f"{meta['n_buckets']} bucket dirs ({meta['n_planes']} "
+                f"planes, design cosine {meta['design_threshold']})"
+            )
+            return 0
         if args.kind == "simhash":
             from .operators.dedup_index import write_simhash_index
 
@@ -523,7 +605,9 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
                 emb,
                 args.path,
                 dim=args.dim,
-                n_planes=args.n_planes,
+                # flag default is None so the srp build can mean "auto";
+                # the lsh writer keeps its historical default of 6
+                n_planes=6 if args.n_planes is None else args.n_planes,
                 seed=args.seed,
                 id_col=args.id_col,
                 vec_col=args.vec_col,
@@ -541,6 +625,18 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
         )
         return 0
     meta = load_ann_meta(args.path)
+    if meta.get("kind") not in ("ivf", "lsh"):
+        # the dedup-family kinds hold postings, not a kNN corpus — a
+        # clean stderr+2 instead of _require_kind's raw traceback from
+        # the knn probe (or a KeyError on the missing vec_col)
+        print(
+            f"ann-index probe: index at {args.path} is "
+            f"kind={meta.get('kind')!r} — kNN probes need an ivf or "
+            "lsh index; use `ann-index dedup` for "
+            "minhash/simhash/srp near-dup indexes",
+            file=sys.stderr,
+        )
+        return 2
     if args.query_vec:
         qvec = [float(v) for v in _json.loads(args.query_vec)]
     else:
@@ -667,7 +763,8 @@ def main(argv: list[str] | None = None) -> int:
         choices=["build", "probe", "append", "compact", "dedup", "stats"],
     )
     p.add_argument("path", help="index directory")
-    p.add_argument("--kind", choices=["ivf", "lsh", "minhash", "simhash"],
+    p.add_argument("--kind",
+                   choices=["ivf", "lsh", "minhash", "simhash", "srp"],
                    default=None,
                    help="build only; probe/dedup read the sidecar")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -675,14 +772,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="vec_id")
     p.add_argument("--vec-col", default="embedding")
     p.add_argument("--n-seeds", type=int, default=8, help="ivf: coarse cells")
-    p.add_argument("--dim", type=int, default=64, help="lsh: vector dim")
-    p.add_argument("--n-planes", type=int, default=6, help="lsh: sign planes")
-    p.add_argument("--seed", type=int, default=42, help="lsh: plane RNG seed")
+    p.add_argument("--dim", type=int, default=64, help="lsh/srp: vector dim")
+    p.add_argument("--n-planes", type=int, default=None,
+                   help="lsh: sign planes (default 6); srp: default "
+                   "corpus-size-adaptive")
+    p.add_argument("--n-tables", type=int, default=None,
+                   help="srp: OR-amplification tables (default: sized "
+                   "to hit the recall target at --design-threshold)")
+    p.add_argument("--design-threshold", type=float, default=0.95,
+                   help="srp build: cosine boundary the geometry's "
+                   "recall is sized for (persisted in the sidecar)")
+    p.add_argument("--seed", type=int, default=42,
+                   help="lsh/srp: plane RNG seed")
     p.add_argument("--files-per-partition", type=int, default=None,
                    help="bound files per cell/bucket dir (one build shuffle)")
     p.add_argument("--regeometry", action="store_true",
-                   help="compact (minhash/simhash): re-derive n_buckets "
-                   "from the current corpus size and re-route postings")
+                   help="compact (minhash/simhash/srp): re-derive "
+                   "n_buckets from the current corpus size and "
+                   "re-route postings")
     p.add_argument("--query-id", type=int, default=0,
                    help="probe: take the query vector from this source row")
     p.add_argument("--query-vec", default=None,
@@ -699,10 +806,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shingle-k", type=int, default=3,
                    help="minhash: tokens per shingle")
     p.add_argument("--n-buckets", type=int, default=None,
-                   help="minhash: partition dirs per band "
-                   "(default: corpus-size-adaptive)")
-    p.add_argument("--threshold", type=float, default=0.8,
-                   help="dedup (minhash): exact-Jaccard verify floor")
+                   help="minhash/simhash/srp: partition dirs per "
+                   "band/table (default: corpus-size-adaptive)")
+    p.add_argument("--threshold", type=float, default=None,
+                   help="dedup verify floor: exact Jaccard for minhash "
+                   "(default 0.8), cosine for srp (default: the "
+                   "sidecar's design threshold)")
     p.add_argument("--n-chunks", type=int, default=5,
                    help="simhash: fingerprint chunks")
     p.add_argument("--chunks-per-key", type=int, default=2,

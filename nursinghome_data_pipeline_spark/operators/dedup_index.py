@@ -250,8 +250,11 @@ def dedup_index_bucket_stats(
     ``exact_dedup_fingerprints`` (and ``passage_dedup`` for shared
     passages) BEFORE indexing; raise ``shingle_k`` so boilerplate
     shingles stop dominating the minhash; drop the offending docs.
-    Works for both dedup kinds — for ``kind="simhash"`` the key is the
-    packed chunk ``bucket`` (reported with ``band = -1``).
+    Works for all three dedup kinds — for ``kind="simhash"`` the key
+    is the packed chunk ``bucket`` (reported with ``band = -1``); for
+    ``kind="srp"`` it is the per-table sign-projection ``bucket``
+    (reported with ``band = tbl``, and the remedy for a hot key is
+    exact-dedup-by-vector before indexing).
 
     One aggregation over the index, one bounded (top_k+1)-row collect —
     at 100 TB run it on the cadence that runs compaction, not per
@@ -259,14 +262,19 @@ def dedup_index_bucket_stats(
     ``{kind, n_postings, n_keys, max_postings_per_key,
     mean_postings_per_key, top: [(band, bkey, n_postings), ...]}``."""
     meta = load_ann_meta(path)
-    if meta.get("kind") not in ("minhash", "simhash"):
+    if meta.get("kind") not in ("minhash", "simhash", "srp"):
         raise ValueError(
             f"dedup_index_bucket_stats: index kind {meta.get('kind')!r} "
-            "not supported — expected one of ['minhash', 'simhash']"
+            "not supported — expected one of ['minhash', 'simhash', "
+            "'srp']"
         )
     rows = spark.read.parquet(path)
     if meta["kind"] == "minhash":
         keyed = rows.select("band", "bkey")
+    elif meta["kind"] == "srp":
+        keyed = rows.select(
+            F.col("tbl").alias("band"), F.col("bucket").alias("bkey")
+        )
     else:
         keyed = rows.select(
             F.lit(-1).alias("band"), F.col("bucket").alias("bkey")

@@ -1,0 +1,454 @@
+"""At-rest embedding near-dup index (``kind="srp"``) — the cosine
+family's incremental-dedup story, completing the triad started by
+``operators/dedup_index.py``: minhash (Jaccard) and simhash (Hamming)
+already dedup a new batch against the indexed corpus in
+O(batch + matched buckets); this module gives
+:func:`~.similarity.embedding_near_duplicate_pairs` the same shape.
+Without it, embedding-cosine near-dup is the one family where a daily
+0.1% increment still pays a full-corpus re-bucketing pass.
+
+Layout (:func:`write_srp_index`): one parquet table partitioned by
+``pb = tbl · n_buckets + (xxhash64(bucket) mod n_buckets)`` — the
+multi-table OR-construction's table index ``tbl`` plays the role the
+minhash index's ``band`` plays, and the sign-projection ``bucket`` id
+is mixed through xxhash64 before the mod because its low bits are raw
+sign bits (a plain mod would route on the first log2(n_buckets)
+hyperplanes only). Each row carries the vector AND its precomputed L2
+norm (``nrm``), so a probe is one pruned scan + (tbl, bucket)
+equi-join + exact cosine verify — no second corpus lookup; the
+vector payload is duplicated ``n_tables``× (the same deliberate
+postings-carry-payload trade as the minhash index's ``sh`` arrays).
+
+Probe (:func:`embedding_batch_against_index`): bit-identical, as a
+set, to running the in-memory operator over corpus ∪ batch at the
+same (n_planes, n_tables, seed) geometry and keeping the cross pairs
+(pinned by ``tests/test_srp_index.py``) — same
+:func:`~.similarity.lsh_bucket_col` bucket ids, same
+:func:`~.similarity._cosine_with_norms` verify over the same float32
+arrays and float64 norms.
+
+Recall contract: the geometry is sized at BUILD time for
+``design_threshold`` (``n_tables = auto_lsh_tables(n_planes,
+design_threshold, recall_target)`` — recall ``1−(1−r1)^t`` at the
+boundary, measured against the SRP closed form in
+``tests/test_embedding_recall.py``). Probing at a LOOSER threshold
+than the index was designed for silently drops below that floor
+(r1 falls with the threshold), so the probe warns — the same
+geometry-vs-parameter honesty as the simhash loop's
+max_hamming-vs-pigeonhole warning.
+
+Lifecycle: ``kind="srp"`` rides the SAME sidecar + append/compact
+protocol as the other four kinds — appends are single-file ``pb=-1``
+LSM deltas (:data:`~.dedup_index.DELTA_PB`) routed with the sidecar's
+own planes, probes read matched directories plus the delta, and
+``compact_ann_index`` is the LSM merge; ``regeometry=True``
+re-derives the bucket count from the grown corpus and re-routes from
+the STORED (tbl, bucket) columns, bit-identical to a fresh rebuild
+(planes are never re-derived — unlike n_buckets they define routing
+semantics, but they live in the sidecar, so re-routing needs no
+vector math at all). :func:`~.dedup_index.dedup_index_bucket_stats`
+reports hot (tbl, bucket) keys for this kind too.
+
+Reference parity note: the reference pipeline has no vector ops at
+all; this extends the engine-native embedding dedup family
+(SURVEY §2.10 ext) to the incremental-ingest shape a training-data
+pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import l2_norm_col
+from .dedup import _intra_bucket_pairs
+from .dedup_index import DELTA_PB, as_delta_append, auto_dedup_buckets
+from .similarity import (
+    _cosine_with_norms,
+    _require_kind,
+    _require_local_path,
+    _write_ann_meta,
+    auto_lsh_planes,
+    auto_lsh_tables,
+    load_ann_meta,
+    lsh_bucket_col,
+    read_matched_partitions,
+)
+
+#: Internal projection names (pb/tbl/bucket/nrm persist in the index;
+#: batch_id/corpus_id/cosine_sim are probe output aliases). A caller
+#: id_col/vec_col with one of these names would silently collide or
+#: misbind — same guard as the minhash/simhash indexes'.
+_RESERVED_COLS = frozenset(
+    {"pb", "tbl", "bucket", "nrm", "batch_id", "corpus_id", "cosine_sim"}
+)
+
+
+def _require_unreserved(name: str, role: str, caller: str) -> None:
+    if name in _RESERVED_COLS:
+        raise ValueError(
+            f"{caller}: {role} {name!r} collides with an internal "
+            f"index column — rename it (reserved: "
+            f"{sorted(_RESERVED_COLS)})"
+        )
+
+
+def _srp_rows(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    n_buckets: int,
+) -> DataFrame:
+    """(pb, tbl, bucket, <id>, <vec>, nrm) rows — ``n_tables`` rows per
+    vector, the shared projection for index build, append routing, and
+    the batch side of the probe. One scan computes every table's
+    bucket id and the norm, then a generator fans each row out to its
+    (tbl, bucket) keys — the same one-scan shape (and the same
+    seed-per-table bucket ids) as the in-memory operator's multi-table
+    path, so index and query always agree on routing."""
+    _require_unreserved(id_col, "id_col", "_srp_rows")
+    _require_unreserved(vec_col, "vec_col", "_srp_rows")
+    bucket_exprs = [
+        F.struct(
+            F.lit(j).alias("tbl"),
+            lsh_bucket_col(
+                vec_col, dim=dim, n_planes=n_planes, seed=seed + j
+            ).alias("bucket"),
+        )
+        for j in range(n_tables)
+    ]
+    # generator and struct-field access cannot share one select —
+    # explode first, then project the fields (withColumn seam)
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm_col(vec_col).alias("nrm"),
+            F.explode(F.array(*bucket_exprs)).alias("__tb"),
+        )
+        .withColumn("tbl", F.col("__tb.tbl"))
+        .withColumn("bucket", F.col("__tb.bucket"))
+        .drop("__tb")
+    )
+    return exploded.select(
+        (
+            F.col("tbl") * n_buckets
+            + F.pmod(F.xxhash64(F.col("bucket")), F.lit(n_buckets))
+        )
+        .cast("int")
+        .alias("pb"),
+        "tbl",
+        "bucket",
+        id_col,
+        vec_col,
+        "nrm",
+    )
+
+
+def pairs_from_srp_rows(
+    rows: DataFrame, *, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Within-set near-dup pairs from a precomputed ``_srp_rows``
+    projection — ``(id_a, id_b, cosine_sim)`` with ``id_a < id_b`` and
+    cosine ≥ threshold, identical (as a set) to
+    :func:`~.similarity.embedding_near_duplicate_pairs` over the same
+    vectors at the same (n_planes, n_tables, seed) geometry (pinned by
+    ``tests/test_srp_index.py``): same bucket ids, same
+    norms-pre-folded cosine, just read from the rows instead of
+    recomputed. This is the streaming ingest loop's in-batch pass for
+    the srp family — one projection feeds in-batch pairing, the index
+    probe, AND the append routing."""
+    pairs = _intra_bucket_pairs(
+        rows,
+        ["tbl", "bucket"],
+        [id_col, vec_col, "nrm"],
+        lambda x, y: F.struct(
+            x[id_col].alias("id_a"),
+            y[id_col].alias("id_b"),
+            _cosine_with_norms(
+                x[vec_col], y[vec_col], x["nrm"], y["nrm"]
+            ).alias("cosine_sim"),
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
+    return pairs.where(F.col("cosine_sim") >= threshold)
+
+
+def route_srp_append(df: DataFrame, meta: dict) -> tuple[DataFrame, str]:
+    """Append routing for ``kind="srp"`` — called by
+    :func:`~.similarity.append_to_ann_index` so new batches bucket
+    with the SIDECAR's own planes/seed (never recomputed parameters),
+    landing as one LSM delta file (same contract as
+    :func:`~.dedup_index.route_dedup_append`)."""
+    missing = {meta["id_col"], meta["vec_col"]} - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"append to srp index: batch lacks column(s) "
+            f"{sorted(missing)} — the sidecar expects "
+            f"id_col={meta['id_col']!r}, vec_col={meta['vec_col']!r}"
+        )
+    routed = _srp_rows(
+        df,
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+        dim=int(meta["dim"]),
+        n_planes=int(meta["n_planes"]),
+        n_tables=int(meta["n_tables"]),
+        seed=int(meta["seed"]),
+        n_buckets=int(meta["n_buckets"]),
+    )
+    return as_delta_append(routed), "pb"
+
+
+def write_srp_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    design_threshold: float = 0.95,
+    recall_target: float = 0.9,
+    n_planes: int | str = "auto",
+    n_tables: int | str = "auto",
+    target_bucket_pop: int = 64,
+    seed: int = 42,
+    n_buckets: int | str = "auto",
+    n_rows: int | None = None,
+    files_per_partition: int | None = 1,
+) -> None:
+    """Build the at-rest embedding near-dup index (module docstring).
+
+    Geometry mirrors the in-memory operator's auto sizing exactly:
+    ``n_planes="auto"`` holds expected bucket population at
+    ``target_bucket_pop`` as the corpus grows
+    (:func:`~.similarity.auto_lsh_planes` — one plane per doubling),
+    and ``n_tables="auto"`` is the OR-construction count hitting
+    ``recall_target`` at ``design_threshold``
+    (:func:`~.similarity.auto_lsh_tables`). Both need the row count —
+    pass ``n_rows`` if known, else one count job is spent.
+    ``design_threshold`` persists in the sidecar so probes can warn
+    when called looser than the geometry was sized for.
+
+    ``n_buckets`` is pure partition geometry (``n_tables × n_buckets``
+    directories; each vector posts ``n_tables`` rows, so the auto
+    formula is :func:`~.dedup_index.auto_dedup_buckets` over
+    ``n_rows × n_tables``) — refreshable later via
+    ``compact_ann_index(regeometry=True)``, unlike planes/seed which
+    define routing semantics and are fixed at build.
+
+    Exact duplicates share every table's bucket, so m exact copies of
+    one vector put m postings in ``n_tables`` shared keys and every
+    probe that hits them verifies against all m — run exact dedup
+    (e.g. group-by-vector min-id, the srp ingest loop's stage 1)
+    before indexing, and watch
+    :func:`~.dedup_index.dedup_index_bucket_stats` for hot keys.
+    ``files_per_partition`` defaults ON (1) for the same measured
+    reason as the other index kinds (uniform keys → a shuffle-free
+    write puts every input task's rows into every directory)."""
+    from .similarity import _compact_for_write
+
+    _require_local_path(path, "write_srp_index")
+    # guards BEFORE the auto-sizing count — invalid inputs must not
+    # cost a full corpus scan to discover
+    _require_unreserved(id_col, "id_col", "write_srp_index")
+    _require_unreserved(vec_col, "vec_col", "write_srp_index")
+    if not -1.0 <= design_threshold <= 1.0:
+        raise ValueError(
+            f"write_srp_index: design_threshold must be a cosine in "
+            f"[-1, 1] (got {design_threshold})"
+        )
+    if n_planes == "auto" or n_tables == "auto" or n_buckets == "auto":
+        if n_rows is None:
+            n_rows = df.count()
+    if n_planes == "auto":
+        n_planes = auto_lsh_planes(
+            n_rows, target_bucket_pop=target_bucket_pop
+        )
+    n_planes = int(n_planes)
+    if n_tables == "auto":
+        n_tables = auto_lsh_tables(
+            n_planes, design_threshold, recall_target=recall_target
+        )
+    n_tables = int(n_tables)
+    if n_planes < 1 or n_tables < 1:
+        # n_tables=0 would explode an EMPTY key array — every row
+        # silently dropped, an empty index with a valid sidecar
+        raise ValueError(
+            f"write_srp_index: n_planes ({n_planes}) and n_tables "
+            f"({n_tables}) must be >= 1"
+        )
+    if n_buckets == "auto":
+        n_buckets = auto_dedup_buckets(n_rows * n_tables, bands=1)
+    n_buckets = int(n_buckets)
+    rows = _srp_rows(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+        n_buckets=n_buckets,
+    )
+    _compact_for_write(rows, "pb", files_per_partition, id_col).write.mode(
+        "overwrite"
+    ).partitionBy("pb").parquet(path)
+    _write_ann_meta(
+        path,
+        {
+            "kind": "srp",
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "dim": dim,
+            "n_planes": n_planes,
+            "n_tables": n_tables,
+            "seed": seed,
+            "n_buckets": n_buckets,
+            "design_threshold": design_threshold,
+            "recall_target": recall_target,
+        },
+    )
+
+
+def _warn_if_looser_than_design(meta: dict, threshold: float, caller: str):
+    """The sidecar's n_tables was sized to hit ``recall_target`` at
+    ``design_threshold`` — at a LOOSER probe threshold the per-table
+    collision probability r1 is lower, so recall at the new boundary
+    falls below the design floor. Warn, mirroring the simhash
+    max_hamming-vs-pigeonhole warning."""
+    design = meta.get("design_threshold")
+    if design is not None and threshold < float(design):
+        import warnings
+
+        from .similarity import srp_collision_prob
+
+        r1 = srp_collision_prob(threshold, int(meta["n_planes"]))
+        achieved = 1.0 - (1.0 - r1) ** int(meta["n_tables"])
+        warnings.warn(
+            f"{caller}: threshold={threshold} is looser than the "
+            f"index's design_threshold={design} — the geometry "
+            f"({meta['n_planes']} planes x {meta['n_tables']} tables) "
+            f"reaches recall ~{achieved:.2f} at the new boundary vs "
+            f"the {meta.get('recall_target', 0.9)} it was sized for; "
+            "rebuild with a lower design_threshold to close the gap",
+            UserWarning,
+            stacklevel=3,
+        )
+
+
+def embedding_batch_against_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    *,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Near-dup pairs between ``batch`` and the indexed corpus under
+    cosine similarity — ``(batch_id, corpus_id, cosine_sim)`` with
+    cosine ≥ threshold, the cross-set slice of what
+    :func:`~.similarity.embedding_near_duplicate_pairs` emits over
+    corpus ∪ batch at the sidecar's geometry (pinned, as a set), at
+    O(batch + matched buckets) cost instead of O(corpus).
+    ``threshold=None`` probes at the sidecar's ``design_threshold``
+    (the boundary the geometry's recall was sized for); an explicit
+    looser threshold warns (see module docstring). Same
+    partition-pruned matched-directories read, bounded driver collect,
+    self-pair filter, and per-pair dedup as the minhash/simhash
+    probes — and the same decontamination-at-rest usage: index the
+    training embeddings once, probe with the benchmark set."""
+    meta = load_ann_meta(path)
+    _require_kind(meta, "srp", "embedding_batch_against_index")
+    if threshold is None:
+        threshold = float(meta["design_threshold"])
+    _warn_if_looser_than_design(
+        meta, threshold, "embedding_batch_against_index"
+    )
+    b = _srp_rows(
+        batch,
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+        dim=int(meta["dim"]),
+        n_planes=int(meta["n_planes"]),
+        n_tables=int(meta["n_tables"]),
+        seed=int(meta["seed"]),
+        n_buckets=int(meta["n_buckets"]),
+    ).localCheckpoint(eager=False)
+    return probe_index_with_srp_rows(
+        spark, b, path, meta, threshold=threshold
+    )
+
+
+def probe_index_with_srp_rows(
+    spark,
+    b: DataFrame,
+    path: str,
+    meta: dict,
+    *,
+    threshold: float,
+) -> DataFrame:
+    """Probe body of :func:`embedding_batch_against_index` over an
+    already-computed ``_srp_rows`` projection — the cosine twin of
+    :func:`~.dedup_index.probe_index_with_banded_rows`, same caller
+    contract (projection at the sidecar's geometry, pinned by the
+    caller; the delta directory is read when present)."""
+    import os
+
+    # bounded driver collect: ≤ n_tables × n_buckets ints — the
+    # partition-pruning literal, same shape as the other index probes
+    pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
+    if os.path.isdir(os.path.join(path, f"pb={DELTA_PB}")):
+        pbs = pbs + [DELTA_PB]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    rel = read_matched_partitions(spark, path, "pb", pbs)
+    if rel is None:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        idt = b.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("batch_id", idt),
+                    StructField("corpus_id", idt),
+                    StructField("cosine_sim", DoubleType()),
+                ]
+            ),
+        )
+    corpus = rel.where(F.col("pb").isin(pbs)).select(
+        "tbl",
+        "bucket",
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("_v_c"),
+        F.col("nrm").alias("_n_c"),
+    )
+    bb = b.select(
+        "tbl",
+        "bucket",
+        F.col(id_col).alias("batch_id"),
+        F.col(vec_col).alias("_v_b"),
+        F.col("nrm").alias("_n_b"),
+    )
+    cands = (
+        bb.join(corpus, ["tbl", "bucket"])
+        # a re-probed vector whose id already lives in the index would
+        # match its own postings (cosine 1.0) — the in-memory twin
+        # over corpus ∪ batch can never emit a self-pair (id_a < id_b),
+        # so neither does this probe
+        .where(F.col("batch_id") != F.col("corpus_id"))
+        .select("batch_id", "corpus_id", "_v_b", "_v_c", "_n_b", "_n_c")
+        # a pair sharing several tables must verify once, not per table
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    return cands.select(
+        "batch_id",
+        "corpus_id",
+        _cosine_with_norms(
+            F.col("_v_b"), F.col("_v_c"), F.col("_n_b"), F.col("_n_c")
+        ).alias("cosine_sim"),
+    ).where(F.col("cosine_sim") >= threshold)

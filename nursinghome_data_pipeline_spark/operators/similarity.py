@@ -626,6 +626,8 @@ def _require_kind(meta: dict, expected: str, probe: str) -> None:
             "ivf": "knn_ivf_partitioned",
             "lsh": "knn_lsh_partitioned",
             "minhash": "dedup_index.dedup_batch_against_index",
+            "simhash": "dedup_index.simhash_batch_against_index",
+            "srp": "embedding_index.embedding_batch_against_index",
         }
         hint = other.get(kind)
         raise ValueError(
@@ -756,7 +758,7 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
     index was built with — never recomputed, so old and new rows
     always agree on cell/bucket routing) and appended as new files:
     IVF/LSH batches under their matching cell/bucket directories, the
-    dedup kinds (minhash/simhash) as ONE LSM delta file under
+    dedup kinds (minhash/simhash/srp) as ONE LSM delta file under
     ``pb=-1`` (``dedup_index.DELTA_PB`` — their postings fan out to
     nearly every directory, so per-directory appends cost ∝ geometry;
     the delta costs ∝ batch and compaction folds it in). Existing
@@ -791,12 +793,18 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
     hand after confirming no append is running."""
     _require_local_path(path, "append_to_ann_index")
     meta = load_ann_meta(path)
-    if meta.get("kind") not in ("ivf", "lsh", "minhash", "simhash"):
+    if meta.get("kind") not in ("ivf", "lsh", "minhash", "simhash", "srp"):
         raise ValueError(
             f"append_to_ann_index: unknown index kind "
             f"{meta.get('kind')!r} in {path}/{ANN_META_FILE}"
         )
-    if meta["kind"] == "minhash":
+    if meta["kind"] == "srp":
+        # vector near-dup postings fan out like the text dedup kinds
+        # (n_tables directories per doc) — same LSM delta form
+        from .embedding_index import route_srp_append
+
+        routed, part = route_srp_append(df, meta)
+    elif meta["kind"] == "minhash":
         # routing owned by the dedup-index module (runtime import:
         # dedup_index imports this module's protocol helpers)
         from .dedup_index import route_dedup_append
@@ -886,10 +894,11 @@ def compact_ann_index(
     (``dedup_index.DELTA_PB``) re-route to their true bucket
     directories from the stored routing columns.
 
-    ``regeometry=True`` (``kind="minhash"`` / ``"simhash"``)
-    additionally re-derives the bucket count from the CURRENT corpus
-    size (``dedup_index.auto_dedup_buckets`` — the same formula the
-    builds use) and re-routes every posting under the new geometry.
+    ``regeometry=True`` (``kind="minhash"`` / ``"simhash"`` /
+    ``"srp"``) additionally re-derives the bucket count from the
+    CURRENT corpus size (``dedup_index.auto_dedup_buckets`` — the same
+    formula the builds use) and re-routes every posting under the new
+    geometry.
     ``write_dedup_index`` sizes ``n_buckets`` once, at build time; a
     corpus grown 100× by appends keeps that stale geometry, so each of
     the fixed ``bands × n_buckets`` directories accumulates ∝ corpus
@@ -944,19 +953,25 @@ def compact_ann_index(
         else:
             os.rename(old, path)
     meta = load_ann_meta(path)
-    parts = {"ivf": "cell", "lsh": "bucket", "minhash": "pb", "simhash": "pb"}
+    parts = {
+        "ivf": "cell",
+        "lsh": "bucket",
+        "minhash": "pb",
+        "simhash": "pb",
+        "srp": "pb",
+    }
     if meta.get("kind") not in parts:
         raise ValueError(
             f"compact_ann_index: unknown index kind {meta.get('kind')!r} "
             f"in {path}/{ANN_META_FILE}"
         )
     part = parts[meta["kind"]]
-    if regeometry and meta["kind"] not in ("minhash", "simhash"):
+    if regeometry and meta["kind"] not in ("minhash", "simhash", "srp"):
         raise ValueError(
             f"compact_ann_index: regeometry=True only applies to "
-            f"kind='minhash'/'simhash' (got {meta['kind']!r}) — IVF "
-            "seeds / LSH planes define routing semantics and cannot "
-            "be re-derived from stored rows"
+            f"kind='minhash'/'simhash'/'srp' (got {meta['kind']!r}) — "
+            "IVF seeds / LSH planes define routing semantics and "
+            "cannot be re-derived from stored rows"
         )
     tmp = path.rstrip("/") + ".compact.tmp"
     lock = os.path.join(path, ANN_COMPACT_LOCK)
@@ -1008,7 +1023,7 @@ def compact_ann_index(
 
         before = _data_files()
         df = spark.read.parquet(path)
-        if meta["kind"] in ("minhash", "simhash"):
+        if meta["kind"] in ("minhash", "simhash", "srp"):
             from .dedup_index import auto_dedup_buckets, simhash_keys_per_doc
 
             # pb is DERIVED for these kinds — recompute it from the
@@ -1033,6 +1048,19 @@ def compact_ann_index(
                 new_pb = (
                     F.col("band") * new_nb
                     + F.pmod(F.col("bkey"), F.lit(new_nb))
+                )
+            elif meta["kind"] == "srp":
+                # each vector posts n_tables rows — the same
+                # payload-per-directory estimate the build uses
+                new_nb = (
+                    auto_dedup_buckets(
+                        n_docs * int(meta["n_tables"]), bands=1
+                    )
+                    if regeometry
+                    else int(meta["n_buckets"])
+                )
+                new_pb = F.col("tbl") * new_nb + F.pmod(
+                    F.xxhash64(F.col("bucket")), F.lit(new_nb)
                 )
             else:
                 if regeometry:

@@ -34,10 +34,11 @@ Idempotency is CRASH-POINT-COMPLETE, not just manifest-gated:
   double-appending.
 
 One fingerprint pass per micro-batch (r9): the batch's banded
-projection (``dedup_index._banded_rows`` / ``_simhash_rows``) is
-computed once and pinned, then read by all three consumers — the
-within-batch pair pass (``pairs_from_banded_rows``), the index probe
-(``probe_index_with_banded_rows``), and the append
+projection (``dedup_index._banded_rows`` / ``_simhash_rows`` /
+``embedding_index._srp_rows``) is computed once and pinned, then read
+by all three consumers — the within-batch pair pass
+(``pairs_from_banded_rows`` and family), the index probe
+(``probe_index_with_banded_rows`` and family), and the append
 (``append_routed_rows`` over the accepted slice of the same rows).
 Earlier rounds fingerprinted up to three times per batch; the r8
 ingest-loop probe measured the resulting fixed per-batch cadence at
@@ -46,12 +47,14 @@ bought this cross-module API (the sharing is pinned accepted-set-
 identical to the composed in-memory operators by
 ``tests/test_streaming_dedup_ingest.py``).
 
-Null-text rows (no content to fingerprint) bypass every dedup stage:
-they pass straight to the sink and are never posted to the index —
-filter them upstream if the corpus should not carry them.
+Null-payload rows (no text/vector to fingerprint) bypass every dedup
+stage: they pass straight to the sink and are never posted to the
+index — filter them upstream if the corpus should not carry them.
 
 Within-batch near-dup policy: after exact dedup (min-id winner per
-``md5(text)``), any doc that is the HIGHER id of a verified near-dup
+``md5(text)``; min-id per identical vector for the srp family — no
+text fingerprint exists for float arrays), any doc that is the
+HIGHER id of a verified near-dup
 pair is dropped — the greedy min-id-survives rule. On a chain
 a<b<c with pairs (a,b),(b,c) this keeps only ``a`` (b and c both
 appear as a higher id), matching what canonical connected-component
@@ -75,26 +78,32 @@ def streaming_dedup_ingest(
     *,
     threshold: float = 0.8,
     max_hamming: int = 8,
+    cosine_threshold: float | None = None,
     checkpoint_dir: str,
     compact_every: int | None = 32,
     regeometry_on_compact: bool = True,
 ):
     """Start the dedup-ingest stream; returns the StreamingQuery.
 
-    ``stream`` must carry the index sidecar's ``id_col`` and
-    ``text_col`` (extra columns pass through to the sink). Accepted
+    ``stream`` must carry the index sidecar's ``id_col`` and payload
+    column — ``text_col`` for the text families, ``vec_col`` for
+    ``kind="srp"`` (extra columns pass through to the sink). Accepted
     docs land under ``target_dir/data/ingest_batch=<batch_id>/`` and
     are appended to the index at ``index_path``.
 
-    The dedup FAMILY follows the index sidecar's kind (r8): a
+    The dedup FAMILY follows the index sidecar's kind (r8; srp r9): a
     ``kind="minhash"`` index dedups by exact Jaccard ≥ ``threshold``;
-    a ``kind="simhash"`` index by Hamming ≤ ``max_hamming`` — both the
+    a ``kind="simhash"`` index by Hamming ≤ ``max_hamming``; a
+    ``kind="srp"`` index by embedding cosine ≥ ``cosine_threshold``
+    (``None`` = the sidecar's ``design_threshold``, the boundary its
+    recall geometry was sized for — an explicit looser value warns at
+    stream start, see ``embedding_index``) — in every family the
     within-batch pass and the corpus probe band with the sidecar's own
     geometry, so in-batch and cross-corpus decisions can never
-    diverge. The unused knob of the other family is ignored. Any
+    diverge. The unused knobs of the other families are ignored. Any
     other sidecar kind (ivf/lsh) raises a ValueError at stream start
     (the index must already exist when the stream is constructed) —
-    those indexes hold vectors, not text postings.
+    those indexes hold a kNN corpus, not near-dup postings.
 
     ``max_hamming`` (simhash family) is a VERIFY threshold, not a
     recall promise: the banding only guarantees candidate generation
@@ -148,6 +157,12 @@ def streaming_dedup_ingest(
         probe_index_with_banded_rows,
         probe_index_with_simhash_rows,
     )
+    from ..operators.embedding_index import (
+        _srp_rows,
+        _warn_if_looser_than_design,
+        pairs_from_srp_rows,
+        probe_index_with_srp_rows,
+    )
     from ..operators.similarity import (
         _require_local_path,
         append_routed_rows,
@@ -163,14 +178,14 @@ def streaming_dedup_ingest(
     manifest = os.path.join(target_dir, "_committed_batches")
 
     def _require_dedup_kind(meta: dict) -> None:
-        if meta.get("kind") not in ("minhash", "simhash"):
+        if meta.get("kind") not in ("minhash", "simhash", "srp"):
             # fail at the dispatch point with the kinds named, not
             # later with a raw KeyError('n_hashes') from an ivf/lsh
             # sidecar missing the minhash geometry fields
             raise ValueError(
                 f"streaming_dedup_ingest: index at {index_path} is "
                 f"kind={meta.get('kind')!r} — the ingest loop dedups "
-                "text against a 'minhash' or 'simhash' index"
+                "against a 'minhash', 'simhash', or 'srp' index"
             )
 
     # fail/warn at stream START (the index must already exist): a bad
@@ -181,6 +196,10 @@ def streaming_dedup_ingest(
     # only re-derives n_buckets), so start-time is the right scope.
     meta0 = load_ann_meta(index_path)
     _require_dedup_kind(meta0)
+    if meta0["kind"] == "srp" and cosine_threshold is not None:
+        _warn_if_looser_than_design(
+            meta0, cosine_threshold, "streaming_dedup_ingest"
+        )
     if meta0["kind"] == "simhash":
         guarantee = int(meta0["n_chunks"]) - int(meta0["chunks_per_key"])
         if max_hamming > guarantee:
@@ -208,7 +227,10 @@ def streaming_dedup_ingest(
         # re-checked per batch: an index swapped out underneath a
         # running stream must still fail with the kinds named
         _require_dedup_kind(meta)
-        id_col, text_col = meta["id_col"], meta["text_col"]
+        id_col = meta["id_col"]
+        payload_col = (
+            meta["vec_col"] if meta["kind"] == "srp" else meta["text_col"]
+        )
         # family dispatch on the SIDECAR kind: the in-batch near pass
         # and the index probe must band/verify with the same family
         # (and the same geometry) the index was built with, or
@@ -216,13 +238,50 @@ def streaming_dedup_ingest(
         # All three fingerprint consumers — in-batch pairing, the
         # index probe, and the append routing — read ONE shared
         # banded projection (r9): the batch is tokenized/shingled/
-        # signed exactly once per micro-batch.
-        if meta["kind"] == "simhash":
+        # signed (or projected, for srp) exactly once per micro-batch.
+        if meta["kind"] == "srp":
+            thr = (
+                float(meta["design_threshold"])
+                if cosine_threshold is None
+                else cosine_threshold
+            )
+
+            def project(df):
+                return _srp_rows(
+                    df,
+                    id_col=id_col,
+                    vec_col=payload_col,
+                    dim=int(meta["dim"]),
+                    n_planes=int(meta["n_planes"]),
+                    n_tables=int(meta["n_tables"]),
+                    seed=int(meta["seed"]),
+                    n_buckets=int(meta["n_buckets"]),
+                )
+
+            def in_batch_pairs(rows):
+                return pairs_from_srp_rows(
+                    rows, id_col=id_col, vec_col=payload_col,
+                    threshold=thr,
+                )
+
+            def index_matches(spark, rows):
+                return probe_index_with_srp_rows(
+                    spark, rows, index_path, meta, threshold=thr
+                )
+
+            def exact_winners(df):
+                # exact-by-payload for vectors: identical float arrays
+                # group together (no text fingerprint exists); min-id
+                # wins, the same rule as exact_dedup_fingerprints
+                return df.groupBy(payload_col).agg(
+                    F.min(id_col).alias(id_col)
+                ).select(id_col)
+        elif meta["kind"] == "simhash":
             def project(df):
                 return _simhash_rows(
                     df,
                     id_col=id_col,
-                    text_col=text_col,
+                    text_col=payload_col,
                     hash_family=meta["hash_family"],
                     n_chunks=int(meta["n_chunks"]),
                     chunks_per_key=int(meta["chunks_per_key"]),
@@ -243,7 +302,7 @@ def streaming_dedup_ingest(
                 return _banded_rows(
                     df,
                     id_col=id_col,
-                    text_col=text_col,
+                    text_col=payload_col,
                     n_hashes=int(meta["n_hashes"]),
                     bands=int(meta["bands"]),
                     shingle_k=int(meta["shingle_k"]),
@@ -259,28 +318,33 @@ def streaming_dedup_ingest(
                 return probe_index_with_banded_rows(
                     spark, rows, index_path, meta, threshold=threshold
                 )
-        # Null-text rows carry no content to fingerprint: they cannot
-        # be near-dups of anything, so they bypass every dedup stage
-        # and pass straight to the sink (never the index — there is
-        # nothing to post). A null-unsafe md5 join here would silently
-        # DROP them instead (NULL == NULL is NULL under an inner join).
-        null_text = batch.where(F.col(text_col).isNull()).localCheckpoint(
-            eager=False
-        )
-        batch = batch.where(F.col(text_col).isNotNull())
-        # stage 1 — exact within batch: the canonical min-id-per-md5
-        # winner rule lives in ONE place (exact_dedup_fingerprints);
-        # a semi-join on its winning ids recovers the full rows (ids
-        # are unique across the stream by contract)
-        winners = exact_dedup_fingerprints(
-            batch, text_col=text_col, id_col=id_col
-        ).select(id_col)
+        if meta["kind"] != "srp":
+            def exact_winners(df):
+                # the canonical min-id-per-md5 winner rule lives in
+                # ONE place (exact_dedup_fingerprints)
+                return exact_dedup_fingerprints(
+                    df, text_col=payload_col, id_col=id_col
+                ).select(id_col)
+        # Null-payload rows carry no content to fingerprint: they
+        # cannot be near-dups of anything, so they bypass every dedup
+        # stage and pass straight to the sink (never the index — there
+        # is nothing to post). A null-unsafe md5/group join here would
+        # silently DROP them instead (NULL == NULL is NULL under an
+        # inner join).
+        null_payload = batch.where(
+            F.col(payload_col).isNull()
+        ).localCheckpoint(eager=False)
+        batch = batch.where(F.col(payload_col).isNotNull())
+        # stage 1 — exact within batch (family-dispatched winner rule
+        # above); a semi-join on the winning ids recovers the full
+        # rows (ids are unique across the stream by contract)
+        winners = exact_winners(batch)
         exact = batch.join(winners, id_col, "left_semi")
         # the batch is re-read by the projection, the own-ids guard,
         # and the accepted anti-joins — pin it
         exact = exact.localCheckpoint(eager=False)
         # THE one fingerprint pass: every later stage reads these rows
-        rows = project(exact.select(id_col, text_col)).localCheckpoint(
+        rows = project(exact.select(id_col, payload_col)).localCheckpoint(
             eager=False
         )
         # stage 2 — near within batch: drop the higher id of each
@@ -318,7 +382,7 @@ def streaming_dedup_ingest(
         )
         # commit order: target (idempotent per-batch overwrite) →
         # index append (replay-benign) → manifest (gates the skip)
-        accepted.unionByName(null_text).write.mode("overwrite").parquet(
+        accepted.unionByName(null_payload).write.mode("overwrite").parquet(
             os.path.join(target_dir, "data", f"ingest_batch={batch_id}")
         )
         # index append: the accepted docs' slice of the SAME projection

@@ -1259,6 +1259,166 @@ def _hot_bucket_probes(
     return out
 
 
+def _srp_index_probes(
+    cores: int = 32,
+    copies: tuple = (1, 50, 500),
+) -> dict:
+    """At-rest SRP embedding near-dup index (r9): fixed-batch probe
+    cost vs corpus size — the flat-probe claim the minhash/simhash
+    indexes carry, for the cosine family, measured at 2k / 100k / 1M
+    vectors. Staging: copy c multiplies every element i by a
+    deterministic ±1 drawn from xxhash64((c, i)) — elementwise signs
+    square away within a copy (intra-copy cosines preserved
+    bit-for-bit) while cross-copy cosines drop to ~N(0, 1/dim), so
+    pair volume tracks real near-dup density, not staging artifacts.
+    The probe batch is 100 driver-planted cosine-0.97 partners of
+    corpus vectors, so each leg also verifies the probe FINDS planted
+    pairs at scale (recall floor: 1-(1-r1(0.97))^t with the auto
+    geometry). Also times the LSM lifecycle at the biggest leg:
+    1k-vector delta append, probe-with-delta, compaction.
+
+    Run: python scripts/scaling_probe.py --srpindex
+    """
+    import shutil
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nursinghome_data_pipeline_spark.operators.embedding_index import (
+        _srp_rows,
+        embedding_batch_against_index,
+        write_srp_index,
+    )
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        append_to_ann_index,
+        compact_ann_index,
+        load_ann_meta,
+    )
+    from nursinghome_data_pipeline_spark.session import build_session
+
+    spark = build_session(
+        f"srp-index-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    base = emb.orderBy("vec_id").limit(100).collect()
+    rng = np.random.default_rng(20260816)
+
+    def partner(v, c):
+        v = np.asarray(v, dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        g = rng.standard_normal(dim)
+        u = g - (g @ v) * v
+        u = u / np.linalg.norm(u)
+        return c * v + np.sqrt(1.0 - c * c) * u
+
+    probe = spark.createDataFrame(
+        [
+            (
+                int(r["vec_id"]) + (1 << 55),
+                [float(x) for x in np.asarray(partner(r["embedding"], 0.97),
+                                              dtype=np.float32)],
+            )
+            for r in base
+        ],
+        "vec_id long, embedding array<float>",
+    ).localCheckpoint(eager=True)
+
+    def staged(n_copies: int):
+        if n_copies == 1:
+            return emb
+        reps = spark.range(n_copies).select(F.col("id").alias("__rep"))
+        return emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("__rep") * (1 << 40)).alias("vec_id"),
+            F.when(F.col("__rep") == 0, F.col("embedding")).otherwise(
+                F.transform(
+                    "embedding",
+                    lambda x, i: x * F.when(
+                        F.pmod(
+                            F.xxhash64(F.col("__rep"), i), F.lit(2)
+                        ) == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)).cast("float"),
+                )
+            ).alias("embedding"),
+        )
+
+    out: dict = {"cores": cores, "sf_dir": SF_DIR, "dim": dim}
+    path = None
+    for c in copies:
+        label = f"x{c}"
+        corpus = staged(c)
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark-graft-srp-idx-{label}"
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        t0 = time.perf_counter()
+        write_srp_index(corpus, path, dim=dim, design_threshold=0.95)
+        out[f"{label}_build_sec"] = round(time.perf_counter() - t0, 2)
+        meta = load_ann_meta(path)
+        out[f"{label}_vectors"] = corpus.count()
+        out[f"{label}_geometry"] = (
+            f"{meta['n_planes']}p x {meta['n_tables']}t x "
+            f"{meta['n_buckets']}b"
+        )
+        best = float("inf")
+        n_pairs = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n_pairs = embedding_batch_against_index(
+                spark, probe, path, threshold=0.95
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{label}_probe100_sec"] = round(best, 3)
+        out[f"{label}_probe100_pairs"] = n_pairs
+        b = _srp_rows(
+            probe,
+            id_col=meta["id_col"], vec_col=meta["vec_col"], dim=dim,
+            n_planes=int(meta["n_planes"]),
+            n_tables=int(meta["n_tables"]),
+            seed=int(meta["seed"]), n_buckets=int(meta["n_buckets"]),
+        )
+        pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
+        idx = spark.read.parquet(path)
+        out[f"{label}_matched_dirs"] = len(pbs)
+        out[f"{label}_total_dirs"] = (
+            int(meta["n_tables"]) * int(meta["n_buckets"])
+        )
+        out[f"{label}_rows_scanned"] = idx.where(
+            F.col("pb").isin(pbs)
+        ).count()
+        out[f"{label}_total_postings"] = idx.count()
+    # LSM lifecycle at the biggest leg: delta append + probe + compact
+    biggest = staged(copies[-1])
+    append_batch = (
+        biggest.orderBy("vec_id").limit(1000)
+        .select((F.col("vec_id") + (1 << 56)).alias("vec_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.perf_counter()
+    append_to_ann_index(append_batch, path)
+    out["append1k_sec"] = round(time.perf_counter() - t0, 2)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        embedding_batch_against_index(
+            spark, probe, path, threshold=0.95
+        ).count()
+        best = min(best, time.perf_counter() - t0)
+    out["probe100_with_delta_sec"] = round(best, 3)
+    t0 = time.perf_counter()
+    out["compact_files"] = compact_ann_index(spark, path)
+    out["compact_sec"] = round(time.perf_counter() - t0, 2)
+    spark.stop()
+    return out
+
+
+
 def _ingest_loop_probes(
     cores: int = 32,
     n_batches: int = 20,
@@ -2325,6 +2485,12 @@ def main() -> None:
         "matched dirs saturate",
     )
     ap.add_argument(
+        "--srpindex", action="store_true",
+        help="run only the at-rest srp embedding near-dup index probe: "
+        "planted-partner probe wall + scan volume at 2k/100k/1M vectors "
+        "+ LSM append/compact lifecycle",
+    )
+    ap.add_argument(
         "--hotbucket", action="store_true",
         help="run only the planted-boilerplate hot-bucket probe: "
         "bucket stats + probe cost on a clean vs poisoned index",
@@ -2368,6 +2534,9 @@ def main() -> None:
         return
     if args.bigprobe:
         print(json.dumps(_big_probe_probes(), indent=2))
+        return
+    if args.srpindex:
+        print(json.dumps(_srp_index_probes(), indent=2))
         return
     if args.hotbucket:
         print(json.dumps(_hot_bucket_probes(), indent=2))

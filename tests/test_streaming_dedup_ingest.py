@@ -385,7 +385,7 @@ def test_wrong_index_kind_rejected_at_stream_start(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)
     stream = spark.readStream.schema("doc_id long, text string").json(src)
-    with pytest.raises(ValueError, match="'minhash' or 'simhash'"):
+    with pytest.raises(ValueError, match="'minhash', 'simhash', or 'srp'"):
         streaming_dedup_ingest(
             stream, index, str(tmp_path / "target"),
             checkpoint_dir=str(tmp_path / "ckpt"),
@@ -527,3 +527,119 @@ def test_simhash_index_drives_the_same_loop(spark, tmp_path):
     }
     assert (900, 11) in got
     assert all(c not in (10, 12, 20) for _, c in got)
+
+
+def test_srp_index_drives_the_same_loop(spark, tmp_path):
+    """r9: the cosine family through the same loop. Against an srp
+    index, a planted high-cosine partner of a corpus vector is dropped
+    via the index probe, an exact vector copy via the stage-1
+    group-by-vector pass, a within-batch partner via the in-batch
+    pass, and a null-embedding row passes straight through; a fresh
+    vector is accepted AND indexed so the next batch dedups against
+    it."""
+    import numpy as np
+
+    from nursinghome_data_pipeline_spark.operators.embedding_index import (
+        embedding_batch_against_index,
+        write_srp_index,
+    )
+
+    dim = 16
+    rng = np.random.default_rng(20260816)
+
+    def unit():
+        v = rng.standard_normal(dim)
+        return v / np.linalg.norm(v)
+
+    def partner(v, c):
+        g = rng.standard_normal(dim)
+        u = g - (g @ v) * v
+        u = u / np.linalg.norm(u)
+        return c * v + np.sqrt(1.0 - c * c) * u
+
+    def as_list(v):
+        return [float(x) for x in np.asarray(v, dtype=np.float32)]
+
+    c1, c2, c3 = unit(), unit(), unit()
+    corpus = spark.createDataFrame(
+        [(1, as_list(c1)), (2, as_list(c2)), (3, as_list(c3))],
+        "vec_id long, embedding array<float>",
+    )
+    index = str(tmp_path / "srp_index")
+    write_srp_index(
+        corpus, index, dim=dim, design_threshold=0.9, n_planes=4,
+        n_tables=4, n_buckets=16,
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    target = str(tmp_path / "target")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).json(src)
+    q = streaming_dedup_ingest(
+        stream, index, target,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    def write_vec_batch(name, rows):
+        with open(os.path.join(src, name), "w", encoding="utf-8") as f:
+            for i, v in rows:
+                f.write(json.dumps({"vec_id": i, "embedding": v}) + "\n")
+
+    fresh = unit()
+    try:
+        # 10 = 0.97-partner of corpus vec 1 (corpus match, drop);
+        # 11 fresh; 12 = 0.97-partner of 11 (in-batch near, drop);
+        # 13 = EXACT copy of 11 (stage-1 exact drop, min-id 11 wins);
+        # 14 = null embedding (passes through, never indexed)
+        write_vec_batch(
+            "b0.json",
+            [
+                (10, as_list(partner(c1, 0.97))),
+                (11, as_list(fresh)),
+                (12, as_list(partner(fresh, 0.97))),
+                (13, as_list(fresh)),
+                (14, None),
+            ],
+        )
+        q.processAllAvailable()
+        data = os.path.join(target, "data")
+        got = {
+            r["vec_id"]
+            for r in spark.read.option("basePath", data)
+            .parquet(data)
+            .collect()
+        }
+        assert got == {11, 14}
+        # 20 = 0.97-partner of ACCEPTED 11 — must drop via the
+        # postings batch 0 appended; 21 fresh
+        write_vec_batch(
+            "b1.json",
+            [
+                (20, as_list(partner(fresh, 0.97))),
+                (21, as_list(unit())),
+            ],
+        )
+        q.processAllAvailable()
+        got = {
+            r["vec_id"]
+            for r in spark.read.option("basePath", data)
+            .parquet(data)
+            .collect()
+        }
+        assert got == {11, 14, 21}
+    finally:
+        q.stop()
+    # probing the grown index finds the accepted 11, not the rejects
+    probe = spark.createDataFrame(
+        [(900, as_list(partner(fresh, 0.97)))],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["batch_id"], r["corpus_id"])
+        for r in embedding_batch_against_index(
+            spark, probe, index, threshold=0.9
+        ).collect()
+    }
+    assert (900, 11) in got
+    assert all(c not in (10, 12, 13, 14, 20) for _, c in got)
