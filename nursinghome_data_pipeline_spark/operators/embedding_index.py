@@ -236,11 +236,18 @@ def write_srp_index(
     when called looser than the geometry was sized for.
 
     ``n_buckets`` is pure partition geometry (``n_tables × n_buckets``
-    directories; each vector posts ``n_tables`` rows, so the auto
-    formula is :func:`~.dedup_index.auto_dedup_buckets` over
-    ``n_rows × n_tables``) — refreshable later via
+    directories) — refreshable later via
     ``compact_ann_index(regeometry=True)``, unlike planes/seed which
-    define routing semantics and are fixed at build.
+    define routing semantics and are fixed at build. The auto formula
+    is :func:`~.dedup_index.auto_dedup_buckets` over ``n_rows``
+    ALONE: each table spreads its ``n_rows`` postings over
+    ``n_buckets`` directories (``pb`` carries the table index, the
+    exact analog of the minhash index's per-band sizing), so the
+    per-directory payload is ``n_rows / n_buckets`` regardless of
+    ``n_tables``. Sizing over ``n_rows × n_tables`` instead was
+    MEASURED 16× over-partitioned at 1M vectors (40,960 dirs of ~244
+    rows; the 100-vector probe paid 12.3 s of listing/footer tax and
+    compaction 362 s — SCALE.md r9 srp table has the before/after).
 
     Exact duplicates share every table's bucket, so m exact copies of
     one vector put m postings in ``n_tables`` shared keys and every
@@ -284,7 +291,9 @@ def write_srp_index(
             f"({n_tables}) must be >= 1"
         )
     if n_buckets == "auto":
-        n_buckets = auto_dedup_buckets(n_rows * n_tables, bands=1)
+        # per-TABLE payload (pb carries the table index): n_rows /
+        # n_buckets rows per directory, independent of n_tables
+        n_buckets = auto_dedup_buckets(n_rows, bands=1)
     n_buckets = int(n_buckets)
     rows = _srp_rows(
         df,
@@ -361,7 +370,18 @@ def embedding_batch_against_index(
     partition-pruned matched-directories read, bounded driver collect,
     self-pair filter, and per-pair dedup as the minhash/simhash
     probes — and the same decontamination-at-rest usage: index the
-    training embeddings once, probe with the benchmark set."""
+    training embeddings once, probe with the benchmark set.
+
+    Batch-size regime (same law as the minhash probe, MEASURED in
+    SCALE.md's r9 srp table): a batch of B vectors posts ``n_tables·B``
+    near-uniform keys, so the matched-directory fraction per table is
+    ≈ ``1 − exp(−B/n_buckets)`` — at the 1M-vector auto geometry
+    (256 buckets) a 100-vector batch matched 813/2,560 dirs; at the
+    100k geometry (32 buckets) the same batch matched 211/224 (pruning
+    gone, probe still bounded at 6.8 s). Probe cost stays flat in
+    CORPUS size either way (11.2 s at 1M vs the 969 s in-memory
+    re-bucketing pass it replaces); split very large batches or size
+    ``n_buckets`` above the steady batch size to keep probes pruned."""
     meta = load_ann_meta(path)
     _require_kind(meta, "srp", "embedding_batch_against_index")
     if threshold is None:

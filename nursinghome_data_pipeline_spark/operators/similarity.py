@@ -1050,12 +1050,11 @@ def compact_ann_index(
                     + F.pmod(F.col("bkey"), F.lit(new_nb))
                 )
             elif meta["kind"] == "srp":
-                # each vector posts n_tables rows — the same
-                # payload-per-directory estimate the build uses
+                # per-TABLE payload, the same estimate the build uses
+                # (pb carries the table index — n_docs rows spread
+                # over n_buckets dirs within each table)
                 new_nb = (
-                    auto_dedup_buckets(
-                        n_docs * int(meta["n_tables"]), bands=1
-                    )
+                    auto_dedup_buckets(n_docs, bands=1)
                     if regeometry
                     else int(meta["n_buckets"])
                 )

@@ -339,7 +339,9 @@ def test_auto_geometry_matches_formulas(spark, sf_dir, tmp_path):
     t = auto_lsh_tables(p, 0.95, recall_target=0.9)
     assert meta["n_planes"] == p
     assert meta["n_tables"] == t
-    assert meta["n_buckets"] == auto_dedup_buckets(n * t, bands=1)
+    # per-TABLE payload: n_buckets sizes n_rows alone (pb carries the
+    # table index, like the minhash index's per-band sizing)
+    assert meta["n_buckets"] == auto_dedup_buckets(n, bands=1)
     assert meta["design_threshold"] == 0.95
 
 
