@@ -1577,6 +1577,181 @@ def _ingest_loop_probes(
     return out
 
 
+def _srp_ingest_loop_probes(
+    cores: int = 32,
+    n_batches: int = 20,
+    batch_vecs: int = 200,
+    compact_every: int | None = 32,
+) -> dict:
+    """End-to-end ``streaming_dedup_ingest`` over a ``kind="srp"``
+    index (r9): the vector loop's per-batch cadence, measured the same
+    way as the minhash loop (--ingestloop) — per-batch wall must be
+    FLAT in batch index (corpus size never appears in the loop's
+    cost). Corpus = the 100k-vector staged index from --srpindex's x50
+    leg (auto geometry 11p × 7t). Batch mix mirrors the text probe:
+    75% fresh random vectors, 12.5% exact copies of indexed corpus
+    vectors (dropped by the index probe), 12.5% cosine-0.97 partners
+    of the PREVIOUS batch's fresh vectors (dropped via the postings
+    the previous batch appended — the cross-batch path).
+
+    Run: python scripts/scaling_probe.py --srpingest
+    """
+    import glob
+    import json as _json
+    import shutil
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nursinghome_data_pipeline_spark.operators.embedding_index import (
+        write_srp_index,
+    )
+    from nursinghome_data_pipeline_spark.session import build_session
+    from nursinghome_data_pipeline_spark.streaming.ingest_dedup import (
+        streaming_dedup_ingest,
+    )
+
+    spark = build_session(
+        f"srp-ingest-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    # 50x staged corpus — same sign-pattern decorrelation as --srpindex
+    reps = spark.range(50).select(F.col("id").alias("__rep"))
+    big = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("__rep") * (1 << 40)).alias("vec_id"),
+        F.when(F.col("__rep") == 0, F.col("embedding")).otherwise(
+            F.transform(
+                "embedding",
+                lambda x, i: x * F.when(
+                    F.pmod(F.xxhash64(F.col("__rep"), i), F.lit(2)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)).cast("float"),
+            )
+        ).alias("embedding"),
+    )
+    pristine = os.path.join(
+        tempfile.gettempdir(), "spark-graft-srp-ingest-pristine"
+    )
+    if not os.path.exists(os.path.join(pristine, "_ann_meta.json")):
+        shutil.rmtree(pristine, ignore_errors=True)
+        write_srp_index(big, pristine, dim=dim, design_threshold=0.95)
+    n_corpus = big.count()
+    corpus_sample = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in big.orderBy("vec_id").limit(
+            max(1, batch_vecs * n_batches // 8)
+        ).collect()
+    ]
+    rng = np.random.default_rng(20260816)
+
+    def unit():
+        v = rng.standard_normal(dim)
+        return v / np.linalg.norm(v)
+
+    def partner(vals, c):
+        v = np.asarray(vals, dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        g = rng.standard_normal(dim)
+        u = g - (g @ v) * v
+        u = u / np.linalg.norm(u)
+        return c * v + np.sqrt(1.0 - c * c) * u
+
+    def as_list(v):
+        return [float(x) for x in np.asarray(v, dtype=np.float32)]
+
+    def _mk_batch(i: int, prev_fresh):
+        size = batch_vecs
+        n_fresh = size * 3 // 4
+        n_corp = (size - n_fresh) // 2
+        n_prev = size - n_fresh - n_corp
+        base_id = (100 + i) * (1 << 44)
+        fresh = [(base_id + j, as_list(unit())) for j in range(n_fresh)]
+        rows = list(fresh)
+        off = i * n_corp
+        for j in range(n_corp):
+            _, vals = corpus_sample[(off + j) % len(corpus_sample)]
+            rows.append((base_id + n_fresh + j, vals))
+        if prev_fresh:
+            for j in range(n_prev):
+                _, vals = prev_fresh[j % len(prev_fresh)]
+                rows.append(
+                    (
+                        base_id + n_fresh + n_corp + j,
+                        as_list(partner(vals, 0.97)),
+                    )
+                )
+        return rows, fresh
+
+    out: dict = {
+        "cores": cores, "sf_dir": SF_DIR, "corpus_vecs": n_corpus,
+        "n_batches": n_batches, "batch_vecs": batch_vecs,
+        "compact_every": compact_every, "dim": dim,
+    }
+    index = os.path.join(tempfile.gettempdir(), "spark-graft-srp-ingest-idx")
+    shutil.rmtree(index, ignore_errors=True)
+    shutil.copytree(pristine, index)
+    root = os.path.join(tempfile.gettempdir(), "spark-graft-srp-ingest-run")
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    os.makedirs(src_dir)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).json(src_dir)
+    q = streaming_dedup_ingest(
+        stream,
+        index,
+        os.path.join(root, "target"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        compact_every=compact_every,
+    )
+    walls, accepted, idx_files = [], [], []
+    prev_fresh = []
+    try:
+        for i in range(n_batches):
+            rows, prev_fresh = _mk_batch(i, prev_fresh)
+            with open(
+                os.path.join(src_dir, f"batch-{i:03d}.json"),
+                "w", encoding="utf-8",
+            ) as fh:
+                for vid, vals in rows:
+                    fh.write(
+                        _json.dumps({"vec_id": vid, "embedding": vals})
+                        + "\n"
+                    )
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            walls.append(round(time.perf_counter() - t0, 3))
+            part = os.path.join(root, "target", "data", f"ingest_batch={i}")
+            accepted.append(
+                spark.read.parquet(part).count()
+                if os.path.exists(part) else 0
+            )
+            idx_files.append(len(glob.glob(
+                os.path.join(index, "**", "*.parquet"), recursive=True
+            )))
+    finally:
+        q.stop()
+    out["run"] = {
+        "wall_sec": walls,
+        "first_batch_sec": walls[0],
+        "steady_mean_sec": round(sum(walls[2:]) / len(walls[2:]), 3),
+        "steady_last5_mean_sec": round(sum(walls[-5:]) / 5, 3),
+        "accepted_per_batch": accepted,
+        "accepted_rate": round(
+            sum(accepted) / (batch_vecs * n_batches), 3
+        ),
+        "index_files_per_batch": idx_files,
+    }
+    spark.stop()
+    return out
+
+
 def _zorder_probes(cores: int = 32, n: int = 4_000_000, n_files: int = 64) -> dict:
     """MEASURE the z-order data-skipping claim instead of deriving it.
 
@@ -2491,6 +2666,11 @@ def main() -> None:
         "+ LSM append/compact lifecycle",
     )
     ap.add_argument(
+        "--srpingest", action="store_true",
+        help="run only the srp-family streaming ingest loop cadence: "
+        "20 micro-batches of vectors against a 100k-vector index",
+    )
+    ap.add_argument(
         "--hotbucket", action="store_true",
         help="run only the planted-boilerplate hot-bucket probe: "
         "bucket stats + probe cost on a clean vs poisoned index",
@@ -2537,6 +2717,9 @@ def main() -> None:
         return
     if args.srpindex:
         print(json.dumps(_srp_index_probes(), indent=2))
+        return
+    if args.srpingest:
+        print(json.dumps(_srp_ingest_loop_probes(), indent=2))
         return
     if args.hotbucket:
         print(json.dumps(_hot_bucket_probes(), indent=2))
