@@ -314,3 +314,44 @@ def test_cli_ann_index_simhash_build_and_dedup(tmp_path, spark, capsys):
     assert rc == 0
     stats = json.loads(capsys.readouterr().out)
     assert stats["kind"] == "simhash" and stats["n_keys"] > 0
+
+
+def test_cli_ann_index_srp_build_dedup_stats(tmp_path, spark, capsys):
+    """One-surface srp story (r9): build writes the tbl×bucket layout +
+    self-describing sidecar (auto planes/tables sized for the design
+    threshold), dedup probes it at the sidecar's design threshold by
+    default, stats covers the new kind, and the kNN probe action
+    redirects cleanly instead of raising."""
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        load_ann_meta,
+    )
+
+    path = str(tmp_path / "srp_idx")
+    rc = main(
+        ["ann-index", "build", path, "--kind", "srp", "--sf-dir", SF_DIR,
+         "--design-threshold", "0.9"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built srp embedding near-dup index" in out
+    meta = load_ann_meta(path)
+    assert meta["kind"] == "srp" and meta["design_threshold"] == 0.9
+    assert meta["n_planes"] >= 1 and meta["n_tables"] >= 1
+
+    # dedup with no --threshold = the sidecar's design threshold
+    rc = main(["ann-index", "dedup", path, "--sf-dir", SF_DIR])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "cosine 0.9" in out
+
+    rc = main(["ann-index", "stats", path])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"kind": "srp"' in out
+
+    # the kNN probe action names the right command instead of a
+    # raw traceback
+    rc = main(["ann-index", "probe", path, "--sf-dir", SF_DIR])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "ann-index dedup" in err
