@@ -254,6 +254,8 @@ def test_partition_pruning_plan_gate(spark, sf_dir, tmp_path):
     plan = formatted_plan(out)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "pb" in pf[0], plan
+    # the candidate join is a (tbl, bucket) equi-join — never all-pairs
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_probe_on_empty_match_returns_typed_empty(spark, tmp_path):
