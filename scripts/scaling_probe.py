@@ -1752,6 +1752,135 @@ def _srp_ingest_loop_probes(
     return out
 
 
+def _srp_regeo_probes(cores: int = 32) -> dict:
+    """SRP geometry refresh at 1M vectors (r9): what does
+    ``compact --regeometry`` buy the cosine family? An index built
+    when the corpus was small keeps its stale bucket count as appends
+    grow it — every directory accumulates ∝ corpus postings and a
+    probe's matched-dirs read converges to the whole index. This leg
+    fabricates that state WITHOUT re-fingerprinting 1M vectors: the
+    stored (tbl, bucket) columns re-route to the 2k-corpus geometry
+    (n_buckets=16 — what auto picks at 2k), exactly the rows an
+    outgrown index would hold. Then: probe, compact(regeometry=True)
+    (re-derives 256 from the current corpus), probe again.
+
+    Requires the --srpindex x500 index in the temp dir (run that
+    first). Run: python scripts/scaling_probe.py --srpregeo
+    """
+    import json as _json
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nursinghome_data_pipeline_spark.operators.embedding_index import (
+        _srp_rows,
+        embedding_batch_against_index,
+    )
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        ANN_META_FILE,
+        compact_ann_index,
+        load_ann_meta,
+    )
+    from nursinghome_data_pipeline_spark.session import build_session
+
+    spark = build_session(
+        f"srp-regeo-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    source = os.path.join(tempfile.gettempdir(), "spark-graft-srp-idx-x500")
+    if not os.path.exists(os.path.join(source, ANN_META_FILE)):
+        raise SystemExit("run --srpindex first (needs the x500 index)")
+    meta = load_ann_meta(source)
+    dim = int(meta["dim"])
+    stale_nb = 16  # auto_dedup_buckets(2000) — the 2k-corpus geometry
+    path = os.path.join(tempfile.gettempdir(), "spark-graft-srp-regeo")
+    shutil.rmtree(path, ignore_errors=True)
+    rows = spark.read.parquet(source).withColumn(
+        "pb",
+        (
+            F.col("tbl") * stale_nb
+            + F.pmod(F.xxhash64(F.col("bucket")), F.lit(stale_nb))
+        ).cast("int"),
+    )
+    t0 = time.perf_counter()
+    rows.repartition(
+        F.col("pb"), F.pmod(F.xxhash64(F.col(meta["id_col"])), F.lit(1))
+    ).write.mode("overwrite").partitionBy("pb").parquet(path)
+    with open(os.path.join(path, ANN_META_FILE), "w") as fh:
+        _json.dump({**meta, "n_buckets": stale_nb}, fh)
+    out: dict = {
+        "cores": cores,
+        "vectors": spark.read.parquet(path)
+        .select(meta["id_col"]).distinct().count(),
+        "stale_geometry": f"{meta['n_tables']}t x {stale_nb}b",
+        "stage_sec": round(time.perf_counter() - t0, 2),
+    }
+    # 100 planted 0.97-partners, same construction as --srpindex
+    import numpy as np
+
+    emb = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).select("vec_id", "embedding").orderBy("vec_id").limit(100).collect()
+    rng = np.random.default_rng(20260816)
+
+    def partner(vals, c):
+        v = np.asarray(vals, dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        g = rng.standard_normal(dim)
+        u = g - (g @ v) * v
+        u = u / np.linalg.norm(u)
+        return c * v + np.sqrt(1.0 - c * c) * u
+
+    probe = spark.createDataFrame(
+        [
+            (
+                int(r["vec_id"]) + (1 << 55),
+                [float(x) for x in np.asarray(
+                    partner(r["embedding"], 0.97), dtype=np.float32
+                )],
+            )
+            for r in emb
+        ],
+        "vec_id long, embedding array<float>",
+    ).localCheckpoint(eager=True)
+
+    def measure(tag: str):
+        m = load_ann_meta(path)
+        b = _srp_rows(
+            probe,
+            id_col=m["id_col"], vec_col=m["vec_col"], dim=dim,
+            n_planes=int(m["n_planes"]), n_tables=int(m["n_tables"]),
+            seed=int(m["seed"]), n_buckets=int(m["n_buckets"]),
+        )
+        pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
+        idx = spark.read.parquet(path)
+        out[f"{tag}_matched_dirs"] = len(pbs)
+        out[f"{tag}_total_dirs"] = int(m["n_tables"]) * int(m["n_buckets"])
+        out[f"{tag}_rows_scanned"] = idx.where(F.col("pb").isin(pbs)).count()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            embedding_batch_against_index(
+                spark, probe, path, threshold=0.95
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{tag}_probe100_sec"] = round(best, 3)
+
+    measure("stale")
+    t0 = time.perf_counter()
+    compact_ann_index(spark, path, regeometry=True)
+    out["regeo_compact_sec"] = round(time.perf_counter() - t0, 2)
+    out["refreshed_geometry"] = (
+        f"{load_ann_meta(path)['n_tables']}t x "
+        f"{load_ann_meta(path)['n_buckets']}b"
+    )
+    measure("refreshed")
+    spark.stop()
+    return out
+
+
 def _zorder_probes(cores: int = 32, n: int = 4_000_000, n_files: int = 64) -> dict:
     """MEASURE the z-order data-skipping claim instead of deriving it.
 
@@ -2671,6 +2800,12 @@ def main() -> None:
         "20 micro-batches of vectors against a 100k-vector index",
     )
     ap.add_argument(
+        "--srpregeo", action="store_true",
+        help="run only the srp geometry-refresh probe: stale 16-bucket "
+        "1M-vector index vs compact --regeometry (needs --srpindex "
+        "run first)",
+    )
+    ap.add_argument(
         "--hotbucket", action="store_true",
         help="run only the planted-boilerplate hot-bucket probe: "
         "bucket stats + probe cost on a clean vs poisoned index",
@@ -2720,6 +2855,9 @@ def main() -> None:
         return
     if args.srpingest:
         print(json.dumps(_srp_ingest_loop_probes(), indent=2))
+        return
+    if args.srpregeo:
+        print(json.dumps(_srp_regeo_probes(), indent=2))
         return
     if args.hotbucket:
         print(json.dumps(_hot_bucket_probes(), indent=2))
