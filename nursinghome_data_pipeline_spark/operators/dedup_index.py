@@ -35,10 +35,12 @@ append/compact protocol as the ANN indexes
 (:func:`~.similarity.append_to_ann_index` bands new docs with the
 sidecar's own geometry; :func:`~.similarity.compact_ann_index` bounds
 files per directory under the Dekker intent/lock handshake) — one
-lifecycle implementation, four index kinds (r8 adds
+lifecycle implementation, five index kinds (r8 adds
 ``kind="simhash"``: the same incremental-dedup story for the Hamming
 family — :func:`write_simhash_index` / :func:`simhash_batch_against_index`,
-pinned bit-equal to ``simhash_near_duplicate_pairs`` cross pairs).
+pinned bit-equal to ``simhash_near_duplicate_pairs`` cross pairs;
+r9 adds ``kind="srp"`` for the cosine family —
+``operators/embedding_index.py``).
 Appends are LSM-style (r9): each batch lands as ONE file in a
 ``pb=-1`` delta directory (:data:`DELTA_PB`) that every probe also
 reads, and compaction merges deltas into their true buckets — append

@@ -889,8 +889,8 @@ def compact_ann_index(
 ) -> int:
     """Rewrite an at-rest ANN index with bounded files per partition
     directory, preserving rows, routing, and the sidecar. Returns the
-    new data-file count. For the dedup kinds (minhash/simhash) this is
-    also the LSM merge: rows appended as ``pb=-1`` deltas
+    new data-file count. For the dedup kinds (minhash/simhash/srp)
+    this is also the LSM merge: rows appended as ``pb=-1`` deltas
     (``dedup_index.DELTA_PB``) re-route to their true bucket
     directories from the stored routing columns.
 
