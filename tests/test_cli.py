@@ -355,3 +355,37 @@ def test_cli_ann_index_srp_build_dedup_stats(tmp_path, spark, capsys):
     assert rc == 2
     err = capsys.readouterr().err
     assert "ann-index dedup" in err
+
+
+def test_cli_ann_index_srp_append_and_regeometry(tmp_path, spark, capsys):
+    """The srp kind through the CLI's shared lifecycle actions: append
+    lands as the pb=-1 LSM delta, and compact --regeometry re-derives
+    the bucket count, printing the tables×buckets geometry."""
+    import os as _os
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        load_ann_meta,
+    )
+
+    path = str(tmp_path / "srp_lc")
+    rc = main(
+        ["ann-index", "build", path, "--kind", "srp", "--sf-dir", SF_DIR,
+         "--n-buckets", "64"]  # deliberately outgrown for 500 vectors
+    )
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["ann-index", "append", path, "--sf-dir", SF_DIR])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "appended" in out and "srp" in out
+    assert _os.path.isdir(_os.path.join(path, "pb=-1"))
+    rc = main(["ann-index", "compact", path, "--regeometry"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "regeometry ->" in out
+    assert not _os.path.isdir(_os.path.join(path, "pb=-1"))
+    meta = load_ann_meta(path)
+    # 500 testdata vectors (+ the appended copy) -> the auto floor, not
+    # the stale 64
+    assert meta["n_buckets"] == 16
+    assert f"{meta['n_tables']}x16" in out
