@@ -162,26 +162,37 @@ def lsh_bucket_col(
 ) -> Column:
     """The sign-projection bucket id as a bare column expression —
     single owner of the literal-planes fold, shared by
-    :func:`random_projection_buckets` and the multi-table path in
-    :func:`embedding_near_duplicate_pairs`.
+    :func:`random_projection_buckets`, the multi-table path in
+    :func:`embedding_near_duplicate_pairs`, and the at-rest srp index
+    (``embedding_index._srp_rows``).
 
-    One zip_with+aggregate fold per plane. Two rejected "faster"
-    shapes, measured at sf0.1 (2k vectors, where DRIVER-side
-    plan/codegen cost dominates): a fused struct-accumulator fold
-    (one pass, n_planes fields) allocates an InternalRow per element
-    per row and timed 1.9x WORSE; fully unrolling dim*n_planes
-    getItem*literal chains produced a ~2,400-node expression tree
-    whose per-action analyze/optimize/codegen cost timed 4.6x worse
-    still. At 100 TB-scale row counts the unrolled chain's per-row
-    codegen math would win — revisit if bucket compute (not plan
-    overhead) ever shows up in a profile."""
+    Built as ONE ``F.expr`` SQL parse, not per-plane Column DSL calls:
+    the Catalyst tree is identical (same zip_with/aggregate/CASE
+    nodes, plane values embedded as exact ``repr`` double literals —
+    bit-equality across geometries is pinned by the recall batteries
+    and ``tests/test_srp_properties.py``'s independent reference), but
+    construction cost collapses from one py4j round-trip per
+    sub-expression to one parse. Measured (r9, srp probe profile): a
+    7-table × 11-plane bucket projection cost **5.7 s to CONSTRUCT**
+    through the DSL — the dominant term of the 100-vector index
+    probe's wall, dwarfing the 1.2 s execution — vs **0.01 s** as SQL
+    text. Earlier rejected shapes, measured at the same scale: a
+    fused struct-accumulator fold (InternalRow per element per row)
+    1.9× worse at runtime; fully unrolled getItem·literal chains 4.6×
+    worse at plan time."""
     planes = lsh_planes(n_planes, dim, seed)
-    bucket = F.lit(0).cast("long")
+    terms = []
     for i in range(n_planes):
-        plane_col = F.array(*[F.lit(float(v)) for v in planes[i]])
-        proj = dot_product_col(F.col(vec_col), plane_col)
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+        # repr() is the shortest round-trip-exact form of an IEEE
+        # double, so the parsed literal is bit-identical to F.lit
+        arr = ", ".join(f"{float(v)!r}D" for v in planes[i])
+        proj = (
+            f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"0.0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i}L ELSE 0L END)")
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
 
 
 def auto_lsh_planes(
