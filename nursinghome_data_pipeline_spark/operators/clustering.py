@@ -61,7 +61,11 @@ def centroid_argmin_col(
     xx = dot_product_col(vec_col, vec_col)
     choices = []
     for cid, clist in centroid_rows:
-        lit_c = F.array(*[F.lit(v) for v in clist])
+        # one array-literal py4j call, not dim F.lit calls — same
+        # values, and k centroids build k of these per Lloyd
+        # iteration (the construction-cost pathology measured on
+        # lsh_bucket_col: 5.7 s per 77-fold tree through the DSL)
+        lit_c = F.lit([float(v) for v in clist])
         # dot(c,c) precomputed with the same sequential left-to-right
         # fold as dot_product_col — bit-equal, and a literal instead of
         # a per-row 64-element fold Catalyst may not constant-fold

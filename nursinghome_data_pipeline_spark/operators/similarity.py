@@ -99,7 +99,11 @@ def _cosine_lit(a: Column | str, vals) -> Column:
     bb = 0.0
     for v in fv:
         bb = bb + v * v
-    num = dot_product_col(a, F.array(*[F.lit(v) for v in fv]))
+    # one array-literal py4j call, not dim F.lit calls under a
+    # CreateArray — same values (and the same construction-cost
+    # pathology lsh_bucket_col measured at 5.7 s per 77 folds; an
+    # ivf_cell_col over 16 seeds builds 16 of these per call)
+    num = dot_product_col(a, F.lit(fv))
     den = F.sqrt(dot_product_col(a, a)) * F.lit(math.sqrt(bb))
     return F.when(den == 0.0, F.lit(None).cast("double")).otherwise(
         num / den
