@@ -139,7 +139,15 @@ def test_iteration_job_cost_is_constant_and_actionless(spark):
     tracker = spark.sparkContext.statusTracker()
 
     def _jobs() -> int:
-        return len(tracker.getJobIdsForGroup(None))
+        # highest job id, not len(): the status tracker retains only
+        # spark.ui.retainedJobs (default 1000), so late in a long
+        # suite session the list SATURATES and evicts one old id per
+        # new job — count deltas then under-count or jitter (this pin
+        # flaked exactly once, in a 500-test session, passing alone
+        # and in every shorter run). Job ids are monotonic, so the
+        # max-id delta counts launches regardless of eviction.
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
 
     def _construction_jobs(**kw) -> int:
         before = _jobs()
