@@ -527,6 +527,65 @@ def adjusted_total(total: float, calib: float) -> float:
 #: probe's own startup wake (load1 well under 1 on an idle host).
 LOAD_DIRTY_THRESHOLD = 1.2
 
+#: Per-entry retry gates (r9 verdict #1: three consecutive load_dirty
+#: recordings left the bench unable to resolve a real 1.2x
+#: regression). An entry measured while load1 exceeded
+#: LOAD_DIRTY_THRESHOLD, or one reading > RETRY_SLOWDOWN_RATIO over
+#: its trailing median (bench_history.jsonl, last HISTORY_WINDOW
+#: runs), gets ONE extra best-of-N pass; the final timing is the min
+#: and bench_full.json keeps the pre-retry reading so the defense is
+#: auditable. 1.3 sits above best-of-3 noise (<10% on a quiet host,
+#: r7 notes) and below the ~1.4x inflation the motivating dirty runs
+#: showed.
+RETRY_SLOWDOWN_RATIO = 1.3
+#: retries are bounded so a fully-contended host degrades to the old
+#: single-pass behavior (flagged dirty) instead of doubling the wall
+RETRY_BUDGET = 12
+HISTORY_FILE = "bench_history.jsonl"
+HISTORY_WINDOW = 5
+
+
+def _trailing_medians(bench_dir: str) -> dict[str, float]:
+    """Per-query median over the last :data:`HISTORY_WINDOW` recorded
+    runs (``bench_history.jsonl``; falls back to the single
+    ``bench_full.json`` recording before any history exists). This is
+    the retry gate's reference — a per-entry expectation that survives
+    registry growth because unknown queries simply have no reference
+    (first measurement is never retried for slowness, only for load).
+    """
+    import statistics
+
+    runs: list[dict] = []
+    hist = os.path.join(bench_dir, HISTORY_FILE)
+    if os.path.exists(hist):
+        with open(hist, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue  # torn tail line from a killed run
+                if isinstance(rec.get("queries"), dict):
+                    runs.append(rec)
+    if not runs:
+        full = os.path.join(bench_dir, "bench_full.json")
+        if os.path.exists(full):
+            try:
+                with open(full, encoding="utf-8") as f:
+                    rec = json.load(f)
+                if isinstance(rec.get("queries"), dict):
+                    runs.append(rec)
+            except ValueError:
+                pass
+    per: dict[str, list[float]] = {}
+    for rec in runs[-HISTORY_WINDOW:]:
+        for k, v in rec["queries"].items():
+            if isinstance(v, (int, float)):
+                per.setdefault(k, []).append(float(v))
+    return {k: statistics.median(v) for k, v in per.items()}
+
 
 def summary_line(
     timings: dict[str, float],
@@ -535,6 +594,7 @@ def summary_line(
     load1: tuple[float, float] | None = None,
     calib: float | None = None,
     calib_end: float | None = None,
+    retried: list[str] | None = None,
 ) -> str:
     """ONE compact JSON line that fits :data:`LINE_BUDGET`.
 
@@ -567,6 +627,11 @@ def summary_line(
             "full": "bench_full.json",
             "sf": sf,
         }
+        if retried is not None:
+            # how many entries the load/slowdown gate re-measured —
+            # nonzero says the timings DEFENDED themselves against
+            # contention (r9 verdict #1); names are in bench_full.json
+            payload["retries"] = len(retried)
         if load1 is not None:
             payload["load1"] = [round(load1[0], 1), round(load1[1], 1)]
             if max(load1) > LOAD_DIRTY_THRESHOLD:
@@ -628,12 +693,52 @@ def main() -> None:
     # fixed micro-batch overhead dominates and they are the slowest
     # entries, so a third rep buys little signal for its cost.
     runnable = [(n, qs[n]) for n in BENCH_QUERIES] + list(EXTRA_BENCH.items())
-    for name, fn in runnable:
+    bench_dir = os.path.dirname(os.path.abspath(__file__))
+    refs = _trailing_medians(bench_dir)
+
+    def _best_of(fn, reps: int) -> float:
         best = float("inf")
-        for _ in range(2 if name.startswith("streaming") else 3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+        return best
+
+    # Load-gated per-entry retry (r9 verdict #1): a reading taken
+    # under load, or one >RETRY_SLOWDOWN_RATIO over its trailing
+    # median, gets one more best-of-N pass; min wins. Both readings
+    # land in bench_full.json's entry_detail so the defense is
+    # auditable, and retries are budgeted so a fully-contended host
+    # degrades to single-pass-flagged-dirty, not a doubled wall.
+    entry_detail: dict[str, dict] = {}
+    retried: list[str] = []
+    retries_left = RETRY_BUDGET
+    for name, fn in runnable:
+        reps = 2 if name.startswith("streaming") else 3
+        load_pre = os.getloadavg()[0]
+        best = _best_of(fn, reps)
+        ref = refs.get(name)
+        reasons = []
+        if load_pre > LOAD_DIRTY_THRESHOLD:
+            reasons.append("load")
+        if ref is not None and best > RETRY_SLOWDOWN_RATIO * ref:
+            reasons.append("slow_vs_median")
+        detail: dict = {"load1": round(load_pre, 2)}
+        if reasons and retries_left > 0:
+            retries_left -= 1
+            retry = _best_of(fn, reps)
+            detail.update(
+                first_sec=round(best, 4),
+                retry_sec=round(retry, 4),
+                retry_reason="+".join(reasons),
+            )
+            best = min(best, retry)
+            retried.append(name)
+        elif reasons:
+            detail["retry_skipped"] = "budget_exhausted"
+        if ref is not None:
+            detail["trailing_median_sec"] = round(ref, 4)
+        entry_detail[name] = detail
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     m = re.search(r"sf([\d.]+)", SF_DIR)
@@ -657,9 +762,28 @@ def main() -> None:
                     "cpu_calib_sec": calib,
                     "cpu_calib_sec_end": calib_end,
                 },
+                "entry_detail": entry_detail,
+                "retried": retried,
             },
             f,
             indent=2,
+        )
+    # trailing-median history for the next run's retry gate — append
+    # the FULL per-query timings (BENCH_r*.json lines are trimmed)
+    with open(os.path.join(bench_dir, HISTORY_FILE), "a", encoding="utf-8") as f:
+        f.write(
+            json.dumps(
+                {
+                    "ts": int(time.time()),
+                    "sf": sf,
+                    "queries": timings,
+                    "load1": [round(load_start, 2), round(load_end, 2)],
+                    "calib": calib,
+                    "retried": retried,
+                },
+                separators=(",", ":"),
+            )
+            + "\n"
         )
     print(
         summary_line(
@@ -669,6 +793,7 @@ def main() -> None:
             load1=(load_start, load_end),
             calib=calib,
             calib_end=calib_end,
+            retried=retried,
         )
     )
     spark.stop()

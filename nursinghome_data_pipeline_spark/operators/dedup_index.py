@@ -497,9 +497,13 @@ def dedup_batch_against_index(
     0.84/1.60/3.58/4.45 s. Partition pruning pays while
     ``B ≪ n_buckets`` (the daily-increment shape); at ``B ≳
     n_buckets`` the probe reads the whole index ONCE — still bounded
-    (4.45 s for 10⁴ docs vs 10⁶-doc corpus here), but if your steady
-    batch size is that large, either split the batch to keep probes
-    pruned or size ``n_buckets`` above the batch size at build time.
+    (4.45 s for 10⁴ docs vs 10⁶-doc corpus here). ENFORCED (r10): past
+    :data:`~.similarity.FLAT_READ_CROSSOVER` of the directories the
+    probe skips the per-directory listing and reads the index flat
+    (same rows, one listing pass saved) with a warning naming the
+    regime; if that is your steady batch size, split the batch to keep
+    probes pruned or size ``n_buckets`` above the batch size at build
+    time.
     Probe cost stays flat in CORPUS size either way: 100-doc probes
     measured 1.17/1.32/1.72 s against 5k/150k/1M-doc indexes (auto
     geometry growing 4×16 → 4×256 holds rows-behind-matched-dirs
@@ -556,7 +560,16 @@ def probe_index_with_banded_rows(
     # (4 096 dirs), paid even though the scan then pruned 91% of the
     # bytes. See read_matched_partitions; the redundant isin filter
     # below still lands in PartitionFilters (plan-gated) as a guard.
-    rel = read_matched_partitions(spark, path, "pb", pbs)
+    # total_partitions arms the flat-read crossover (r9 verdict #3):
+    # a batch matching > half the bands×n_buckets directories reads
+    # the index flat instead of listing ~every directory explicitly.
+    rel = read_matched_partitions(
+        spark,
+        path,
+        "pb",
+        pbs,
+        total_partitions=int(meta["bands"]) * int(meta["n_buckets"]),
+    )
     if rel is None:
         from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -812,7 +825,9 @@ def probe_index_with_simhash_rows(
     if os.path.isdir(os.path.join(path, f"pb={DELTA_PB}")):
         pbs = pbs + [DELTA_PB]
     id_col = meta["id_col"]
-    rel = read_matched_partitions(spark, path, "pb", pbs)
+    rel = read_matched_partitions(
+        spark, path, "pb", pbs, total_partitions=int(meta["n_buckets"])
+    )
     if rel is None:
         from pyspark.sql.types import IntegerType, StructField, StructType
 

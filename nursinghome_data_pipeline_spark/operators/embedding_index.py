@@ -384,7 +384,21 @@ def embedding_batch_against_index(
     ``n_buckets`` above the steady batch size to keep probes pruned."""
     meta = load_ann_meta(path)
     _require_kind(meta, "srp", "embedding_batch_against_index")
+    missing = {meta["id_col"], meta["vec_col"]} - set(batch.columns)
+    if missing:
+        raise ValueError(
+            f"probe srp index: batch lacks column(s) "
+            f"{sorted(missing)} — the sidecar expects "
+            f"id_col={meta['id_col']!r}, vec_col={meta['vec_col']!r}"
+        )
     if threshold is None:
+        if "design_threshold" not in meta:
+            raise ValueError(
+                "probe srp index: sidecar has no 'design_threshold' "
+                "and no explicit threshold= was given — pass "
+                "threshold= or repair the sidecar (hand-edited or "
+                "foreign kind='srp' metadata?)"
+            )
         threshold = float(meta["design_threshold"])
     _warn_if_looser_than_design(
         meta, threshold, "embedding_batch_against_index"
@@ -425,7 +439,13 @@ def probe_index_with_srp_rows(
     if os.path.isdir(os.path.join(path, f"pb={DELTA_PB}")):
         pbs = pbs + [DELTA_PB]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    rel = read_matched_partitions(spark, path, "pb", pbs)
+    rel = read_matched_partitions(
+        spark,
+        path,
+        "pb",
+        pbs,
+        total_partitions=int(meta["n_tables"]) * int(meta["n_buckets"]),
+    )
     if rel is None:
         from pyspark.sql.types import DoubleType, StructField, StructType
 

@@ -183,7 +183,20 @@ def lsh_bucket_col(
     text. Earlier rejected shapes, measured at the same scale: a
     fused struct-accumulator fold (InternalRow per element per row)
     1.9× worse at runtime; fully unrolled getItem·literal chains 4.6×
-    worse at plan time."""
+    worse at plan time.
+
+    Because the column name is interpolated into SQL text, names
+    containing a backtick are rejected (a backtick would terminate the
+    quoting and corrupt — or inject into — the parsed expression).
+    ``n_planes == 0`` returns a literal 0 bucket (everything in one
+    bucket) rather than emitting an unparseable dangling ``+``."""
+    if "`" in vec_col:
+        raise ValueError(
+            "lsh_bucket_col: vec_col may not contain a backtick "
+            f"(got {vec_col!r}); the name is embedded in SQL text"
+        )
+    if n_planes == 0:
+        return F.lit(0).cast("long")
     planes = lsh_planes(n_planes, dim, seed)
     terms = []
     for i in range(n_planes):
@@ -674,7 +687,19 @@ def load_ann_meta(path: str) -> dict:
         return json.load(f)
 
 
-def read_matched_partitions(spark, path: str, part_col: str, values):
+#: matched-directory fraction above which a probe reads the index
+#: FLAT instead of listing each matched directory. The pruning payoff
+#: follows ``matched ≈ 1 − exp(−B/n_buckets)`` (MEASURED, SCALE.md
+#: r9 --bigprobe): past ~half the directories the explicit per-dir
+#: listing enumerates nearly the whole index anyway, so the flat root
+#: read is the same bytes with one listing pass saved. r9 verdict #3
+#: promoted this from docstring guidance to an enforced switch.
+FLAT_READ_CROSSOVER = 0.5
+
+
+def read_matched_partitions(
+    spark, path: str, part_col: str, values, *, total_partitions: int | None = None
+):
     """Scan ONLY the probed partition directories of an at-rest index.
 
     ``spark.read.parquet(root).where(part.isin(...))`` prunes the SCAN
@@ -689,12 +714,48 @@ def read_matched_partitions(spark, path: str, part_col: str, values):
     ``PartitionFilters`` (plan-gated in tests) and guards against a
     stray directory. Returns None when no probed directory exists on
     disk (empty index or all-miss probe) — callers fall back to the
-    root read, which is then trivially empty."""
+    root read, which is then trivially empty.
+
+    When the caller passes the geometry's ``total_partitions`` and the
+    probe would match more than :data:`FLAT_READ_CROSSOVER` of them
+    (the large-batch regime, ``B ≳ n_buckets``), the matched-dirs
+    listing is SKIPPED and the whole index is read flat — identical
+    rows (the caller's ``isin`` still applies), one listing pass
+    cheaper, and a warning names the regime so operators know to split
+    the batch or rebuild with more buckets if this is their steady
+    state."""
     import os
 
+    vals = sorted(set(values))
+    if (
+        total_partitions is not None
+        and total_partitions > 0
+        and len(vals) > FLAT_READ_CROSSOVER * total_partitions
+    ):
+        import warnings
+
+        try:
+            has_any = any(
+                e.startswith(f"{part_col}=") for e in os.listdir(path)
+            )
+        except OSError:
+            has_any = False
+        if not has_any:
+            return None
+        warnings.warn(
+            f"index probe at {path}: batch matches {len(vals)} of "
+            f"~{total_partitions} partition directories (> "
+            f"{FLAT_READ_CROSSOVER:.0%}) — past the pruning crossover; "
+            "reading the index flat (same rows, one listing pass "
+            "saved). If this is your steady batch size, split the "
+            "batch or rebuild the index with n_buckets above it.",
+            UserWarning,
+            stacklevel=2,
+        )
+        return spark.read.option("basePath", path).parquet(path)
     matched = [
         d
-        for v in sorted(set(values))
+        for v in vals
         for d in (os.path.join(path, f"{part_col}={v}"),)
         if os.path.isdir(d)
     ]

@@ -196,6 +196,16 @@ def streaming_dedup_ingest(
     # only re-derives n_buckets), so start-time is the right scope.
     meta0 = load_ann_meta(index_path)
     _require_dedup_kind(meta0)
+    payload_col0 = (
+        meta0["vec_col"] if meta0["kind"] == "srp" else meta0["text_col"]
+    )
+    if "`" in payload_col0:
+        # the srp zero-norm bypass (and lsh_bucket_col beneath the
+        # projection) embed the column name in SQL text
+        raise ValueError(
+            "streaming_dedup_ingest: the sidecar's payload column may "
+            f"not contain a backtick (got {payload_col0!r})"
+        )
     if meta0["kind"] == "srp" and cosine_threshold is not None:
         _warn_if_looser_than_design(
             meta0, cosine_threshold, "streaming_dedup_ingest"
@@ -240,6 +250,12 @@ def streaming_dedup_ingest(
         # banded projection (r9): the batch is tokenized/shingled/
         # signed (or projected, for srp) exactly once per micro-batch.
         if meta["kind"] == "srp":
+            if cosine_threshold is None and "design_threshold" not in meta:
+                raise ValueError(
+                    "srp ingest: sidecar has no 'design_threshold' and "
+                    "no cosine_threshold= was given — pass one "
+                    "explicitly or repair the sidecar"
+                )
             thr = (
                 float(meta["design_threshold"])
                 if cosine_threshold is None
@@ -331,10 +347,21 @@ def streaming_dedup_ingest(
         # is nothing to post). A null-unsafe md5/group join here would
         # silently DROP them instead (NULL == NULL is NULL under an
         # inner join).
-        null_payload = batch.where(
-            F.col(payload_col).isNull()
-        ).localCheckpoint(eager=False)
-        batch = batch.where(F.col(payload_col).isNotNull())
+        bypass_pred = F.col(payload_col).isNull()
+        if meta["kind"] == "srp":
+            # Zero-norm (all-zero/empty) and NULL-element vectors have
+            # NULL cosine to everything, so they can never clear the
+            # threshold — yet every one of them projects to the SAME
+            # bucket of every table (sign(0) ≥ 0 → all-ones; NULL
+            # projection → all-zeros), an unbounded hot key at stream
+            # scale. They take the same bypass: sunk, never indexed.
+            nrm2 = F.expr(
+                f"aggregate(`{payload_col}`, 0.0D, (acc, x) -> "
+                "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+            )
+            bypass_pred = bypass_pred | nrm2.isNull() | (nrm2 == 0.0)
+        null_payload = batch.where(bypass_pred).localCheckpoint(eager=False)
+        batch = batch.where(~bypass_pred)
         # stage 1 — exact within batch (family-dispatched winner rule
         # above); a semi-join on the winning ids recovers the full
         # rows (ids are unique across the stream by contract)

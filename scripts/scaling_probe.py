@@ -1577,6 +1577,235 @@ def _ingest_loop_probes(
     return out
 
 
+def _srp_norm_ab_probes(cores: int = 32, copies: int = 500) -> dict:
+    """A/B the srp index's postings-carry-payload trade at 1M vectors
+    (r9 verdict #2). Layout A (current): every posting row carries the
+    vector + norm, duplicated n_tables times — zero joins at probe
+    time, n_tables-times the storage. Layout B (normalized): postings
+    keep only (pb, tbl, bucket, id); vectors + norms live ONCE in a
+    sibling table partitioned by ``vb = xxhash64(id) mod 256``, so the
+    probe is pruned-postings scan -> candidate pairs -> vb-pruned
+    vector fetch (broadcast candidates) -> cosine verify. Measures
+    bytes at rest, probe wall, and compact-equivalent wall for both;
+    pins the pair set equal.
+
+    Run: python scripts/scaling_probe.py --srpnorm
+    """
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nursinghome_data_pipeline_spark.operators.embedding_index import (
+        _srp_rows,
+        embedding_batch_against_index,
+        write_srp_index,
+    )
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        _compact_for_write,
+        _cosine_with_norms,
+        load_ann_meta,
+        read_matched_partitions,
+    )
+    from nursinghome_data_pipeline_spark.session import build_session
+
+    spark = build_session(
+        f"srp-norm-ab-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    base = emb.orderBy("vec_id").limit(100).collect()
+    rng = np.random.default_rng(20260816)
+
+    def partner(v, c):
+        v = np.asarray(v, dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        g = rng.standard_normal(dim)
+        u = g - (g @ v) * v
+        u = u / np.linalg.norm(u)
+        return c * v + np.sqrt(1.0 - c * c) * u
+
+    probe = spark.createDataFrame(
+        [
+            (
+                int(r["vec_id"]) + (1 << 55),
+                [float(x) for x in np.asarray(partner(r["embedding"], 0.97),
+                                              dtype=np.float32)],
+            )
+            for r in base
+        ],
+        "vec_id long, embedding array<float>",
+    ).localCheckpoint(eager=True)
+    reps = spark.range(copies).select(F.col("id").alias("__rep"))
+    corpus = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("__rep") * (1 << 40)).alias("vec_id"),
+        F.when(F.col("__rep") == 0, F.col("embedding")).otherwise(
+            F.transform(
+                "embedding",
+                lambda x, i: x * F.when(
+                    F.pmod(F.xxhash64(F.col("__rep"), i), F.lit(2)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)).cast("float"),
+            )
+        ).alias("embedding"),
+    )
+
+    def du(path):
+        total = 0
+        for root, _, files in os.walk(path):
+            for fn in files:
+                total += os.path.getsize(os.path.join(root, fn))
+        return total
+
+    out: dict = {"cores": cores, "copies": copies, "dim": dim}
+    tmp = tempfile.gettempdir()
+
+    # ---- layout A: current payload-carrying index -------------------
+    a_path = os.path.join(tmp, "spark-graft-srpab-a")
+    shutil.rmtree(a_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    write_srp_index(corpus, a_path, dim=dim, design_threshold=0.95)
+    out["a_build_sec"] = round(time.perf_counter() - t0, 2)
+    meta = load_ann_meta(a_path)
+    geometry = dict(
+        id_col=meta["id_col"], vec_col=meta["vec_col"], dim=dim,
+        n_planes=int(meta["n_planes"]), n_tables=int(meta["n_tables"]),
+        seed=int(meta["seed"]), n_buckets=int(meta["n_buckets"]),
+    )
+    out["geometry"] = (
+        f"{meta['n_planes']}p x {meta['n_tables']}t x {meta['n_buckets']}b"
+    )
+    out["a_bytes"] = du(a_path)
+    best = float("inf")
+    a_pairs = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a_pairs = {
+            (r["batch_id"], r["corpus_id"])
+            for r in embedding_batch_against_index(
+                spark, probe, a_path, threshold=0.95
+            ).collect()
+        }
+        best = min(best, time.perf_counter() - t0)
+    out["a_probe100_sec"] = round(best, 3)
+    out["a_probe100_pairs"] = len(a_pairs)
+    # compact-equivalent: full read -> repartition(pb) -> rewrite
+    t0 = time.perf_counter()
+    a2 = os.path.join(tmp, "spark-graft-srpab-a2")
+    shutil.rmtree(a2, ignore_errors=True)
+    _compact_for_write(
+        spark.read.option("basePath", a_path).parquet(a_path), "pb", 1,
+        "vec_id",
+    ).write.partitionBy("pb").parquet(a2)
+    out["a_compact_sec"] = round(time.perf_counter() - t0, 2)
+
+    # ---- layout B: normalized postings + vector sidecar -------------
+    VB = 256
+    p_path = os.path.join(tmp, "spark-graft-srpab-post")
+    v_path = os.path.join(tmp, "spark-graft-srpab-vec")
+    shutil.rmtree(p_path, ignore_errors=True)
+    shutil.rmtree(v_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    rows = _srp_rows(corpus, **geometry)
+    _compact_for_write(
+        rows.select("pb", "tbl", "bucket", "vec_id"), "pb", 1, "vec_id"
+    ).write.partitionBy("pb").parquet(p_path)
+    from nursinghome_data_pipeline_spark.functions.vectors import l2_norm_col
+
+    vecs = corpus.select(
+        F.pmod(F.xxhash64("vec_id"), F.lit(VB)).cast("int").alias("vb"),
+        "vec_id", "embedding", l2_norm_col("embedding").alias("nrm"),
+    )
+    _compact_for_write(vecs, "vb", 1, "vec_id").write.partitionBy(
+        "vb"
+    ).parquet(v_path)
+    out["b_build_sec"] = round(time.perf_counter() - t0, 2)
+    out["b_postings_bytes"] = du(p_path)
+    out["b_vectors_bytes"] = du(v_path)
+    out["b_bytes"] = out["b_postings_bytes"] + out["b_vectors_bytes"]
+
+    total_dirs = geometry["n_tables"] * geometry["n_buckets"]
+
+    def probe_norm():
+        b = _srp_rows(probe, **geometry).localCheckpoint(eager=False)
+        pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
+        post = read_matched_partitions(
+            spark, p_path, "pb", pbs, total_partitions=total_dirs
+        )
+        post = post.where(F.col("pb").isin(pbs)).select(
+            "tbl", "bucket", F.col("vec_id").alias("corpus_id")
+        )
+        bb = b.select(
+            "tbl", "bucket", F.col("vec_id").alias("batch_id"),
+            F.col("embedding").alias("_v_b"), F.col("nrm").alias("_n_b"),
+        )
+        cands = (
+            bb.join(post, ["tbl", "bucket"])
+            .where(F.col("batch_id") != F.col("corpus_id"))
+            .select("batch_id", "corpus_id", "_v_b", "_n_b")
+            .dropDuplicates(["batch_id", "corpus_id"])
+            .localCheckpoint(eager=False)
+        )
+        vbs = [
+            r["vb"]
+            for r in cands.select(
+                F.pmod(F.xxhash64("corpus_id"), F.lit(VB))
+                .cast("int")
+                .alias("vb")
+            ).distinct().collect()
+        ]
+        vrel = read_matched_partitions(
+            spark, v_path, "vb", vbs, total_partitions=VB
+        )
+        fetched = vrel.where(F.col("vb").isin(vbs)).select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("_v_c"),
+            F.col("nrm").alias("_n_c"),
+        )
+        return (
+            F.broadcast(cands).join(fetched, "corpus_id")
+            .select(
+                "batch_id", "corpus_id",
+                _cosine_with_norms(
+                    F.col("_v_b"), F.col("_v_c"),
+                    F.col("_n_b"), F.col("_n_c"),
+                ).alias("cosine_sim"),
+            )
+            .where(F.col("cosine_sim") >= 0.95)
+        ), len(vbs)
+
+    best = float("inf")
+    b_pairs = None
+    n_vbs = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pairs_df, n_vbs = probe_norm()
+        b_pairs = {
+            (r["batch_id"], r["corpus_id"]) for r in pairs_df.collect()
+        }
+        best = min(best, time.perf_counter() - t0)
+    out["b_probe100_sec"] = round(best, 3)
+    out["b_probe100_pairs"] = len(b_pairs)
+    out["b_matched_vec_dirs"] = f"{n_vbs}/{VB}"
+    out["pairs_equal"] = a_pairs == b_pairs
+    # compact-equivalent for B: postings only (vectors are append-only)
+    t0 = time.perf_counter()
+    p2 = os.path.join(tmp, "spark-graft-srpab-post2")
+    shutil.rmtree(p2, ignore_errors=True)
+    _compact_for_write(
+        spark.read.option("basePath", p_path).parquet(p_path), "pb", 1,
+        "vec_id",
+    ).write.partitionBy("pb").parquet(p2)
+    out["b_compact_sec"] = round(time.perf_counter() - t0, 2)
+    out["bytes_ratio_a_over_b"] = round(out["a_bytes"] / out["b_bytes"], 2)
+    spark.stop()
+    return out
+
+
 def _srp_ingest_loop_probes(
     cores: int = 32,
     n_batches: int = 20,
@@ -2795,6 +3024,12 @@ def main() -> None:
         "+ LSM append/compact lifecycle",
     )
     ap.add_argument(
+        "--srpnorm", action="store_true",
+        help="A/B the srp postings-carry-payload trade at 1M vectors: "
+        "current layout vs normalized postings + vb-partitioned vector "
+        "sidecar (bytes, probe wall, compact wall, pair-set equality)",
+    )
+    ap.add_argument(
         "--srpingest", action="store_true",
         help="run only the srp-family streaming ingest loop cadence: "
         "20 micro-batches of vectors against a 100k-vector index",
@@ -2852,6 +3087,9 @@ def main() -> None:
         return
     if args.srpindex:
         print(json.dumps(_srp_index_probes(), indent=2))
+        return
+    if args.srpnorm:
+        print(json.dumps(_srp_norm_ab_probes(), indent=2))
         return
     if args.srpingest:
         print(json.dumps(_srp_ingest_loop_probes(), indent=2))

@@ -162,3 +162,35 @@ def test_load_dirty_flag_set_only_above_threshold():
     assert dirty_end["load_dirty"] is True
     no_load = json.loads(bench.summary_line({"q1": 1.0}, 1.0, 0.1))
     assert "load_dirty" not in no_load
+
+
+def test_trailing_medians_from_history_and_fallback(tmp_path):
+    """r10 (verdict #1): the retry gate's reference is the per-query
+    median over the last HISTORY_WINDOW runs of bench_history.jsonl;
+    before any history exists it falls back to bench_full.json, and a
+    torn tail line (killed run) is skipped, not fatal."""
+    d = str(tmp_path)
+    # no files at all -> empty reference (nothing is retried for slowness)
+    assert bench._trailing_medians(d) == {}
+    with open(os.path.join(d, "bench_full.json"), "w") as f:
+        json.dump({"queries": {"q1": 2.0, "q2": 4.0}}, f)
+    assert bench._trailing_medians(d) == {"q1": 2.0, "q2": 4.0}
+    # history takes over once present; window keeps the LAST 5 runs
+    with open(os.path.join(d, "bench_history.jsonl"), "w") as f:
+        for v in [100.0, 1.0, 2.0, 3.0, 4.0, 5.0]:  # 100.0 ages out
+            f.write(json.dumps({"queries": {"q1": v}}) + "\n")
+        f.write('{"queries": {"q1": trunc')  # torn tail line
+    assert bench._trailing_medians(d) == {"q1": 3.0}
+
+
+def test_summary_line_reports_retry_count():
+    labels = list(bench.BENCH_QUERIES) + list(bench.EXTRA_BENCH)
+    timings = {name: 1.2345 for name in labels}
+    line = bench.summary_line(
+        timings, sum(timings.values()), 0.1,
+        load1=(0.4, 0.5), calib=0.11, retried=["a", "b"],
+    )
+    assert len(line) <= bench.LINE_BUDGET
+    d = json.loads(line)
+    assert d["retries"] == 2
+    assert "load_dirty" not in d  # quiet host stays clean

@@ -436,3 +436,72 @@ def test_regeometry_rejected_for_non_minhash(spark, sf_dir, tmp_path):
     write_lsh_index(emb, path, dim=64, n_planes=4)
     with pytest.raises(ValueError, match="regeometry=True only applies"):
         compact_ann_index(spark, path, regeometry=True)
+
+
+def test_flat_read_crossover_both_sides(spark, sf_dir, tmp_path):
+    """r10 (verdict #3): a batch matching > half the bands×n_buckets
+    directories must skip the matched-dirs listing (flat root read,
+    warned); a small batch must stay on the pruned path (no warning).
+    Results are pinned identical across the switch."""
+    import warnings
+
+    docs = _docs(spark, sf_dir)
+    corpus, batch = _split(docs)
+    path = str(tmp_path / "idx")
+    # tiny geometry: 4 bands x 2 buckets = 8 dirs, so any real batch
+    # saturates the directories and crosses over
+    write_dedup_index(corpus, path, n_buckets=2)
+    with pytest.warns(UserWarning, match="pruning crossover"):
+        flat = _rows(
+            dedup_batch_against_index(spark, batch, path, threshold=THRESHOLD)
+        )
+    assert flat == _rows(_cross_twin(docs, THRESHOLD))
+    # big geometry: same corpus, 4 x 4096 dirs — a one-doc batch
+    # matches ~4 dirs, far under the crossover: pruned path, silent
+    wide = str(tmp_path / "wide")
+    write_dedup_index(corpus, wide, n_buckets=4096)
+    one = batch.orderBy("doc_id").limit(1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        dedup_batch_against_index(
+            spark, one, wide, threshold=THRESHOLD
+        ).collect()
+
+
+def test_read_matched_partitions_flat_switch_unit(spark, tmp_path):
+    """Unit pin of the crossover arithmetic: len(values) vs
+    total_partitions decides the path; the flat path returns the same
+    rows and None still means 'nothing on disk'."""
+    import warnings
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        read_matched_partitions,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 8).cast("int").alias("pb"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "t")
+    df.write.partitionBy("pb").parquet(path)
+    want = sorted((r["pb"], r["v"]) for r in df.collect())
+
+    def got(values, total):
+        rel = read_matched_partitions(spark, path, "pb", values, total_partitions=total)
+        rel = rel.where(F.col("pb").isin(list(values)))
+        return sorted((r["pb"], r["v"]) for r in rel.select("pb", "v").collect())
+
+    all_pbs = list(range(8))
+    with pytest.warns(UserWarning, match="reading the index flat"):
+        assert got(all_pbs, 8) == want
+    # at or under half: pruned path, silent, same rows for the subset
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        sub = got([0, 1, 2, 3], 8)
+    assert sub == [p for p in want if p[0] in (0, 1, 2, 3)]
+    # nothing on disk -> None on both paths
+    empty = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(empty)
+    assert read_matched_partitions(spark, empty, "pb", [1], total_partitions=2) is None
+    assert read_matched_partitions(spark, empty, "pb", [1]) is None

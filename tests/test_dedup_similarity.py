@@ -668,3 +668,22 @@ def test_knn_lsh_dataframe_query_contract_lazy_path(spark, sf_dir):
         F.col("embedding").alias("query_embedding")
     )
     assert knn_lsh(emb, empty, k=3, dim=64, n_planes=3).count() == 0
+
+
+def test_lsh_bucket_col_backtick_rejected_and_zero_planes_literal(spark):
+    """r10 (ADVICE): the bucket expression embeds vec_col in SQL text,
+    so backticked names must reject (injection/corruption guard), and
+    n_planes=0 must return a literal 0 bucket instead of emitting an
+    unparseable dangling '+'."""
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        lsh_bucket_col,
+    )
+
+    with pytest.raises(ValueError, match="backtick"):
+        lsh_bucket_col("emb`x", dim=4, n_planes=2)
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, [0.5, 3.0])], "id long, emb array<double>"
+    ).withColumn("bucket", lsh_bucket_col("emb", dim=2, n_planes=0))
+    rows = df.select("id", "bucket").collect()
+    assert {(r["id"], r["bucket"]) for r in rows} == {(1, 0), (2, 0)}
+    assert dict(df.dtypes)["bucket"] == "bigint"

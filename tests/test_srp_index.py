@@ -317,6 +317,9 @@ def test_guards_and_design_threshold_warning(spark, sf_dir, tmp_path):
         embedding_batch_against_index(spark, batch, path, threshold=0.5)
     with warnings.catch_warnings():
         warnings.simplefilter("error")
+        # the tiny 4x16 test geometry legitimately trips the r10
+        # flat-read crossover warning — not the subject of this test
+        warnings.filterwarnings("ignore", message=".*pruning crossover.*")
         # at the design threshold (the None default) and above: silent
         embedding_batch_against_index(spark, batch, path)
         embedding_batch_against_index(spark, batch, path, threshold=0.99)
@@ -371,3 +374,56 @@ def test_bucket_stats_on_srp_index(spark, sf_dir, tmp_path):
     assert stats["n_postings"] == n_rows
     assert stats["max_postings_per_key"] >= 50
     assert stats["top"][0][2] == stats["max_postings_per_key"]
+
+
+def test_probe_missing_batch_columns_named_error(spark, sf_dir, tmp_path):
+    """r10 (ADVICE): a batch lacking the sidecar's id/vec columns must
+    fail with the columns NAMED (mirror of route_srp_append's guard),
+    not a raw AnalysisException from the projection."""
+    corpus, batch = _corpus_and_batch(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    write_srp_index(
+        corpus, path, dim=_DIM, design_threshold=THR, n_buckets=16, **GEO
+    )
+    bad = batch.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vec")
+    )
+    with pytest.raises(ValueError, match=r"lacks column\(s\).*vec_id"):
+        embedding_batch_against_index(spark, bad, path)
+
+
+def test_probe_without_design_threshold_named_error(spark, sf_dir, tmp_path):
+    """r10 (ADVICE): threshold=None against a sidecar missing
+    'design_threshold' (hand-edited/foreign) must raise a descriptive
+    ValueError, not a KeyError; an explicit threshold still works."""
+    import json
+    import os
+
+    corpus, batch = _corpus_and_batch(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    write_srp_index(
+        corpus, path, dim=_DIM, design_threshold=THR, n_buckets=16, **GEO
+    )
+    meta_path = os.path.join(path, "_ann_meta.json")
+    with open(meta_path, encoding="utf-8") as f:
+        meta = json.load(f)
+    expected = {
+        tuple(r)
+        for r in embedding_batch_against_index(spark, batch, path)
+        .select("batch_id", "corpus_id")
+        .collect()
+    }
+    del meta["design_threshold"]
+    with open(meta_path, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="design_threshold"):
+        embedding_batch_against_index(spark, batch, path)
+    got = {
+        tuple(r)
+        for r in embedding_batch_against_index(
+            spark, batch, path, threshold=THR
+        )
+        .select("batch_id", "corpus_id")
+        .collect()
+    }
+    assert got == expected

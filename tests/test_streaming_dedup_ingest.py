@@ -643,3 +643,104 @@ def test_srp_index_drives_the_same_loop(spark, tmp_path):
     }
     assert (900, 11) in got
     assert all(c not in (10, 12, 13, 14, 20) for _, c in got)
+
+
+def test_srp_zero_norm_vectors_bypass_index(spark, tmp_path):
+    """r10 (ADVICE): zero-norm and NULL-element vectors have NULL
+    cosine to everything — they can never be dropped as near-dups,
+    yet all of them project to ONE bucket of every table (an
+    unbounded hot key). They must take the null-payload bypass:
+    written to the target, NEVER posted to the index."""
+    import numpy as np
+
+    from nursinghome_data_pipeline_spark.operators.embedding_index import (
+        write_srp_index,
+    )
+
+    dim = 8
+    rng = np.random.default_rng(7)
+
+    def unit():
+        v = rng.standard_normal(dim)
+        return [float(x) for x in (v / np.linalg.norm(v))]
+
+    corpus = spark.createDataFrame(
+        [(1, unit())], "vec_id long, embedding array<float>"
+    )
+    index = str(tmp_path / "srp_index")
+    write_srp_index(
+        corpus, index, dim=dim, design_threshold=0.9, n_planes=4,
+        n_tables=2, n_buckets=16,
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    target = str(tmp_path / "target")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).json(src)
+    q = streaming_dedup_ingest(
+        stream, index, target, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        rows = [
+            (30, [0.0] * dim),          # zero-norm
+            (31, [0.0] * dim),          # second zero-norm: must NOT
+                                        # dedup against the first
+            (32, []),                   # empty array (norm 0)
+            (33, [None] + [1.0] * (dim - 1)),  # NULL element
+            (34, unit()),               # normal fresh vector
+        ]
+        with open(os.path.join(src, "b0.json"), "w", encoding="utf-8") as f:
+            for i, v in rows:
+                f.write(json.dumps({"vec_id": i, "embedding": v}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    data = os.path.join(target, "data")
+    got = {
+        r["vec_id"]
+        for r in spark.read.option("basePath", data).parquet(data).collect()
+    }
+    # every degenerate row passes through (no silent drops, no
+    # dedup among zero-norm rows — cosine is undefined between them)
+    assert got == {30, 31, 32, 33, 34}
+    # the index gained postings ONLY for the normal vector
+    posted = {
+        r["vec_id"]
+        for r in spark.read.parquet(index).select("vec_id").collect()
+    }
+    assert posted == {1, 34}
+
+
+def test_sidecar_payload_col_backtick_rejected_at_stream_start(
+    spark, tmp_path
+):
+    """r10 (ADVICE): the sidecar's payload column name reaches SQL
+    text in the srp bypass and bucket projection; a backtick must
+    reject synchronously at stream start, not inside a micro-batch."""
+    import json as _json
+
+    import pytest
+
+    from nursinghome_data_pipeline_spark.operators.dedup_index import (
+        write_dedup_index,
+    )
+
+    corpus = spark.createDataFrame([(1, "hello world")], "id long, t string")
+    index = str(tmp_path / "idx")
+    write_dedup_index(corpus, index, id_col="id", text_col="t", n_buckets=8)
+    # simulate a hand-edited / foreign sidecar carrying a hostile name
+    meta_path = os.path.join(index, "_ann_meta.json")
+    with open(meta_path, encoding="utf-8") as f:
+        meta = _json.load(f)
+    meta["text_col"] = "t`x"
+    with open(meta_path, "w", encoding="utf-8") as f:
+        _json.dump(meta, f)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stream = spark.readStream.schema("id long, t string").json(src)
+    with pytest.raises(ValueError, match="backtick"):
+        streaming_dedup_ingest(
+            stream, index, str(tmp_path / "target"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
