@@ -544,6 +544,30 @@ RETRY_BUDGET = 12
 HISTORY_FILE = "bench_history.jsonl"
 HISTORY_WINDOW = 5
 
+#: Hypervisor-steal fraction (per entry) above which a reading is
+#: treated as contended and retried. Steal is the signal load1 and
+#: the single-thread calib CANNOT see: this box is a VM, and during
+#: the r10 anchor run four state-heavy streaming entries read 1.8-2.6x
+#: their fresh-session values while load1 was self-noise and calib
+#: was clean — wall inflated by cycles the hypervisor gave to a
+#: neighbor. 2% of total cpu-time stolen across an entry is ~0.6
+#: cores of a 32-core box — enough to stall latency-sensitive
+#: micro-batch loops.
+STEAL_RETRY_FRACTION = 0.02
+
+
+def _cpu_times() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) from /proc/stat line 1, or None
+    where unavailable (non-Linux). Deltas across an interval give the
+    fraction of machine cpu-time the hypervisor withheld."""
+    try:
+        with open("/proc/stat", encoding="ascii") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:9]]
+        return vals[7], sum(vals)
+    except (OSError, IndexError, ValueError):
+        return None
+
 
 def _trailing_medians(bench_dir: str) -> dict[str, float]:
     """Per-query median over the last :data:`HISTORY_WINDOW` recorded
@@ -595,6 +619,8 @@ def summary_line(
     calib: float | None = None,
     calib_end: float | None = None,
     retried: list[str] | None = None,
+    drift_dirty: bool = False,
+    steal: float | None = None,
 ) -> str:
     """ONE compact JSON line that fits :data:`LINE_BUDGET`.
 
@@ -634,10 +660,23 @@ def summary_line(
             payload["retries"] = len(retried)
         if load1 is not None:
             payload["load1"] = [round(load1[0], 1), round(load1[1], 1)]
-            if max(load1) > LOAD_DIRTY_THRESHOLD:
-                # r6 verdict ask #6: make a contended run machine-
-                # readably dirty — graders should skip absolute
-                # comparisons against it rather than infer from load1
+            # r6 verdict ask #6: make a contended run machine-readably
+            # dirty. Only the START sample can trigger the flag (r10):
+            # load_end is self-polluted — a genuinely quiet host read
+            # load_end 2.2 purely from the bench's own local[32] work,
+            # so end-load as a trigger made EVERY run dirty. Sustained
+            # foreign contention that starts mid-run is caught by
+            # drift_dirty instead (still->slow vs trailing medians).
+            if load1[0] > LOAD_DIRTY_THRESHOLD:
+                payload["load_dirty"] = True
+        if drift_dirty:
+            payload["load_dirty"] = True
+            payload["drift_dirty"] = True
+        if steal is not None:
+            # hypervisor steal across the whole run: the foreign-
+            # contention signal load1/calib cannot see on a VM
+            payload["steal_pct"] = round(100 * steal, 2)
+            if steal > STEAL_RETRY_FRACTION:
                 payload["load_dirty"] = True
         if calib is not None:
             payload["calib"] = calib
@@ -668,6 +707,7 @@ def main() -> None:
     # line contract is untouched) when the host is already busy.
     cpus = os.cpu_count() or 1
     calib = _cpu_calibration()
+    run_ct0 = _cpu_times()
     load_start = os.getloadavg()[0]
     if load_start > cpus / 4:
         print(
@@ -704,47 +744,101 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # Load-gated per-entry retry (r9 verdict #1): a reading taken
-    # under load, or one >RETRY_SLOWDOWN_RATIO over its trailing
-    # median, gets one more best-of-N pass; min wins. Both readings
-    # land in bench_full.json's entry_detail so the defense is
-    # auditable, and retries are budgeted so a fully-contended host
-    # degrades to single-pass-flagged-dirty, not a doubled wall.
+    # Slowdown-gated per-entry retry (r9 verdict #1): a reading
+    # >RETRY_SLOWDOWN_RATIO over its trailing median gets one more
+    # best-of-N pass; min wins. Both readings land in
+    # bench_full.json's entry_detail so the defense is auditable, and
+    # retries are budgeted so a fully-contended host degrades to
+    # single-pass-flagged-dirty, not a doubled wall. Per-entry load1
+    # is recorded but deliberately NOT a trigger: on local[32] the
+    # bench's OWN Spark work drives load1 to 2-6 between entries
+    # (measured — the first cut retried the first 12 entries
+    # uselessly and exhausted the budget before the genuinely slow
+    # ones), so mid-run load cannot distinguish foreign contention
+    # from self-load. The trailing median can.
     entry_detail: dict[str, dict] = {}
     retried: list[str] = []
+    still_slow: list[str] = []
+    refd = 0
     retries_left = RETRY_BUDGET
     for name, fn in runnable:
         reps = 2 if name.startswith("streaming") else 3
         load_pre = os.getloadavg()[0]
+        ct0 = _cpu_times()
         best = _best_of(fn, reps)
+        ct1 = _cpu_times()
+        steal = None
+        if ct0 is not None and ct1 is not None and ct1[1] > ct0[1]:
+            steal = (ct1[0] - ct0[0]) / (ct1[1] - ct0[1])
         ref = refs.get(name)
-        reasons = []
-        if load_pre > LOAD_DIRTY_THRESHOLD:
-            reasons.append("load")
-        if ref is not None and best > RETRY_SLOWDOWN_RATIO * ref:
-            reasons.append("slow_vs_median")
+        if ref is not None:
+            refd += 1
+        slow = ref is not None and best > RETRY_SLOWDOWN_RATIO * ref
+        stolen = steal is not None and steal > STEAL_RETRY_FRACTION
         detail: dict = {"load1": round(load_pre, 2)}
-        if reasons and retries_left > 0:
+        if steal is not None:
+            detail["steal_pct"] = round(100 * steal, 2)
+        if (slow or stolen) and retries_left > 0:
             retries_left -= 1
             retry = _best_of(fn, reps)
             detail.update(
                 first_sec=round(best, 4),
                 retry_sec=round(retry, 4),
-                retry_reason="+".join(reasons),
+                retry_reason="+".join(
+                    (["slow_vs_median"] if slow else [])
+                    + (["steal"] if stolen else [])
+                ),
             )
             best = min(best, retry)
             retried.append(name)
-        elif reasons:
+        elif slow or stolen:
             detail["retry_skipped"] = "budget_exhausted"
         if ref is not None:
             detail["trailing_median_sec"] = round(ref, 4)
+            if best > RETRY_SLOWDOWN_RATIO * ref:
+                # still slow AFTER its retry — real change or real
+                # contention, either way worth a drift flag below
+                still_slow.append(name)
         entry_detail[name] = detail
         timings[name] = round(best, 4)
+    # Second-chance pass: entries still >1.3x their median get ONE
+    # more best-of-N at END of run — contention windows pass (the run
+    # that motivated this read calib 0.1428 at start, 0.1052 at end:
+    # the neighbor left mid-run, but the early entries' retries were
+    # burned while it was still there). Most-inflated first, bounded.
+    if still_slow:
+        by_inflation = sorted(
+            still_slow,
+            key=lambda n: timings[n] / refs[n],
+            reverse=True,
+        )
+        fns = dict(runnable)
+        recovered = []
+        for name in by_inflation[:RETRY_BUDGET]:
+            reps = 2 if name.startswith("streaming") else 3
+            again = _best_of(fns[name], reps)
+            entry_detail[name]["second_chance_sec"] = round(again, 4)
+            if again < timings[name]:
+                timings[name] = round(again, 4)
+            if timings[name] <= RETRY_SLOWDOWN_RATIO * refs[name]:
+                recovered.append(name)
+        still_slow = [n for n in still_slow if n not in recovered]
     total = round(sum(timings.values()), 4)
+    # Drift-dirty: if a quarter of the referenced entries are still
+    # >1.3x their trailing median after retries, the RUN is suspect —
+    # this catches sustained foreign contention that the start-load
+    # sample missed, without the self-load false positive of mid-run
+    # load sampling (load_end is self-polluted by the bench's own
+    # work and is recorded for information only).
+    drift_dirty = refd > 0 and len(still_slow) > 0.25 * refd
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     load_end = os.getloadavg()[0]
     calib_end = _cpu_calibration()  # within-run drift detector
+    run_ct1 = _cpu_times()
+    run_steal = None
+    if run_ct0 is not None and run_ct1 is not None and run_ct1[1] > run_ct0[1]:
+        run_steal = (run_ct1[0] - run_ct0[0]) / (run_ct1[1] - run_ct0[1])
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     with open(full_path, "w") as f:
         json.dump(
@@ -761,9 +855,15 @@ def main() -> None:
                     "dirty_start": load_start > cpus / 4,
                     "cpu_calib_sec": calib,
                     "cpu_calib_sec_end": calib_end,
+                    "steal_pct": (
+                        None if run_steal is None
+                        else round(100 * run_steal, 2)
+                    ),
                 },
                 "entry_detail": entry_detail,
                 "retried": retried,
+                "still_slow_after_retry": still_slow,
+                "drift_dirty": drift_dirty,
             },
             f,
             indent=2,
@@ -794,6 +894,8 @@ def main() -> None:
             calib=calib,
             calib_end=calib_end,
             retried=retried,
+            drift_dirty=drift_dirty,
+            steal=run_steal,
         )
     )
     spark.stop()

@@ -154,12 +154,20 @@ def test_load_dirty_flag_set_only_above_threshold():
         bench.summary_line({"q1": 1.0}, 1.0, 0.1, load1=(2.7, 0.1))
     )
     assert dirty_start["load_dirty"] is True
-    # the r5/r6 motivating case — load1 ~1.4 inflating results ~1.4x —
-    # must itself be flagged (a 1.5 cutoff waved it through)
-    dirty_end = json.loads(
-        bench.summary_line({"q1": 1.0}, 1.0, 0.1, load1=(0.1, 1.4))
+    # r10: the END sample must NOT trigger — it is self-polluted (a
+    # genuinely quiet host read load_end 2.2 purely from the bench's
+    # own local[32] work, so end-load as a trigger flagged every run).
+    # Mid-run foreign contention is drift_dirty's job instead.
+    end_only = json.loads(
+        bench.summary_line({"q1": 1.0}, 1.0, 0.1, load1=(0.1, 2.4))
     )
-    assert dirty_end["load_dirty"] is True
+    assert "load_dirty" not in end_only
+    drift = json.loads(
+        bench.summary_line(
+            {"q1": 1.0}, 1.0, 0.1, load1=(0.1, 0.2), drift_dirty=True
+        )
+    )
+    assert drift["load_dirty"] is True and drift["drift_dirty"] is True
     no_load = json.loads(bench.summary_line({"q1": 1.0}, 1.0, 0.1))
     assert "load_dirty" not in no_load
 
@@ -194,3 +202,22 @@ def test_summary_line_reports_retry_count():
     d = json.loads(line)
     assert d["retries"] == 2
     assert "load_dirty" not in d  # quiet host stays clean
+
+
+def test_steal_recorded_and_flags_dirty_above_threshold():
+    """r10: hypervisor steal is the foreign-contention signal load1
+    and single-thread calib cannot see on a VM — a run whose steal
+    fraction exceeds STEAL_RETRY_FRACTION must grade dirty."""
+    clean = json.loads(
+        bench.summary_line({"q1": 1.0}, 1.0, 0.1, load1=(0.1, 0.2), steal=0.004)
+    )
+    assert clean["steal_pct"] == 0.4 and "load_dirty" not in clean
+    stolen = json.loads(
+        bench.summary_line({"q1": 1.0}, 1.0, 0.1, load1=(0.1, 0.2), steal=0.06)
+    )
+    assert stolen["steal_pct"] == 6.0 and stolen["load_dirty"] is True
+    # /proc/stat parse returns (steal, total) with steal <= total
+    ct = bench._cpu_times()
+    if ct is not None:
+        steal_j, total_j = ct
+        assert 0 <= steal_j <= total_j
