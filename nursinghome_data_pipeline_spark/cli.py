@@ -507,10 +507,15 @@ def _cmd_ann_index(args: argparse.Namespace) -> int:
                 ),
             )
             meta = load_ann_meta(args.path)
-            n = spark.read.parquet(args.path).count()
+            from pyspark.sql import functions as _F
+
+            idx = spark.read.parquet(args.path)
+            n = idx.where(_F.col("tbl").isNotNull()).count()
+            nv = idx.where(_F.col("tbl").isNull()).count()
             print(
                 f"built srp embedding near-dup index at {args.path}: "
-                f"{n} posting rows, {meta['n_tables']}x"
+                f"{n} posting rows + {nv} vector rows, "
+                f"{meta['n_tables']}x"
                 f"{meta['n_buckets']} bucket dirs ({meta['n_planes']} "
                 f"planes, design cosine {meta['design_threshold']})"
             )

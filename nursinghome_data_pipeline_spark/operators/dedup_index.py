@@ -274,7 +274,9 @@ def dedup_index_bucket_stats(
     if meta["kind"] == "minhash":
         keyed = rows.select("band", "bkey")
     elif meta["kind"] == "srp":
-        keyed = rows.select(
+        # normalized layout: vector rows (tbl NULL) are storage, not
+        # postings — only posting rows feed the hot-key stat
+        keyed = rows.where(F.col("tbl").isNotNull()).select(
             F.col("tbl").alias("band"), F.col("bucket").alias("bkey")
         )
     else:

@@ -7,17 +7,31 @@ O(batch + matched buckets); this module gives
 Without it, embedding-cosine near-dup is the one family where a daily
 0.1% increment still pays a full-corpus re-bucketing pass.
 
-Layout (:func:`write_srp_index`): one parquet table partitioned by
-``pb = tbl · n_buckets + (xxhash64(bucket) mod n_buckets)`` — the
-multi-table OR-construction's table index ``tbl`` plays the role the
-minhash index's ``band`` plays, and the sign-projection ``bucket`` id
-is mixed through xxhash64 before the mod because its low bits are raw
-sign bits (a plain mod would route on the first log2(n_buckets)
-hyperplanes only). Each row carries the vector AND its precomputed L2
-norm (``nrm``), so a probe is one pruned scan + (tbl, bucket)
-equi-join + exact cosine verify — no second corpus lookup; the
-vector payload is duplicated ``n_tables``× (the same deliberate
-postings-carry-payload trade as the minhash index's ``sh`` arrays).
+Layout (:func:`write_srp_index`, ``"normalized"`` since r10): ONE
+parquet table partitioned by ``pb``, holding two row roles —
+
+- *posting rows* at ``pb = tbl · n_buckets + (xxhash64(bucket) mod
+  n_buckets)``: (tbl, bucket, id, nrm), NO vector payload. The
+  multi-table OR-construction's table index ``tbl`` plays the role
+  the minhash index's ``band`` plays, and the sign-projection
+  ``bucket`` id is mixed through xxhash64 before the mod because its
+  low bits are raw sign bits (a plain mod would route on the first
+  log2(n_buckets) hyperplanes only).
+- *vector rows* at ``pb = VEC_PB_BASE − (xxhash64(id) mod
+  n_vec_buckets)`` (reserved negative directories): (id, vec, nrm),
+  exactly ONCE per vector.
+
+The r9 layout carried the vector on every posting row — zero joins at
+probe time, but an ``n_tables``× storage/scan multiplier (10× at the
+1M auto geometry). The r10 A/B at 1M vectors (SCALE.md) measured the
+normalized layout **7.9× smaller at rest** (330 MB vs 2.61 GB),
+compaction 2.8× faster, probe +16% wall (one extra pruned join) —
+at 100 TB of embeddings the storage term dominates, so normalized is
+the build default. Probes verify through a vb-pruned vector fetch
+(candidate ids → their vector directories), and LSM delta appends
+(``pb = −1``) still carry the payload inline — a delta is small and
+transient, and inlining keeps the append a single atomic file;
+compaction splits it into the two roles.
 
 Probe (:func:`embedding_batch_against_index`): bit-identical, as a
 set, to running the in-memory operator over corpus ∪ batch at the
@@ -82,6 +96,25 @@ from .similarity import (
 _RESERVED_COLS = frozenset(
     {"pb", "tbl", "bucket", "nrm", "batch_id", "corpus_id", "cosine_sim"}
 )
+
+#: Vector rows of a normalized srp index live at
+#: ``pb = VEC_PB_BASE − (xxhash64(id) mod n_vec_buckets)`` — reserved
+#: NEGATIVE partition values so they can never collide with posting
+#: directories (pb ≥ 0) or the LSM delta (pb = −1 = DELTA_PB), and so
+#: the whole index stays ONE table under the shared
+#: append/compact/lock machinery.
+VEC_PB_BASE = -2
+
+
+def _vec_pb_col(id_col: str, n_vec_buckets: int):
+    """Partition value for a vector row — derived from the id alone,
+    so compaction/regeometry can re-route vector rows without the
+    vector math, exactly like posting pb re-derives from (tbl,
+    bucket)."""
+    return (
+        F.lit(VEC_PB_BASE)
+        - F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_vec_buckets))
+    ).cast("int")
 
 
 def _require_unreserved(name: str, role: str, caller: str) -> None:
@@ -295,6 +328,9 @@ def write_srp_index(
         # n_buckets rows per directory, independent of n_tables
         n_buckets = auto_dedup_buckets(n_rows, bands=1)
     n_buckets = int(n_buckets)
+    # vector rows have the same rows-per-directory target as one
+    # table's postings, so the same formula sizes their directories
+    n_vec_buckets = n_buckets
     rows = _srp_rows(
         df,
         id_col=id_col,
@@ -305,13 +341,31 @@ def write_srp_index(
         seed=seed,
         n_buckets=n_buckets,
     )
-    _compact_for_write(rows, "pb", files_per_partition, id_col).write.mode(
-        "overwrite"
-    ).partitionBy("pb").parquet(path)
+    vec_type = df.schema[vec_col].dataType
+    postings = rows.select(
+        "pb",
+        "tbl",
+        "bucket",
+        id_col,
+        F.lit(None).cast(vec_type).alias(vec_col),
+        "nrm",
+    )
+    vectors = df.select(
+        _vec_pb_col(id_col, n_vec_buckets).alias("pb"),
+        F.lit(None).cast("int").alias("tbl"),
+        F.lit(None).cast("long").alias("bucket"),
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm_col(vec_col).alias("nrm"),
+    )
+    _compact_for_write(
+        postings.unionByName(vectors), "pb", files_per_partition, id_col
+    ).write.mode("overwrite").partitionBy("pb").parquet(path)
     _write_ann_meta(
         path,
         {
             "kind": "srp",
+            "layout": "normalized",
             "id_col": id_col,
             "vec_col": vec_col,
             "dim": dim,
@@ -319,6 +373,7 @@ def write_srp_index(
             "n_tables": n_tables,
             "seed": seed,
             "n_buckets": n_buckets,
+            "n_vec_buckets": n_vec_buckets,
             "design_threshold": design_threshold,
             "recall_target": recall_target,
         },
@@ -380,8 +435,12 @@ def embedding_batch_against_index(
     100k geometry (32 buckets) the same batch matched 211/224 (pruning
     gone, probe still bounded at 6.8 s). Probe cost stays flat in
     CORPUS size either way (11.2 s at 1M vs the 969 s in-memory
-    re-bucketing pass it replaces); split very large batches or size
-    ``n_buckets`` above the steady batch size to keep probes pruned."""
+    re-bucketing pass it replaces). ENFORCED (r10): past
+    :data:`~.similarity.FLAT_READ_CROSSOVER` of the directories the
+    probe reads the index flat instead of listing matched dirs (same
+    rows, one listing pass saved) and warns; split very large batches
+    or size ``n_buckets`` above the steady batch size to keep probes
+    pruned."""
     meta = load_ann_meta(path)
     _require_kind(meta, "srp", "embedding_batch_against_index")
     missing = {meta["id_col"], meta["vec_col"]} - set(batch.columns)
@@ -430,7 +489,18 @@ def probe_index_with_srp_rows(
     already-computed ``_srp_rows`` projection — the cosine twin of
     :func:`~.dedup_index.probe_index_with_banded_rows`, same caller
     contract (projection at the sidecar's geometry, pinned by the
-    caller; the delta directory is read when present)."""
+    caller; the delta directory is read when present).
+
+    Normalized layout (module docstring): candidate pairs come from
+    the pruned posting directories, and the vector payload for the
+    verify is fetched from the candidates' OWN vector directories —
+    the distinct candidate ids' ``vec pb`` values (bounded by
+    ``n_vec_buckets``) prune that second read the same way the posting
+    ``pb`` values prune the first. Delta rows (``pb = −1``) carry the
+    payload inline (they may hold vectors not yet compacted into
+    vector directories), so the verify coalesces inline-over-fetched.
+    Legacy payload-carrying sidecars (no ``layout`` key) skip the
+    fetch entirely."""
     import os
 
     # bounded driver collect: ≤ n_tables × n_buckets ints — the
@@ -460,12 +530,18 @@ def probe_index_with_srp_rows(
                 ]
             ),
         )
-    corpus = rel.where(F.col("pb").isin(pbs)).select(
-        "tbl",
-        "bucket",
-        F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).alias("_v_c"),
-        F.col("nrm").alias("_n_c"),
+    corpus = (
+        rel.where(F.col("pb").isin(pbs))
+        # the flat-read fallback past the pruning crossover returns
+        # the WHOLE table — drop vector rows (tbl is NULL only there)
+        .where(F.col("tbl").isNotNull())
+        .select(
+            "tbl",
+            "bucket",
+            F.col(id_col).alias("corpus_id"),
+            F.col(vec_col).alias("_v_c"),
+            F.col("nrm").alias("_n_c"),
+        )
     )
     bb = b.select(
         "tbl",
@@ -482,9 +558,43 @@ def probe_index_with_srp_rows(
         # so neither does this probe
         .where(F.col("batch_id") != F.col("corpus_id"))
         .select("batch_id", "corpus_id", "_v_b", "_v_c", "_n_b", "_n_c")
-        # a pair sharing several tables must verify once, not per table
+        # a pair sharing several tables must verify once, not per
+        # table. A NULL _v_c winning the dedup is safe: an id whose
+        # ONLY copy is inline (appended since the last compact) has no
+        # base postings, so every row it can contribute carries the
+        # payload; an id with base postings has vector rows, so the
+        # fetch below covers it either way.
         .dropDuplicates(["batch_id", "corpus_id"])
     )
+    if meta.get("layout") == "normalized":
+        # Vector-side partition pruning WITHOUT executing the
+        # candidate join twice: the ids in the matched posting
+        # directories are a superset of the candidate ids, their
+        # vec-pb values are bounded by n_vec_buckets, and the
+        # payload-free posting rows make this collect a cheap pruned
+        # scan. (Collecting from `cands` instead would need a
+        # checkpoint that hides the scan from the plan gate.)
+        vpb = _vec_pb_col(id_col, int(meta["n_vec_buckets"]))
+        vbs = [
+            r["vpb"]
+            for r in rel.where(F.col("pb").isin(pbs))
+            .where(F.col("tbl").isNotNull() & F.col(vec_col).isNull())
+            .select(vpb.alias("vpb"))
+            .distinct()
+            .collect()
+        ]
+        if vbs:
+            vrel = read_matched_partitions(spark, path, "pb", vbs)
+            if vrel is not None:
+                fetched = vrel.where(F.col("pb").isin(vbs)).select(
+                    F.col(id_col).alias("corpus_id"),
+                    F.col(vec_col).alias("_v_f"),
+                )
+                cands = (
+                    cands.join(fetched, "corpus_id", "left")
+                    .withColumn("_v_c", F.coalesce("_v_c", "_v_f"))
+                    .drop("_v_f")
+                )
     return cands.select(
         "batch_id",
         "corpus_id",

@@ -1100,7 +1100,11 @@ def compact_ann_index(
         before = _data_files()
         df = spark.read.parquet(path)
         if meta["kind"] in ("minhash", "simhash", "srp"):
-            from .dedup_index import auto_dedup_buckets, simhash_keys_per_doc
+            from .dedup_index import (
+                DELTA_PB,
+                auto_dedup_buckets,
+                simhash_keys_per_doc,
+            )
 
             # pb is DERIVED for these kinds — recompute it from the
             # STORED routing columns (band/bkey or bucket) on EVERY
@@ -1137,6 +1141,58 @@ def compact_ann_index(
                 new_pb = F.col("tbl") * new_nb + F.pmod(
                     F.xxhash64(F.col("bucket")), F.lit(new_nb)
                 )
+                if meta.get("layout") == "normalized":
+                    # Two row roles share the table (embedding_index
+                    # module docstring): posting rows re-route from
+                    # their stored (tbl, bucket) exactly like the
+                    # other dedup kinds; vector rows re-route from the
+                    # id alone; and LSM delta rows — which carry the
+                    # payload inline so an append stays one atomic
+                    # file — SPLIT into both roles here: their payload
+                    # is stripped from the postings and lands once per
+                    # id in the vector directories. This is the only
+                    # kind-specific compaction branch; the lock/swap
+                    # protocol around it is unchanged.
+                    from .embedding_index import _vec_pb_col
+
+                    id_c, vec_c = meta["id_col"], meta["vec_col"]
+                    new_nvb = (
+                        new_nb
+                        if regeometry
+                        else int(meta["n_vec_buckets"])
+                    )
+                    vec_t = df.schema[vec_c].dataType
+                    is_posting = F.col("tbl").isNotNull()
+                    postings = (
+                        df.where(is_posting)
+                        .withColumn("pb", new_pb.cast("int"))
+                        .withColumn(vec_c, F.lit(None).cast(vec_t))
+                    )
+                    vec_rows = (
+                        df.where(~is_posting)
+                        .select(id_c, vec_c, "nrm")
+                        .unionByName(
+                            # delta postings of not-yet-compacted
+                            # vectors: one vector row per distinct id
+                            df.where(F.col("pb") == DELTA_PB).select(
+                                id_c, vec_c, "nrm"
+                            )
+                        )
+                        .dropDuplicates([id_c])
+                        .select(
+                            _vec_pb_col(id_c, new_nvb).alias("pb"),
+                            F.lit(None).cast("int").alias("tbl"),
+                            F.lit(None).cast("long").alias("bucket"),
+                            F.col(id_c),
+                            F.col(vec_c),
+                            F.col("nrm"),
+                        )
+                    )
+                    df = postings.select(
+                        "pb", "tbl", "bucket", id_c, vec_c, "nrm"
+                    ).unionByName(vec_rows)
+                    meta = {**meta, "n_vec_buckets": new_nvb}
+                    new_pb = F.col("pb")  # already final on both roles
             else:
                 if regeometry:
                     kpd = simhash_keys_per_doc(

@@ -1589,6 +1589,12 @@ def _srp_norm_ab_probes(cores: int = 32, copies: int = 500) -> dict:
     bytes at rest, probe wall, and compact-equivalent wall for both;
     pins the pair set equal.
 
+    HISTORICAL NOTE (r10): this probe's 1M measurement (A 2.61 GB /
+    5.81 s probe / 41.4 s compact vs B 330 MB / 6.75 s / 14.9 s,
+    pairs set-equal) decided the switch — ``write_srp_index`` now
+    builds the normalized layout natively, so the "A" leg measures
+    the post-switch engine, not the old payload-carrying layout.
+
     Run: python scripts/scaling_probe.py --srpnorm
     """
     import shutil
