@@ -336,6 +336,20 @@ def _streaming_dedup_ingest_batch(spark, sf_dir: str):
     )
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         write_dedup_index(docs.where(F.col("doc_id") % 10 != 9), cache)
+    # reap stale run dirs (each rep leaks ~8 MB otherwise — 26 dirs
+    # observed after six bench runs); >1h old means no live rep of any
+    # concurrently-running bench still reads from it
+    import glob as _glob
+    import time as _time
+
+    for stale in _glob.glob(
+        os.path.join(_tempfile.gettempdir(), "bench-ingest-*")
+    ):
+        try:
+            if _time.time() - os.path.getmtime(stale) > 3600:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     root = _tempfile.mkdtemp(prefix="bench-ingest-")
     index = os.path.join(root, "idx")
     shutil.copytree(cache, index)
@@ -428,8 +442,11 @@ def _srp_index_probe(spark, sf_dir: str):
         "vec_id", "embedding"
     )
     tag = os.path.basename(sf_dir.rstrip("/"))
+    # cache kind "srp2": the r10 normalized-layout generation — the
+    # data fingerprint alone can't see a LAYOUT change, and probing a
+    # stale payload-carrying cache would bench the wrong read path
     path = _fresh_index_cache_path(
-        "srp", tag, _dataset_fingerprint(sf_dir, "embeddings")
+        "srp2", tag, _dataset_fingerprint(sf_dir, "embeddings")
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         dim = len(emb.select("embedding").first()[0])
