@@ -15,10 +15,16 @@ Each row carries the doc's id, its band key, AND its distinct shingle
 hashes (``sh``), so a probe is ONE pruned scan + band-key join + exact
 Jaccard verify against ``sh`` — no second corpus lookup. The ``sh``
 array is duplicated ``bands``× (by default 4×); that is the deliberate
-postings-carry-payload trade: at 100 TB the alternative (a normalized
-doc-payload table) saves the duplication but adds a second
-data-proportional shuffle join per probe. Shingle hashes, not text —
-the index never stores corpus text at all.
+postings-carry-payload trade, MEASURED and kept (r10, after the srp
+index switched the other way): at 1M docs the normalized alternative
+(postings stripped to (pb, band, bkey, id) + one ``sh`` row per doc
+under hash-of-id directories) read 3.6× smaller at rest but probed
+2.5× slower (5.62 s vs 2.29 s, pair set equal — SCALE.md r10), because
+the variable-length ``sh`` fetch join moves the same heavy arrays the
+duplication would have co-located. The srp index's 10×-duplicated
+fixed-width vectors cut the other way (7.9× storage for +16% probe) —
+the trade is payload-size- and fan-out-dependent, not doctrine.
+Shingle hashes, not text — the index never stores corpus text at all.
 
 Probe (``dedup_batch_against_index``): the batch's band keys pick the
 ``pb`` partitions to read — at the default 4×64 geometry a small batch
