@@ -77,11 +77,12 @@ from .dedup import (
 )
 from .similarity import (
     _require_kind,
-    _require_local_path,
     _write_ann_meta,
     load_ann_meta,
     read_matched_partitions,
 )
+
+from .. import fs
 
 
 #: Internal projection names (`sig` is _banded_rows-local; pb/band/
@@ -437,7 +438,7 @@ def write_dedup_index(
     ``None`` only when the caller compacts separately."""
     from .similarity import _compact_for_write
 
-    _require_local_path(path, "write_dedup_index")
+    fs.check_fs(path, "write_dedup_index")
     # before the auto-sizing count — a reserved id_col must not cost
     # a full corpus scan to discover
     _require_unreserved(id_col, "write_dedup_index")
@@ -550,8 +551,6 @@ def probe_index_with_banded_rows(
     measured as part of the loop's ~7 s cadence). ``b`` should be
     pinned (localCheckpoint) by the caller: the pb collect below and
     the candidate join both consume it."""
-    import os
-
     # bounded driver collect: ≤ bands × n_buckets ints (256 at the
     # default geometry) — the partition-pruning literal, same shape as
     # the ANN probes' cell/bucket lists
@@ -559,7 +558,7 @@ def probe_index_with_banded_rows(
     # un-compacted LSM delta appends (pb=-1, see DELTA_PB) hold recent
     # postings for EVERY bucket, so every probe reads them too — a
     # single small directory bounded by the compaction cadence
-    if os.path.isdir(os.path.join(path, f"pb={DELTA_PB}")):
+    if fs.is_dir(fs.join(path, f"pb={DELTA_PB}")):
         pbs = pbs + [DELTA_PB]
     id_col = meta["id_col"]
     # Matched-directories-only read: above ~32 directories Spark's
@@ -744,7 +743,7 @@ def write_simhash_index(
     loop's stage 1 already guarantees this for loop-grown indexes)."""
     from .similarity import _compact_for_write
 
-    _require_local_path(path, "write_simhash_index")
+    fs.check_fs(path, "write_simhash_index")
     _require_unreserved(id_col, "write_simhash_index")
     from .dedup import simhash_bucket_keys as _validate
 
@@ -827,10 +826,8 @@ def probe_index_with_simhash_rows(
     already-computed ``_simhash_rows`` projection — the Hamming twin
     of :func:`probe_index_with_banded_rows`, same caller contract
     (including the delta-directory read)."""
-    import os
-
     pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
-    if os.path.isdir(os.path.join(path, f"pb={DELTA_PB}")):
+    if fs.is_dir(fs.join(path, f"pb={DELTA_PB}")):
         pbs = pbs + [DELTA_PB]
     id_col = meta["id_col"]
     rel = read_matched_partitions(

@@ -77,10 +77,10 @@ from pyspark.sql import functions as F
 from ..functions.vectors import l2_norm_col
 from .dedup import _intra_bucket_pairs
 from .dedup_index import DELTA_PB, as_delta_append, auto_dedup_buckets
+from .. import fs
 from .similarity import (
     _cosine_with_norms,
     _require_kind,
-    _require_local_path,
     _write_ann_meta,
     auto_lsh_planes,
     auto_lsh_tables,
@@ -293,7 +293,7 @@ def write_srp_index(
     write puts every input task's rows into every directory)."""
     from .similarity import _compact_for_write
 
-    _require_local_path(path, "write_srp_index")
+    fs.check_fs(path, "write_srp_index")
     # guards BEFORE the auto-sizing count — invalid inputs must not
     # cost a full corpus scan to discover
     _require_unreserved(id_col, "id_col", "write_srp_index")
@@ -501,12 +501,10 @@ def probe_index_with_srp_rows(
     vector directories), so the verify coalesces inline-over-fetched.
     Legacy payload-carrying sidecars (no ``layout`` key) skip the
     fetch entirely."""
-    import os
-
     # bounded driver collect: ≤ n_tables × n_buckets ints — the
     # partition-pruning literal, same shape as the other index probes
     pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
-    if os.path.isdir(os.path.join(path, f"pb={DELTA_PB}")):
+    if fs.is_dir(fs.join(path, f"pb={DELTA_PB}")):
         pbs = pbs + [DELTA_PB]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     rel = read_matched_partitions(
@@ -567,34 +565,87 @@ def probe_index_with_srp_rows(
         .dropDuplicates(["batch_id", "corpus_id"])
     )
     if meta.get("layout") == "normalized":
-        # Vector-side partition pruning WITHOUT executing the
-        # candidate join twice: the ids in the matched posting
-        # directories are a superset of the candidate ids, their
-        # vec-pb values are bounded by n_vec_buckets, and the
-        # payload-free posting rows make this collect a cheap pruned
-        # scan. (Collecting from `cands` instead would need a
-        # checkpoint that hides the scan from the plan gate.)
-        vpb = _vec_pb_col(id_col, int(meta["n_vec_buckets"]))
-        vbs = [
-            r["vpb"]
-            for r in rel.where(F.col("pb").isin(pbs))
-            .where(F.col("tbl").isNotNull() & F.col(vec_col).isNull())
-            .select(vpb.alias("vpb"))
-            .distinct()
-            .collect()
-        ]
-        if vbs:
-            vrel = read_matched_partitions(spark, path, "pb", vbs)
-            if vrel is not None:
+        from .similarity import FLAT_READ_CROSSOVER
+
+        n_posting_dirs = int(meta["n_tables"]) * int(meta["n_buckets"])
+        posting_matched = sum(1 for v in pbs if v >= 0)
+        fetched = None
+        if posting_matched > FLAT_READ_CROSSOVER * n_posting_dirs:
+            # Big-batch regime (r11, verdict #3): `rel` above was read
+            # FLAT past the pruning crossover, so it ALREADY contains
+            # every vector row — running the vbs pruning job (a full
+            # scan of the matched postings) and then a second read of
+            # the vector directories would cost two extra passes to
+            # select directories the candidates cover almost entirely
+            # anyway. Fetch straight from the flat relation instead:
+            # zero extra jobs, one fewer scan. Measured at the sf0.1
+            # bench geometry: probe 1.35 s → 0.94 s (SCALE.md r11).
+            def _is_vec_dir(e: str) -> bool:
+                if not e.startswith("pb="):
+                    return False
+                try:
+                    return int(e.split("=", 1)[1]) <= VEC_PB_BASE
+                except ValueError:
+                    return False
+
+            if not any(_is_vec_dir(e) for e in fs.listdir(path)):
+                raise RuntimeError(
+                    f"probe_index_with_srp_rows: normalized srp index "
+                    f"at {path} has posting rows but no vector "
+                    "directories (pb <= -2) exist on disk — the index "
+                    "is missing its vector rows (partial copy/"
+                    "corruption); rebuild or re-copy it."
+                )
+            fetched = rel.where(F.col("tbl").isNull()).select(
+                F.col(id_col).alias("corpus_id"),
+                F.col(vec_col).alias("_v_f"),
+            )
+        else:
+            # Small-probe regime: vector-side partition pruning
+            # WITHOUT executing the candidate join twice — the ids in
+            # the matched posting directories are a superset of the
+            # candidate ids, their vec-pb values are bounded by
+            # n_vec_buckets, and the payload-free posting rows make
+            # this collect a cheap pruned scan. (Collecting from
+            # `cands` instead would need a checkpoint that hides the
+            # scan from the plan gate.)
+            vpb = _vec_pb_col(id_col, int(meta["n_vec_buckets"]))
+            vbs = [
+                r["vpb"]
+                for r in rel.where(F.col("pb").isin(pbs))
+                .where(F.col("tbl").isNotNull() & F.col(vec_col).isNull())
+                .select(vpb.alias("vpb"))
+                .distinct()
+                .collect()
+            ]
+            if vbs:
+                vrel = read_matched_partitions(spark, path, "pb", vbs)
+                if vrel is None:
+                    # base postings exist (vbs derives from them) but
+                    # NONE of their vector directories do — a partially
+                    # copied or corrupted index. Silently continuing
+                    # would leave every candidate's _v_c NULL, NULL
+                    # cosine, every pair dropped — indistinguishable
+                    # from a genuine no-match probe (ADVICE r10). Fail
+                    # with the cause named instead.
+                    raise RuntimeError(
+                        f"probe_index_with_srp_rows: normalized srp "
+                        f"index at {path} has posting rows but none of "
+                        f"their vector directories (pb in "
+                        f"{sorted(vbs)[:8]}...) exist on disk — the "
+                        "index is missing its vector rows (partial "
+                        "copy/corruption); rebuild or re-copy it."
+                    )
                 fetched = vrel.where(F.col("pb").isin(vbs)).select(
                     F.col(id_col).alias("corpus_id"),
                     F.col(vec_col).alias("_v_f"),
                 )
-                cands = (
-                    cands.join(fetched, "corpus_id", "left")
-                    .withColumn("_v_c", F.coalesce("_v_c", "_v_f"))
-                    .drop("_v_f")
-                )
+        if fetched is not None:
+            cands = (
+                cands.join(fetched, "corpus_id", "left")
+                .withColumn("_v_c", F.coalesce("_v_c", "_v_f"))
+                .drop("_v_f")
+            )
     return cands.select(
         "batch_id",
         "corpus_id",

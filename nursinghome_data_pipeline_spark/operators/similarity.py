@@ -625,23 +625,13 @@ ANN_META_FILE = "_ann_meta.json"
 ANN_COMPACT_LOCK = "_compacting.lock"
 
 
-def _require_local_path(path: str, op: str) -> None:
-    """The sidecar/lock protocol uses local ``open()``/``os.rename``
-    while the data write goes through Spark — on an object-store or
-    HDFS URI the parquet write would succeed and THEN the sidecar write
-    would raise, destructively overwriting the old index while leaving
-    the new one without its ``_ann_meta.json`` (probes, append, and
-    compact all break). Fail fast BEFORE any data is touched; at real
-    scale route the sidecar through the filesystem client that owns
-    ``path`` (Hadoop FS API) and drop this gate."""
-    import re
-
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
-        raise NotImplementedError(
-            f"{op}: the _ann_meta.json/lockfile protocol is "
-            f"local-filesystem only; got URI {path!r}. Write the "
-            "sidecar via the Hadoop FS API before using remote paths."
-        )
+#: r5-r10 had a ``_require_local_path`` gate here rejecting every
+#: ``scheme://`` URI because the sidecar/lock protocol used local
+#: ``open()``/``os.rename``. r11 routes the whole lifecycle through
+#: :mod:`..fs` (local ``os`` fast path for plain paths, the session's
+#: Hadoop FileSystem client for URIs), so the gate is replaced by
+#: ``fs.check_fs`` — a reachability probe that still fails fast, but
+#: only for schemes whose connector genuinely isn't configured.
 
 
 def _require_kind(meta: dict, expected: str, probe: str) -> None:
@@ -668,23 +658,24 @@ def _require_kind(meta: dict, expected: str, probe: str) -> None:
 def _write_ann_meta(path: str, meta: dict) -> None:
     """Persist index parameters next to the data so probes are
     self-describing — a reader needs only the path, not a side-channel
-    of seeds/planes. Local-filesystem write; at real scale route this
-    through the object store client that owns ``path``."""
+    of seeds/planes. Routed through :mod:`..fs`, so the sidecar lands
+    on whatever filesystem owns ``path`` (local, file://, hdfs://,
+    s3a://) — always the same one Spark wrote the parquet to."""
     import json
-    import os
 
-    with open(os.path.join(path, ANN_META_FILE), "w") as f:
-        json.dump(meta, f)
+    from .. import fs
+
+    fs.write_text(fs.join(path, ANN_META_FILE), json.dumps(meta))
 
 
 def load_ann_meta(path: str) -> dict:
     """Read the ``_ann_meta.json`` sidecar written by
     :func:`write_ivf_index` / :func:`write_lsh_index`."""
     import json
-    import os
 
-    with open(os.path.join(path, ANN_META_FILE)) as f:
-        return json.load(f)
+    from .. import fs
+
+    return json.loads(fs.read_text(fs.join(path, ANN_META_FILE)))
 
 
 #: matched-directory fraction above which a probe reads the index
@@ -695,6 +686,11 @@ def load_ann_meta(path: str) -> dict:
 #: read is the same bytes with one listing pass saved. r9 verdict #3
 #: promoted this from docstring guidance to an enforced switch.
 FLAT_READ_CROSSOVER = 0.5
+
+#: index paths that already emitted the flat-read crossover warning —
+#: steady-state small-geometry probes warn once, not per micro-batch
+#: (ADVICE r10).
+_FLAT_READ_WARNED: set[str] = set()
 
 
 def read_matched_partitions(
@@ -723,41 +719,52 @@ def read_matched_partitions(
     rows (the caller's ``isin`` still applies), one listing pass
     cheaper, and a warning names the regime so operators know to split
     the batch or rebuild with more buckets if this is their steady
-    state."""
-    import os
+    state. Reserved partitions (negative values — the LSM delta
+    ``pb=-1`` and the normalized-srp vector directories ``pb<=-2``)
+    do NOT count toward the crossover: every probe touches them
+    regardless of batch size, so counting them made small-geometry
+    indexes (n_buckets of a few units) trip the flat read on virtually
+    every probe (ADVICE r10). The warning fires once per index path
+    per process, not per probe/micro-batch."""
+    from .. import fs
 
     vals = sorted(set(values))
+    # only genuine bucket matches arm the crossover — see docstring
+    crossover_n = sum(1 for v in vals if not (isinstance(v, int) and v < 0))
     if (
         total_partitions is not None
         and total_partitions > 0
-        and len(vals) > FLAT_READ_CROSSOVER * total_partitions
+        and crossover_n > FLAT_READ_CROSSOVER * total_partitions
     ):
-        import warnings
-
         try:
             has_any = any(
-                e.startswith(f"{part_col}=") for e in os.listdir(path)
+                e.startswith(f"{part_col}=") for e in fs.listdir(path)
             )
         except OSError:
             has_any = False
         if not has_any:
             return None
-        warnings.warn(
-            f"index probe at {path}: batch matches {len(vals)} of "
-            f"~{total_partitions} partition directories (> "
-            f"{FLAT_READ_CROSSOVER:.0%}) — past the pruning crossover; "
-            "reading the index flat (same rows, one listing pass "
-            "saved). If this is your steady batch size, split the "
-            "batch or rebuild the index with n_buckets above it.",
-            UserWarning,
-            stacklevel=2,
-        )
+        if path not in _FLAT_READ_WARNED:
+            import warnings
+
+            _FLAT_READ_WARNED.add(path)
+            warnings.warn(
+                f"index probe at {path}: batch matches {crossover_n} of "
+                f"~{total_partitions} partition directories (> "
+                f"{FLAT_READ_CROSSOVER:.0%}) — past the pruning crossover; "
+                "reading the index flat (same rows, one listing pass "
+                "saved). If this is your steady batch size, split the "
+                "batch or rebuild the index with n_buckets above it. "
+                "(Warned once per index path.)",
+                UserWarning,
+                stacklevel=2,
+            )
         return spark.read.option("basePath", path).parquet(path)
     matched = [
         d
         for v in vals
-        for d in (os.path.join(path, f"{part_col}={v}"),)
-        if os.path.isdir(d)
+        for d in (fs.join(path, f"{part_col}={v}"),)
+        if fs.is_dir(d)
     ]
     if not matched:
         return None
@@ -808,7 +815,9 @@ def write_ivf_index(
     parallelism. Index parameters (seeds, columns) persist in a
     ``_ann_meta.json`` sidecar so :func:`knn_ivf_partitioned` probes
     need only the path."""
-    _require_local_path(path, "write_ivf_index")
+    from .. import fs
+
+    fs.check_fs(path, "write_ivf_index")
     assigned = df.select(
         id_col, vec_col, ivf_cell_col(seeds, vec_col).alias("cell")
     )
@@ -856,18 +865,20 @@ def append_to_ann_index(df: DataFrame, path: str) -> None:
     sees the other and backs off — a batch can never land after the
     compactor's read and vanish with the demoted directory. The
     intent marker is removed when the append's write commits (or
-    fails). The handshake assumes LOCAL-DISK create/exists semantics
-    (sequentially consistent visibility between the two processes) —
-    a plain path on a network mount (e.g. NFS) passes the scheme gate
-    but NFS attribute caching can delay flag visibility, making the
-    exclusion advisory there; use local disk or an external lock
+    fails). The handshake assumes sequentially consistent
+    create/exists visibility between the two writer processes — local
+    disk and HDFS give that; NFS attribute caching and object-store
+    (s3a) create-then-list lag can delay flag visibility, making the
+    exclusion advisory there; use local disk/HDFS or an external lock
     service for multi-host writers. Concurrent appends from multiple
     processes are ordinary parquet appends (safe with each other);
     only append-vs-compact needs exclusion. A crashed append can
     strand its intent marker —
     compact_ann_index names the stale file in its error; remove it by
     hand after confirming no append is running."""
-    _require_local_path(path, "append_to_ann_index")
+    from .. import fs
+
+    fs.check_fs(path, "append_to_ann_index")
     meta = load_ann_meta(path)
     if meta.get("kind") not in ("ivf", "lsh", "minhash", "simhash", "srp"):
         raise ValueError(
@@ -928,18 +939,19 @@ def append_routed_rows(routed: DataFrame, path: str, part: str) -> None:
     Handshake (see :func:`append_to_ann_index` for the full story):
     intent marker FIRST, then the compactor-lock check — whatever the
     interleaving, at least one side sees the other and backs off."""
-    import os
     import uuid
 
-    _require_local_path(path, "append_routed_rows")
+    from .. import fs
+
+    fs.check_fs(path, "append_routed_rows")
     # intent BEFORE lock-check (the handshake's whole point): if the
     # compactor's lock lands between our check and our write, the
     # compactor's own intent-check — which happens after its lock is
     # up — is guaranteed to see this marker and abort.
-    intent = os.path.join(path, f"_append-{uuid.uuid4().hex}.intent")
-    open(intent, "w").close()
+    intent = fs.join(path, f"_append-{uuid.uuid4().hex}.intent")
+    fs.touch(intent)
     try:
-        if os.path.exists(os.path.join(path, ANN_COMPACT_LOCK)):
+        if fs.exists(fs.join(path, ANN_COMPACT_LOCK)):
             raise RuntimeError(
                 f"append_routed_rows: {path} is being compacted "
                 f"({ANN_COMPACT_LOCK} present) — retry after compaction "
@@ -956,7 +968,7 @@ def append_routed_rows(routed: DataFrame, path: str, part: str) -> None:
         # fine, the compactor's rmtree disposes of it; don't let the
         # cleanup mask the real error
         with contextlib.suppress(FileNotFoundError):
-            os.remove(intent)
+            fs.remove(intent)
 
 
 def compact_ann_index(
@@ -1017,17 +1029,16 @@ def compact_ann_index(
     from a crashed APPEND blocks compaction with a named error until
     removed by hand (fail-safe: blocking beats deleting a batch)."""
     import contextlib as _contextlib
-    import glob as _glob
-    import os
-    import shutil
 
-    _require_local_path(path, "compact_ann_index")
+    from .. import fs
+
+    fs.check_fs(path, "compact_ann_index")
     old = path.rstrip("/") + ".compact.old"
-    if os.path.exists(old):
-        if os.path.exists(path):
-            shutil.rmtree(old)
+    if fs.exists(old):
+        if fs.exists(path):
+            fs.rmtree(old)
         else:
-            os.rename(old, path)
+            fs.rename(old, path)
     meta = load_ann_meta(path)
     parts = {
         "ivf": "cell",
@@ -1050,11 +1061,10 @@ def compact_ann_index(
             "cannot be re-derived from stored rows"
         )
     tmp = path.rstrip("/") + ".compact.tmp"
-    lock = os.path.join(path, ANN_COMPACT_LOCK)
+    lock = fs.join(path, ANN_COMPACT_LOCK)
     # Reclaim a crashed compaction's lock: singleton-compactor is the
     # caller's contract, so a lock that predates this call is stale.
-    with open(lock, "w") as f:
-        f.write("compact_ann_index in progress")
+    fs.write_text(lock, "compact_ann_index in progress")
     # The lock is NOT removed before the swap — it travels with the
     # directory renames (path→old) and dies with rmtree(old), so there
     # is no unlocked instant between the re-list gate and the swap; an
@@ -1065,39 +1075,21 @@ def compact_ann_index(
         # Handshake step 2 (after the lock is visible): any append
         # intent means a batch may be mid-write — its files are not
         # reliably listable yet, so no file-set gate could catch it.
-        intents = _glob.glob(os.path.join(path, "_append-*.intent"))
+        intents = fs.glob_names(path, "_append-*.intent")
         if intents:
             raise RuntimeError(
                 f"compact_ann_index: append(s) in flight on {path} "
-                f"({', '.join(os.path.basename(i) for i in intents)}) — "
+                f"({', '.join(intents)}) — "
                 "retry after they finish; if no append is running, a "
                 "crashed append stranded its intent marker — remove it "
                 "by hand."
             )
 
-        def _data_files() -> set[tuple[str, int, float]]:
-            # (path, size, mtime) — not bare paths — so a rogue writer
-            # that overwrites an existing part file IN PLACE (same
-            # name) is still caught before the swap discards its data.
-            # A file vanishing between glob and stat is itself a
-            # concurrent-writer signal: record a sentinel so the
-            # before/after comparison trips the clean abort instead of
-            # leaking FileNotFoundError past the gate.
-            def _stat(p: str) -> tuple[str, int, float]:
-                try:
-                    st = os.stat(p)
-                    return (p, st.st_size, st.st_mtime)
-                except FileNotFoundError:
-                    return (p, -1, -1.0)
-
-            return {
-                _stat(p)
-                for p in _glob.glob(
-                    os.path.join(path, "**", "*.parquet"), recursive=True
-                )
-            }
-
-        before = _data_files()
+        # (path, size, mtime) — not bare paths — so a rogue writer
+        # that overwrites an existing part file IN PLACE (same name)
+        # is still caught before the swap discards its data (see
+        # fs.data_file_stats for the vanishing-file sentinel).
+        before = fs.data_file_stats(path)
         df = spark.read.parquet(path)
         if meta["kind"] in ("minhash", "simhash", "srp"):
             from .dedup_index import (
@@ -1210,8 +1202,8 @@ def compact_ann_index(
         _write_ann_meta(tmp, meta)
         # Belt-and-braces: abort the swap if any data file changed
         # anyway (e.g. a writer that bypassed append_to_ann_index).
-        if _data_files() != before:
-            shutil.rmtree(tmp)
+        if fs.data_file_stats(path) != before:
+            fs.rmtree(tmp)
             raise RuntimeError(
                 f"compact_ann_index: {path} changed during compaction "
                 "(concurrent append?) — index left untouched, retry."
@@ -1222,14 +1214,12 @@ def compact_ann_index(
         # compaction — the same scenario the append side guards
         # against); don't let the cleanup mask the real error
         with _contextlib.suppress(FileNotFoundError):
-            os.remove(lock)
+            fs.remove(lock)
         raise
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return len(
-        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    )
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.rmtree(old)
+    return len(fs.data_file_stats(path))
 
 
 def knn_ivf_partitioned(
@@ -1492,7 +1482,9 @@ def write_lsh_index(
     parallelism). Plane parameters persist in a ``_ann_meta.json``
     sidecar so :func:`knn_lsh_partitioned` probes need only the
     path."""
-    _require_local_path(path, "write_lsh_index")
+    from .. import fs
+
+    fs.check_fs(path, "write_lsh_index")
     bucketed = random_projection_buckets(
         df, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
     ).select(id_col, vec_col, "bucket")

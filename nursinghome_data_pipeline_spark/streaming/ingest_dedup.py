@@ -50,6 +50,11 @@ identical to the composed in-memory operators by
 Null-payload rows (no text/vector to fingerprint) bypass every dedup
 stage: they pass straight to the sink and are never posted to the
 index — filter them upstream if the corpus should not carry them.
+Degenerate srp vectors (zero-norm / NULL-element) bypass only the
+NEAR stages; bit-identical copies within a batch are still collapsed
+by the exact min-id rule (r11, ADVICE r10). Cross-batch copies of
+degenerate vectors are NOT caught — they are never indexed, so batch
+N+1 cannot see batch N's copy; filter them upstream if that matters.
 
 Within-batch near-dup policy: after exact dedup (min-id winner per
 ``md5(text)``; min-id per identical vector for the srp family — no
@@ -143,8 +148,6 @@ def streaming_dedup_ingest(
     failing the batch. Pass ``compact_every=None`` to manage
     compaction externally.
     """
-    import os
-
     from pyspark.sql import SparkSession
 
     from ..operators.dedup import exact_dedup_fingerprints
@@ -163,19 +166,19 @@ def streaming_dedup_ingest(
         pairs_from_srp_rows,
         probe_index_with_srp_rows,
     )
+    from .. import fs
     from ..operators.similarity import (
-        _require_local_path,
         append_routed_rows,
         load_ann_meta,
     )
 
-    # the committed-batch manifest is driver-local open()/exists —
-    # same sidecar class as the index protocol, same gate: on a
-    # scheme URI the data writes would succeed and the exactly-once
-    # bookkeeping would silently land in a cwd-relative local file
-    _require_local_path(target_dir, "streaming_dedup_ingest")
-    _require_local_path(index_path, "streaming_dedup_ingest")
-    manifest = os.path.join(target_dir, "_committed_batches")
+    # the committed-batch manifest is the same driver-side sidecar
+    # class as the index protocol — routed through fs (r11), so a
+    # file://-or-remote target keeps the exactly-once bookkeeping on
+    # the SAME filesystem as the data, never a cwd-relative local file
+    fs.check_fs(target_dir, "streaming_dedup_ingest")
+    fs.check_fs(index_path, "streaming_dedup_ingest")
+    manifest = fs.join(target_dir, "_committed_batches")
 
     def _require_dedup_kind(meta: dict) -> None:
         if meta.get("kind") not in ("minhash", "simhash", "srp"):
@@ -228,9 +231,8 @@ def streaming_dedup_ingest(
 
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:
         spark = SparkSession.getActiveSession()
-        if os.path.exists(manifest):
-            with open(manifest, encoding="utf-8") as fh:
-                committed = {int(line) for line in fh.read().split()}
+        if fs.exists(manifest):
+            committed = {int(line) for line in fs.read_text(manifest).split()}
             if batch_id in committed:
                 return  # re-delivered batch: idempotent skip
         meta = load_ann_meta(index_path)
@@ -241,6 +243,15 @@ def streaming_dedup_ingest(
         payload_col = (
             meta["vec_col"] if meta["kind"] == "srp" else meta["text_col"]
         )
+        if "`" in payload_col:
+            # re-checked per batch (ADVICE r10): the stream-start gate
+            # covered meta0, but each batch re-loads the sidecar — a
+            # swapped/edited sidecar's payload column reaches F.expr
+            # SQL text below and must never carry a backtick
+            raise ValueError(
+                "streaming_dedup_ingest: the sidecar's payload column "
+                f"may not contain a backtick (got {payload_col!r})"
+            )
         # family dispatch on the SIDECAR kind: the in-batch near pass
         # and the index probe must band/verify with the same family
         # (and the same geometry) the index was built with, or
@@ -360,7 +371,27 @@ def streaming_dedup_ingest(
                 "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
             )
             bypass_pred = bypass_pred | nrm2.isNull() | (nrm2 == 0.0)
-        null_payload = batch.where(bypass_pred).localCheckpoint(eager=False)
+        null_payload = batch.where(bypass_pred)
+        if meta["kind"] == "srp":
+            # Degenerate vectors rightly skip the NEAR stages (NULL
+            # cosine can never clear a threshold) — but bit-identical
+            # copies are still EXACT duplicates, the one class a dedup
+            # pipeline can always catch (ADVICE r10). Apply stage 1's
+            # own rule to them: group identical payload arrays, min-id
+            # wins. Truly-NULL payloads carry no content to compare
+            # and pass through unchanged. Scope note: this is
+            # within-batch only — degenerate vectors are never posted
+            # to the index, so a zero vector in batch N+1 cannot see
+            # batch N's copy; filter degenerate rows upstream if the
+            # corpus must not accumulate them across batches.
+            degen = null_payload.where(F.col(payload_col).isNotNull())
+            degen_winners = degen.groupBy(payload_col).agg(
+                F.min(id_col).alias(id_col)
+            ).select(id_col)
+            null_payload = null_payload.where(
+                F.col(payload_col).isNull()
+            ).unionByName(degen.join(degen_winners, id_col, "left_semi"))
+        null_payload = null_payload.localCheckpoint(eager=False)
         batch = batch.where(~bypass_pred)
         # stage 1 — exact within batch (family-dispatched winner rule
         # above); a semi-join on the winning ids recovers the full
@@ -410,7 +441,7 @@ def streaming_dedup_ingest(
         # commit order: target (idempotent per-batch overwrite) →
         # index append (replay-benign) → manifest (gates the skip)
         accepted.unionByName(null_payload).write.mode("overwrite").parquet(
-            os.path.join(target_dir, "data", f"ingest_batch={batch_id}")
+            fs.join(target_dir, "data", f"ingest_batch={batch_id}")
         )
         # index append: the accepted docs' slice of the SAME projection
         # (already banded at the sidecar's geometry), written as one
@@ -419,9 +450,8 @@ def streaming_dedup_ingest(
         # single-writer contract (see append_routed_rows).
         routed = rows.join(accepted.select(id_col), id_col, "left_semi")
         append_routed_rows(as_delta_append(routed), index_path, "pb")
-        os.makedirs(target_dir, exist_ok=True)
-        with open(manifest, "a", encoding="utf-8") as fh:
-            fh.write(f"{batch_id}\n")
+        fs.makedirs(target_dir)
+        fs.append_text(manifest, f"{batch_id}\n")
         if compact_every:
             # the batch is already committed above — NOTHING in this
             # maintenance block may fail it. RuntimeError is the
@@ -430,8 +460,7 @@ def streaming_dedup_ingest(
             # permission failure mid-swap; ValueError a corrupted
             # sidecar. All defer to the next cadence point.
             try:
-                with open(manifest, encoding="utf-8") as fh:
-                    n_committed = len(fh.read().split())
+                n_committed = len(fs.read_text(manifest).split())
                 if n_committed % compact_every == 0:
                     from ..operators.similarity import compact_ann_index
 

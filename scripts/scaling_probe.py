@@ -1393,6 +1393,11 @@ def _srp_index_probes(
             F.col("pb").isin(pbs)
         ).count()
         out[f"{label}_total_postings"] = idx.count()
+        out[f"{label}_bytes_at_rest"] = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fls in os.walk(path)
+            for f in fls
+        )
     # LSM lifecycle at the biggest leg: delta append + probe + compact
     biggest = staged(copies[-1])
     append_batch = (
@@ -3030,6 +3035,12 @@ def main() -> None:
         "+ LSM append/compact lifecycle",
     )
     ap.add_argument(
+        "--srpindex-copies", default="1,50,500",
+        help="comma-separated staging multipliers for --srpindex "
+        "(base = sf-dir embeddings row count; r11's 10M-vector leg "
+        "runs --srpindex-copies 5000)",
+    )
+    ap.add_argument(
         "--srpnorm", action="store_true",
         help="A/B the srp postings-carry-payload trade at 1M vectors: "
         "current layout vs normalized postings + vb-partitioned vector "
@@ -3092,7 +3103,9 @@ def main() -> None:
         print(json.dumps(_big_probe_probes(), indent=2))
         return
     if args.srpindex:
-        print(json.dumps(_srp_index_probes(), indent=2))
+        print(json.dumps(_srp_index_probes(
+            copies=tuple(int(x) for x in args.srpindex_copies.split(","))
+        ), indent=2))
         return
     if args.srpnorm:
         print(json.dumps(_srp_norm_ab_probes(), indent=2))

@@ -412,11 +412,12 @@ def test_probe_kind_mismatch_raises_named_error(spark, sf_dir, tmp_path):
         knn_lsh_partitioned(spark, ivf_path, qvec)
 
 
-def test_remote_uri_fails_fast_before_any_write():
-    """The sidecar protocol is local-only (ADVICE r5): on an
-    object-store URI the parquet overwrite would succeed and THEN the
-    sidecar write would raise, destroying the old index — so every
-    writer/mutator must refuse a scheme-qualified path up front."""
+def test_unconfigured_scheme_fails_fast_before_any_write(spark):
+    """r11: the index lifecycle runs on any Hadoop-reachable URI, and
+    the old local-only gate is replaced by a reachability probe —
+    a scheme whose connector is NOT on the classpath (s3a/abfss in
+    this container) must still fail fast with the cause named, BEFORE
+    any data write could half-destroy an existing index."""
     import pytest as _pytest
 
     from nursinghome_data_pipeline_spark.operators.similarity import (
@@ -428,11 +429,11 @@ def test_remote_uri_fails_fast_before_any_write():
 
     for fn, args in [
         (write_ivf_index, (None, "s3a://bucket/idx", [])),
-        (write_lsh_index, (None, "hdfs://nn/idx")),
         (append_to_ann_index, (None, "s3a://bucket/idx")),
         (compact_ann_index, (None, "abfss://c@a.dfs.core.windows.net/idx")),
+        (write_lsh_index, (None, "s3a://bucket/idx")),
     ]:
-        with _pytest.raises(NotImplementedError, match="local-filesystem only"):
+        with _pytest.raises(RuntimeError, match="no Hadoop filesystem client"):
             fn(*args) if fn is not write_lsh_index else fn(*args, dim=64)
 
 

@@ -650,7 +650,10 @@ def test_srp_zero_norm_vectors_bypass_index(spark, tmp_path):
     cosine to everything — they can never be dropped as near-dups,
     yet all of them project to ONE bucket of every table (an
     unbounded hot key). They must take the null-payload bypass:
-    written to the target, NEVER posted to the index."""
+    written to the target, NEVER posted to the index. r11 (ADVICE
+    r10): the bypass skips only the NEAR stages — bit-identical
+    degenerate vectors are still EXACT duplicates and collapse to the
+    min id within the batch."""
     import numpy as np
 
     from nursinghome_data_pipeline_spark.operators.embedding_index import (
@@ -684,10 +687,12 @@ def test_srp_zero_norm_vectors_bypass_index(spark, tmp_path):
     try:
         rows = [
             (30, [0.0] * dim),          # zero-norm
-            (31, [0.0] * dim),          # second zero-norm: must NOT
-                                        # dedup against the first
-            (32, []),                   # empty array (norm 0)
-            (33, [None] + [1.0] * (dim - 1)),  # NULL element
+            (31, [0.0] * dim),          # bit-identical zero-norm copy:
+                                        # dropped by the EXACT stage
+                                        # (min-id 30 wins) even though
+                                        # cosine can't compare them
+            (32, []),                   # empty array (norm 0), unique
+            (33, [None] + [1.0] * (dim - 1)),  # NULL element, unique
             (34, unit()),               # normal fresh vector
         ]
         with open(os.path.join(src, "b0.json"), "w", encoding="utf-8") as f:
@@ -701,9 +706,10 @@ def test_srp_zero_norm_vectors_bypass_index(spark, tmp_path):
         r["vec_id"]
         for r in spark.read.option("basePath", data).parquet(data).collect()
     }
-    # every degenerate row passes through (no silent drops, no
-    # dedup among zero-norm rows — cosine is undefined between them)
-    assert got == {30, 31, 32, 33, 34}
+    # distinct degenerate rows pass through (no silent drops, no NEAR
+    # dedup among them — cosine is undefined between zero vectors) but
+    # the bit-identical copy 31 collapses into 30 via the exact rule
+    assert got == {30, 32, 33, 34}
     # the index gained postings ONLY for the normal vector
     posted = {
         r["vec_id"]
