@@ -560,12 +560,14 @@ def compact_files(
 
     The rewrite goes through a temp directory + atomic-ish swap so a
     failed compaction never leaves the table half-rewritten (the
-    parquet+rename swap is the local-FS stand-in for a transactional
-    rewrite in Delta/Iceberg).
+    parquet+rename swap is the stand-in for a transactional rewrite in
+    Delta/Iceberg). All directory ops route through :mod:`..fs` (r11),
+    so the table may live at a plain path or any Hadoop-reachable URI
+    — note rename is atomic on local disk/HDFS but copy-based on
+    object stores, where the transactional-format caveat applies
+    doubly.
     """
-    import glob as _glob
-    import os
-    import shutil
+    from .. import fs
 
     old = path.rstrip("/") + ".compact.old"
     # recover a previous compaction that died mid-swap BEFORE touching
@@ -575,15 +577,12 @@ def compact_files(
     # parked). Without this, a leftover .old makes every later
     # compaction's rename fail, and a missing path breaks every reader
     # until manual repair.
-    if os.path.exists(old):
-        if os.path.exists(path):
-            shutil.rmtree(old)
+    if fs.exists(old):
+        if fs.exists(path):
+            fs.rmtree(old)
         else:
-            os.rename(old, path)
-    total = sum(
-        os.path.getsize(f)
-        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    )
+            fs.rename(old, path)
+    total = sum(sz for _p, sz, _m in fs.data_file_stats(path))
     n = max(1, (total + target_bytes - 1) // target_bytes)
     df = spark.read.parquet(path)
     out = df.repartitionByRange(n, F.col(sort_col)) if sort_col else df.coalesce(n)
@@ -591,9 +590,7 @@ def compact_files(
         out = out.sortWithinPartitions(sort_col)
     tmp = path.rstrip("/") + ".compact.tmp"
     out.write.mode("overwrite").parquet(tmp)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return len(
-        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    )
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.rmtree(old)
+    return len(fs.data_file_stats(path))

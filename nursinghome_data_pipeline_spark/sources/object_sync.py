@@ -117,38 +117,84 @@ def copy_files(
     relative to ``base_dir``, ON THE EXECUTORS (``mapInPandas`` over the
     plan rows — each task copies its partition's files, so throughput
     scales with the cluster exactly like the reference's thread pool,
-    but without a driver bottleneck). Local-FS here; an object-store
-    deployment swaps ``shutil`` for an S3A/Hadoop-FS client in this one
-    function — the decision layer above is storage-agnostic.
+    but without a driver bottleneck).
 
-    Writes are tmp-file + atomic ``os.replace`` so a killed task never
-    leaves a torn destination file; ``verify=True`` re-hashes the
-    DESTINATION bytes and marks ``copied`` false on mismatch (the
-    reference's end-to-end integrity check). Only rows with
-    ``copied=true`` may enter the manifest — see :func:`sync`.
+    ``dest_root`` may be a plain local path (the ``os``/``shutil`` fast
+    path, tmp-file + atomic ``os.replace``) or a ``scheme://`` URI
+    resolved with ``pyarrow.fs.FileSystem.from_uri`` (r11) — executors
+    have no SparkSession, so the object-store client here is Arrow's,
+    not Hadoop's: ``file://`` and (where the wheel ships the
+    filesystem) ``s3://`` work, and Hadoop's ``s3a://`` spelling is
+    translated to ``s3://``. On an object store the tmp+move commit is
+    copy-based rather than atomic — a killed task can leave an
+    ``.__inflight`` object, which never enters the manifest and is
+    overwritten by the retry.
+
+    ``verify=True`` re-hashes the DESTINATION bytes and marks
+    ``copied`` false on mismatch (the reference's end-to-end integrity
+    check). Only rows with ``copied=true`` may enter the manifest —
+    see :func:`sync`.
     """
     import hashlib
+    import re
     import shutil
 
+    dest_is_uri = bool(re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", dest_root))
+
     def do_copy(pdfs):
+        if dest_is_uri:
+            from pyarrow import fs as pafs
+
+            # Hadoop spells S3 "s3a://"; Arrow spells it "s3://"
+            uri = re.sub(r"^s3a://", "s3://", dest_root)
+            dfs, droot = pafs.FileSystem.from_uri(uri)
+            droot = droot.rstrip("/")
         for pdf in pdfs:
             dests, ok, vsha = [], [], []
             for p, sha in zip(pdf["path"], pdf["sha256"]):
                 src = _local_path(p)
-                dst = os.path.join(dest_root, os.path.relpath(src, base_dir))
+                rel = os.path.relpath(src, base_dir)
+                dst = (
+                    f"{dest_root.rstrip('/')}/{rel}"
+                    if dest_is_uri
+                    else os.path.join(dest_root, rel)
+                )
                 try:
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    tmp = f"{dst}.__inflight"
-                    shutil.copyfile(src, tmp)
-                    os.replace(tmp, dst)
-                    if verify:
-                        with open(dst, "rb") as fh:
-                            h = hashlib.sha256(fh.read()).hexdigest()
-                        vsha.append(h)
-                        ok.append(h == sha)
+                    if dest_is_uri:
+                        dpath = f"{droot}/{rel}"
+                        dest_dir_ = dpath.rsplit("/", 1)[0]
+                        dfs.create_dir(dest_dir_, recursive=True)
+                        tmp = f"{dpath}.__inflight"
+                        with open(src, "rb") as fh, dfs.open_output_stream(
+                            tmp
+                        ) as out:
+                            shutil.copyfileobj(fh, out, 1 << 20)
+                        dfs.move(tmp, dpath)
+                        if verify:
+                            h = hashlib.sha256()
+                            with dfs.open_input_stream(dpath) as fh:
+                                for chunk in iter(
+                                    lambda: fh.read(1 << 20), b""
+                                ):
+                                    h.update(chunk)
+                            vsha.append(h.hexdigest())
+                            ok.append(vsha[-1] == sha)
+                        else:
+                            vsha.append(None)
+                            ok.append(True)
                     else:
-                        vsha.append(None)
-                        ok.append(True)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        tmp = f"{dst}.__inflight"
+                        shutil.copyfile(src, tmp)
+                        os.replace(tmp, dst)
+                        if verify:
+                            with open(dst, "rb") as fh:
+                                h = hashlib.sha256(fh.read()).hexdigest()
+                            vsha.append(h)
+                            ok.append(h == sha)
+                        else:
+                            vsha.append(None)
+                            ok.append(True)
                 except OSError:
                     vsha.append(None)
                     ok.append(False)

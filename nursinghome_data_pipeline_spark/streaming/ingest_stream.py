@@ -176,18 +176,17 @@ def streaming_upsert_sink(
     the target is partitioned by key range (operators/skew.py
     write_time_partitioned is the layout tool).
     """
-    import os
-
     from pyspark.sql import SparkSession
 
-    manifest = os.path.join(target_dir, "_committed_batches")
+    from .. import fs
+
+    manifest = fs.join(target_dir, "_committed_batches")
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         spark = SparkSession.getActiveSession()
-        if os.path.exists(manifest):
+        if fs.exists(manifest):
             committed = {
-                int(line)
-                for line in open(manifest, encoding="utf-8").read().split()
+                int(line) for line in fs.read_text(manifest).split()
             }
             if batch_id in committed:
                 return  # re-delivered batch: idempotent skip
@@ -204,21 +203,19 @@ def streaming_upsert_sink(
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        import shutil
-
-        data_dir = os.path.join(target_dir, "data")
+        data_dir = fs.join(target_dir, "data")
         old_dir = data_dir + "_old"
         # crash recovery for the two-rename swap below: a previous run
         # that died mid-swap left either a completed swap (data + _old
         # both present → drop the leftover _old) or a demoted-only
         # state (_old present, data missing → restore it before
         # merging, the batch was never committed)
-        if os.path.exists(old_dir):
-            if os.path.exists(data_dir):
-                shutil.rmtree(old_dir)
+        if fs.exists(old_dir):
+            if fs.exists(data_dir):
+                fs.rmtree(old_dir)
             else:
-                os.rename(old_dir, data_dir)
-        if os.path.exists(data_dir):
+                fs.rename(old_dir, data_dir)
+        if fs.exists(data_dir):
             tgt = spark.read.parquet(data_dir)
             src = latest.select(
                 *[F.col(k).alias(f"__u_{k}") for k in keys],
@@ -244,13 +241,12 @@ def streaming_upsert_sink(
         # and the idempotent retry would silently rebuild the target
         # from this one batch). A real deployment uses Delta/Iceberg
         # commit protocols or an atomic store rename instead.
-        if os.path.exists(data_dir):
-            os.rename(data_dir, old_dir)
-        os.rename(data_dir + "_next", data_dir)
-        if os.path.exists(old_dir):
-            shutil.rmtree(old_dir)
-        with open(manifest, "a", encoding="utf-8") as fh:
-            fh.write(f"{batch_id}\n")
+        if fs.exists(data_dir):
+            fs.rename(data_dir, old_dir)
+        fs.rename(data_dir + "_next", data_dir)
+        if fs.exists(old_dir):
+            fs.rmtree(old_dir)
+        fs.append_text(manifest, f"{batch_id}\n")
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

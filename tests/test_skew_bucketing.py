@@ -531,3 +531,19 @@ def test_sub_quantization_point_mass_splits_by_observed_span(spark):
         ).collect()
     }
     assert got == ref
+
+
+def test_compact_files_over_file_uri(spark, tmp_path):
+    """r11: compact_files' swap/stat protocol rides the fs layer — a
+    file:// table compacts in place with rows intact."""
+    from nursinghome_data_pipeline_spark.operators.skew import compact_files
+
+    path = f"file://{tmp_path}/frag_uri"
+    spark.range(0, 5000).withColumn("v", F.col("id") * 3).repartition(
+        32
+    ).write.parquet(path)
+    n_after = compact_files(spark, path, target_bytes=1 << 30)
+    assert n_after < 32
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    assert back.agg(F.sum("v")).first()[0] == 3 * 5000 * 4999 // 2

@@ -83,3 +83,48 @@ def test_streaming_upsert_merges_microbatches(spark, tmp_path):
     finally:
         q2.stop()
     assert _read_target(spark, target) == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_streaming_upsert_over_file_uri_target(spark, tmp_path):
+    """r11: the sink's manifest + demote/promote swap ride the fs
+    layer, so a scheme-qualified target works — file:// exercises the
+    Hadoop client path for the manifest, the crash-safe dir swap, and
+    the per-batch merge."""
+    from nursinghome_data_pipeline_spark import fs
+    from nursinghome_data_pipeline_spark.streaming.ingest_stream import (
+        streaming_upsert_sink,
+    )
+
+    landing = str(tmp_path / "landing_uri")
+    target = f"file://{tmp_path}/target_uri"
+    os.makedirs(landing)
+
+    def open_stream():
+        return (
+            spark.readStream.schema("k int, v string, seq int")
+            .option("recursiveFileLookup", True)
+            .parquet(landing)
+        )
+
+    _write_batch(spark, landing, [(1, "a", 1), (2, "b", 1)], 0)
+    q = streaming_upsert_sink(
+        open_stream(),
+        target,
+        keys=["k"],
+        checkpoint_dir=str(tmp_path / "ckpt_uri"),
+        seq_col="seq",
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, landing, [(2, "B", 2), (3, "c", 2)], 1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.k: r.v
+        for r in spark.read.parquet(fs.join(target, "data")).collect()
+    }
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # the exactly-once manifest lives at the URI, one id per batch
+    ids = fs.read_text(fs.join(target, "_committed_batches")).split()
+    assert sorted(ids) == ["0", "1"]
