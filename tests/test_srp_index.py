@@ -505,3 +505,44 @@ def test_normalized_layout_pins(spark, sf_dir, tmp_path):
         embedding_batch_against_index(spark, batch, path, threshold=THR)
     )
     assert got == want and got
+
+
+def test_fetch_regimes_emit_identical_pairs(spark, sf_dir, tmp_path):
+    """r11 (verdict #3): past the flat-read crossover the probe
+    fetches vectors straight from the flat relation; below it, from
+    the vb-pruned vector directories. Force EACH regime over the same
+    index and batch (via the crossover constant) — the pair sets,
+    cosines included, must be identical, and the natural reading must
+    match both."""
+    from nursinghome_data_pipeline_spark.operators import similarity
+
+    corpus, batch = _corpus_and_batch(spark, sf_dir)
+    path = str(tmp_path / "regimes")
+    write_srp_index(
+        corpus, path, dim=_DIM, design_threshold=THR, n_buckets=16, **GEO
+    )
+
+    def pairs():
+        return _pairs(
+            embedding_batch_against_index(spark, batch, path, threshold=THR)
+        )
+
+    natural = pairs()
+    saved = similarity.FLAT_READ_CROSSOVER
+    try:
+        # crossover 2.0: no batch can match >200% of dirs — forces the
+        # matched-dirs listing AND the vb-pruned vector fetch
+        similarity.FLAT_READ_CROSSOVER = 2.0
+        pruned = pairs()
+        # crossover 0.0 (any match trips it): forces the flat root
+        # read AND the flat-relation vector fetch
+        similarity.FLAT_READ_CROSSOVER = 0.0
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)
+            flat = pairs()
+    finally:
+        similarity.FLAT_READ_CROSSOVER = saved
+    assert pruned == flat == natural
+    assert natural, "empty pair set proves nothing"
