@@ -1009,7 +1009,11 @@ def compact_ann_index(
     atomic-swap + crash-recovery protocol as
     ``operators/skew.compact_files``: a compaction that dies mid-swap
     never leaves the index half-rewritten, and the next call repairs
-    the leftover state before touching anything.
+    the leftover state before touching anything. (The swap's renames
+    are atomic on local disk and HDFS; an object-store URI makes them
+    copy-based — r11 ``fs`` module caveat — so prefer HDFS-class
+    stores for compacted indexes, or quiesce probes around
+    compaction.)
 
     SINGLE-WRITER contract with :func:`append_to_ann_index`, enforced
     by the Dekker-style intent/lock handshake (described there): this
