@@ -1333,19 +1333,31 @@ def _srp_index_probes(
         if n_copies == 1:
             return emb
         reps = spark.range(n_copies).select(F.col("id").alias("__rep"))
-        return emb.crossJoin(reps).select(
-            (F.col("vec_id") + F.col("__rep") * (1 << 40)).alias("vec_id"),
-            F.when(F.col("__rep") == 0, F.col("embedding")).otherwise(
-                F.transform(
-                    "embedding",
-                    lambda x, i: x * F.when(
-                        F.pmod(
-                            F.xxhash64(F.col("__rep"), i), F.lit(2)
-                        ) == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)).cast("float"),
-                )
-            ).alias("embedding"),
+        return (
+            emb.crossJoin(reps)
+            # the base table is ONE parquet file; a broadcast-NL join
+            # inherits its single partition, which would serialize the
+            # downstream signature projection onto one task (r11: the
+            # first 10M build ran ~1 core for 80+ min before this).
+            # Real corpora arrive in many files — spread the staged
+            # rows so the build measures the engine, not the staging.
+            .repartition(cores * 2)
+            .select(
+                (F.col("vec_id") + F.col("__rep") * (1 << 40)).alias(
+                    "vec_id"
+                ),
+                F.when(F.col("__rep") == 0, F.col("embedding")).otherwise(
+                    F.transform(
+                        "embedding",
+                        lambda x, i: x * F.when(
+                            F.pmod(
+                                F.xxhash64(F.col("__rep"), i), F.lit(2)
+                            ) == 0,
+                            F.lit(1.0),
+                        ).otherwise(F.lit(-1.0)).cast("float"),
+                    )
+                ).alias("embedding"),
+            )
         )
 
     out: dict = {"cores": cores, "sf_dir": SF_DIR, "dim": dim}
