@@ -412,6 +412,7 @@ def embedding_batch_against_index(
     path: str,
     *,
     threshold: float | None = None,
+    plan_probe: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs between ``batch`` and the indexed corpus under
     cosine similarity — ``(batch_id, corpus_id, cosine_sim)`` with
@@ -473,7 +474,7 @@ def embedding_batch_against_index(
         n_buckets=int(meta["n_buckets"]),
     ).localCheckpoint(eager=False)
     return probe_index_with_srp_rows(
-        spark, b, path, meta, threshold=threshold
+        spark, b, path, meta, threshold=threshold, plan_probe=plan_probe
     )
 
 
@@ -484,6 +485,7 @@ def probe_index_with_srp_rows(
     meta: dict,
     *,
     threshold: float,
+    plan_probe: dict | None = None,
 ) -> DataFrame:
     """Probe body of :func:`embedding_batch_against_index` over an
     already-computed ``_srp_rows`` projection — the cosine twin of
@@ -493,14 +495,31 @@ def probe_index_with_srp_rows(
 
     Normalized layout (module docstring): candidate pairs come from
     the pruned posting directories, and the vector payload for the
-    verify is fetched from the candidates' OWN vector directories —
+    verify is fetched from the CANDIDATES' own vector directories —
     the distinct candidate ids' ``vec pb`` values (bounded by
-    ``n_vec_buckets``) prune that second read the same way the posting
-    ``pb`` values prune the first. Delta rows (``pb = −1``) carry the
-    payload inline (they may hold vectors not yet compacted into
-    vector directories), so the verify coalesces inline-over-fetched.
-    Legacy payload-carrying sidecars (no ``layout`` key) skip the
-    fetch entirely."""
+    ``n_vec_buckets`` and, for small probes, by the candidate count)
+    prune that second read the same way the posting ``pb`` values
+    prune the first. r11 derived those values from every id in the
+    matched POSTING directories instead — a superset that covers
+    essentially all vector buckets once ``n_rows / n_buckets`` ids
+    per directory × matched directories ≫ ``n_vec_buckets`` (at 10M
+    vectors the 100-vector probe read ~the whole 2.6 GB vector store;
+    probe wall 9.9 s at 1M → 38.5 s at 10M while the posting side
+    stayed O(batch) — SCALE.md r11 stretch, the r11 verdict's #1).
+    Candidate-driven pruning restores O(batch): measured 43.8 s →
+    see SCALE.md r12 on the same 10M index, pairs set-equal. Delta
+    rows (``pb = −1``) carry the payload inline (they may hold
+    vectors not yet compacted into vector directories), so the verify
+    coalesces inline-over-fetched. Legacy payload-carrying sidecars
+    (no ``layout`` key) skip the fetch entirely.
+
+    ``plan_probe`` is a test seam: when a dict is passed, the
+    UN-checkpointed candidate frame is stored under
+    ``plan_probe["candidates"]`` so plan gates can assert the posting
+    scan's ``PartitionFilters`` — the candidate-driven fetch pins the
+    bucket join behind a lazy ``localCheckpoint`` (one execution
+    shared by the vec-pb collect and the pair plan), which hides that
+    scan from the FINAL plan."""
     # bounded driver collect: ≤ n_tables × n_buckets ints — the
     # partition-pruning literal, same shape as the other index probes
     pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
@@ -564,13 +583,18 @@ def probe_index_with_srp_rows(
         # fetch below covers it either way.
         .dropDuplicates(["batch_id", "corpus_id"])
     )
+    if plan_probe is not None:
+        plan_probe["candidates"] = cands
     if meta.get("layout") == "normalized":
-        from .similarity import FLAT_READ_CROSSOVER
+        from .similarity import crossover_flat_read
 
         n_posting_dirs = int(meta["n_tables"]) * int(meta["n_buckets"])
-        posting_matched = sum(1 for v in pbs if v >= 0)
         fetched = None
-        if posting_matched > FLAT_READ_CROSSOVER * n_posting_dirs:
+        # the SAME decision read_matched_partitions made for `rel`
+        # above — shared helper, so the two sites cannot drift
+        # (ADVICE r11: a drifted copy here would fetch from a pruned
+        # posting-only relation and silently drop every pair)
+        if crossover_flat_read(pbs, n_posting_dirs):
             # Big-batch regime (r11, verdict #3): `rel` above was read
             # FLAT past the pruning crossover, so it ALREADY contains
             # every vector row — running the vbs pruning job (a full
@@ -601,19 +625,23 @@ def probe_index_with_srp_rows(
                 F.col(vec_col).alias("_v_f"),
             )
         else:
-            # Small-probe regime: vector-side partition pruning
-            # WITHOUT executing the candidate join twice — the ids in
-            # the matched posting directories are a superset of the
-            # candidate ids, their vec-pb values are bounded by
-            # n_vec_buckets, and the payload-free posting rows make
-            # this collect a cheap pruned scan. (Collecting from
-            # `cands` instead would need a checkpoint that hides the
-            # scan from the plan gate.)
-            vpb = _vec_pb_col(id_col, int(meta["n_vec_buckets"]))
+            # Small-probe regime (r12, verdict #1): vector-side
+            # partition pruning driven by the CANDIDATES themselves.
+            # The lazy localCheckpoint pins the bucket join so the
+            # vec-pb collect below and the final pair plan share ONE
+            # execution of the posting scan (without it the collect
+            # would be a second full run of the join); the checkpoint
+            # is bounded — candidate pairs after dedup, carrying two
+            # vectors each, ≤ batch keys × bucket population. Only
+            # rows whose payload is NOT already inline (_v_c NULL)
+            # need the fetch, so they alone contribute vec-pb values —
+            # bounded by n_vec_buckets, and for a small probe by the
+            # candidate count itself.
+            cands = cands.localCheckpoint(eager=False)
+            vpb = _vec_pb_col("corpus_id", int(meta["n_vec_buckets"]))
             vbs = [
                 r["vpb"]
-                for r in rel.where(F.col("pb").isin(pbs))
-                .where(F.col("tbl").isNotNull() & F.col(vec_col).isNull())
+                for r in cands.where(F.col("_v_c").isNull())
                 .select(vpb.alias("vpb"))
                 .distinct()
                 .collect()
@@ -621,13 +649,14 @@ def probe_index_with_srp_rows(
             if vbs:
                 vrel = read_matched_partitions(spark, path, "pb", vbs)
                 if vrel is None:
-                    # base postings exist (vbs derives from them) but
-                    # NONE of their vector directories do — a partially
-                    # copied or corrupted index. Silently continuing
-                    # would leave every candidate's _v_c NULL, NULL
-                    # cosine, every pair dropped — indistinguishable
-                    # from a genuine no-match probe (ADVICE r10). Fail
-                    # with the cause named instead.
+                    # candidates with base postings exist (vbs derives
+                    # from them) but NONE of their vector directories
+                    # do — a partially copied or corrupted index.
+                    # Silently continuing would leave every
+                    # candidate's _v_c NULL, NULL cosine, every pair
+                    # dropped — indistinguishable from a genuine
+                    # no-match probe (ADVICE r10). Fail with the cause
+                    # named instead.
                     raise RuntimeError(
                         f"probe_index_with_srp_rows: normalized srp "
                         f"index at {path} has posting rows but none of "

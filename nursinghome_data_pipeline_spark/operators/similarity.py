@@ -693,6 +693,28 @@ FLAT_READ_CROSSOVER = 0.5
 _FLAT_READ_WARNED: set[str] = set()
 
 
+def crossover_flat_read(values, total_partitions: int | None) -> bool:
+    """True when a probe over these partition values is past
+    :data:`FLAT_READ_CROSSOVER` and :func:`read_matched_partitions`
+    will serve it with a FLAT root read instead of matched-directory
+    listing. This is THE flat-read decision — the probe-side fetch
+    regimes in ``embedding_index.py`` branch on the same call, so the
+    threshold, the reserved-partition exclusion (negative values never
+    arm the crossover), and the ``total_partitions`` handling can
+    never drift between the reader and its callers (ADVICE r11: two
+    hand-inlined copies of this expression drifting apart would make
+    the big-batch fetch read a pruned posting-only relation and
+    silently drop every pair)."""
+    if total_partitions is None or total_partitions <= 0:
+        return False
+    n = sum(
+        1
+        for v in set(values)
+        if not (isinstance(v, int) and v < 0)
+    )
+    return n > FLAT_READ_CROSSOVER * total_partitions
+
+
 def read_matched_partitions(
     spark, path: str, part_col: str, values, *, total_partitions: int | None = None
 ):
@@ -729,13 +751,12 @@ def read_matched_partitions(
     from .. import fs
 
     vals = sorted(set(values))
-    # only genuine bucket matches arm the crossover — see docstring
-    crossover_n = sum(1 for v in vals if not (isinstance(v, int) and v < 0))
-    if (
-        total_partitions is not None
-        and total_partitions > 0
-        and crossover_n > FLAT_READ_CROSSOVER * total_partitions
-    ):
+    if crossover_flat_read(vals, total_partitions):
+        # only genuine bucket matches armed the crossover — see
+        # crossover_flat_read (the single shared decision)
+        crossover_n = sum(
+            1 for v in vals if not (isinstance(v, int) and v < 0)
+        )
         try:
             has_any = any(
                 e.startswith(f"{part_col}=") for e in fs.listdir(path)
@@ -768,7 +789,42 @@ def read_matched_partitions(
     ]
     if not matched:
         return None
-    return spark.read.option("basePath", path).parquet(*matched)
+    return _read_many_dirs(spark, path, matched)
+
+
+def _read_many_dirs(spark, base_path: str, dirs: list[str]):
+    """Construct the multi-directory read without paying Spark's
+    parallel-discovery job twice over.
+
+    Above ``parallelPartitionDiscovery.threshold`` (32) paths, Spark
+    lists AND schema-infers via driver jobs whose per-path task
+    overhead dwarfs the actual stat calls on a local filesystem —
+    MEASURED on the 10M-vector srp index (SCALE.md r12): constructing
+    a 4,096-directory read cost 16.7 s as jobs vs **1.55 s** with
+    sequential driver listing + an explicit schema (the listing itself
+    is 4,096 ``listStatus`` calls ≈ 40 ms locally). So for plain local
+    paths: resolve the schema from ONE matched directory (a single
+    footer), then list sequentially by raising the threshold for the
+    duration of the construct. ``scheme://`` URIs keep the parallel
+    job — against S3 each LIST is a ~30-50 ms RPC and the driver
+    serializing 4,096 of them would cost minutes; only the schema
+    shortcut applies there. The threshold save/restore is driver-side
+    session state: concurrent reads constructed on OTHER threads
+    during this window would also list sequentially — harmless for
+    correctness, momentarily slower for them on remote stores."""
+    from .. import fs
+
+    schema = spark.read.option("basePath", base_path).parquet(dirs[0]).schema
+    reader = spark.read.schema(schema).option("basePath", base_path)
+    if fs.is_uri(base_path) or len(dirs) <= 32:
+        return reader.parquet(*dirs)
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(max(len(dirs) + 1, int(saved))))
+        return reader.parquet(*dirs)
+    finally:
+        spark.conf.set(key, saved)
 
 
 def _compact_for_write(

@@ -247,8 +247,12 @@ def test_regeometry_compaction_matches_fresh_rebuild(
 
 
 def test_partition_pruning_plan_gate(spark, sf_dir, tmp_path):
-    """The batch's pb list must land in PartitionFilters — file-level
-    pruning, same gate as the other index probes."""
+    """Both reads of a small probe must prune at file level: the
+    POSTING scan's pb list lands in PartitionFilters on the candidate
+    plan (r12: the candidate-driven fetch pins that join behind a
+    lazy localCheckpoint, so it is gated via the ``plan_probe`` seam —
+    the final plan no longer contains it), and the VECTOR fetch's
+    vec-pb list lands in PartitionFilters on the final plan."""
     from nursinghome_data_pipeline_spark.plans import formatted_plan
 
     corpus, batch = _corpus_and_batch(spark, sf_dir)
@@ -256,14 +260,20 @@ def test_partition_pruning_plan_gate(spark, sf_dir, tmp_path):
     write_srp_index(
         corpus, path, dim=_DIM, design_threshold=THR, n_buckets=32, **GEO
     )
+    seam: dict = {}
     out = embedding_batch_against_index(
-        spark, batch.limit(3), path, threshold=THR
+        spark, batch.limit(3), path, threshold=THR, plan_probe=seam
     )
+    cand_plan = formatted_plan(seam["candidates"])
+    pf = [l for l in cand_plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "pb" in pf[0], cand_plan
     plan = formatted_plan(out)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "pb" in pf[0], plan
     # the candidate join is a (tbl, bucket) equi-join — never all-pairs
-    assert "CartesianProduct" not in plan, plan
+    assert "CartesianProduct" not in cand_plan and (
+        "CartesianProduct" not in plan
+    ), plan
 
 
 def test_probe_on_empty_match_returns_typed_empty(spark, tmp_path):
