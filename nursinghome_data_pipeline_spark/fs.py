@@ -80,22 +80,29 @@ def check_fs(path: str, op: str) -> None:
 
     Replaces the r5-r10 ``_require_local_path`` gate: instead of
     rejecting every ``scheme://`` URI, instantiate its Hadoop
-    FileSystem client up front — an unconfigured connector (e.g.
-    ``s3a://`` without hadoop-aws on the classpath, or missing
-    credentials classes) raises HERE, before any data write could
-    overwrite an existing index it then couldn't finish."""
+    FileSystem client AND make one real round trip (``exists`` on the
+    path) — client construction alone succeeds for a dead namenode or
+    unconfigured credentials without any RPC (ADVICE r11), and the
+    next step is typically a ``mode('overwrite')`` data write that
+    would delete an existing index before discovering it can't
+    finish. The ``exists`` surfaces connectivity/credential failures
+    first. Residual caveat: a reachable endpoint that dies BETWEEN
+    this check and the write is still the half-destroyed-index
+    scenario — this is fail-fast, not a transaction."""
     if not is_uri(path):
         return
     try:
-        _hadoop(path)
+        _, fs, P = _hadoop(path)
+        fs.exists(P(path))
     except RuntimeError:
         raise
-    except Exception as e:  # Py4JJavaError — connector not on classpath
+    except Exception as e:  # Py4JJavaError — no connector / dead endpoint
         raise RuntimeError(
-            f"{op}: no Hadoop filesystem client for {path!r} — the "
-            "scheme's connector is not on the classpath or not "
-            f"configured ({e.__class__.__name__}). Add the connector "
-            "jars/credentials to the Spark conf, or use a local path."
+            f"{op}: filesystem for {path!r} is unusable — the scheme's "
+            "connector is not on the classpath, credentials are "
+            "missing/invalid, or the endpoint is unreachable "
+            f"({e.__class__.__name__}). Fix the Spark Hadoop conf, or "
+            "use a local path."
         ) from e
 
 
@@ -147,9 +154,13 @@ def write_text(path: str, text: str) -> None:
             f.write(text)
         return
     _, fs, P = _hadoop(path)
-    tmp = tempfile.mktemp(prefix="fs-stage-")
+    # mkstemp, not mktemp: the fd is created atomically with O_EXCL,
+    # so no local attacker/concurrent session can pre-create a
+    # symlink at a predicted name and redirect the staged sidecar
+    # content (CWE-377 — ADVICE r11)
+    fd, tmp = tempfile.mkstemp(prefix="fs-stage-")
     try:
-        with open(tmp, "w", encoding="utf-8") as f:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
             f.write(text)
         fs.copyFromLocalFile(False, True, P(tmp), P(path))
     finally:
@@ -164,28 +175,21 @@ def read_text(path: str) -> str:
     _, fs, P = _hadoop(path)
     if not fs.exists(P(path)):
         raise FileNotFoundError(path)
-    tmp = tempfile.mktemp(prefix="fs-stage-")
+    # mkstemp (not mktemp) holds the name with a file WE own for the
+    # whole window — a predicted-name symlink planted between name
+    # pick and copy would otherwise let the Hadoop copy clobber an
+    # attacker-chosen path (CWE-377 — ADVICE r11). The copy itself
+    # overwrites the placeholder (raw local FS target: no .crc
+    # sidecar litter).
+    fd, tmp = tempfile.mkstemp(prefix="fs-stage-")
+    os.close(fd)
     try:
-        # raw local FS target: no .crc sidecar litter
         fs.copyToLocalFile(False, P(path), P(tmp), True)
         with open(tmp, encoding="utf-8") as f:
             return f.read()
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
-
-
-def append_text(path: str, text: str) -> None:
-    """Append to a small text file (streaming manifests). Hadoop
-    ``append()`` is unsupported on object stores, so the URI path is
-    read-modify-write — fine for driver-owned manifests (single-writer
-    by the streaming sink's contract), NOT a concurrent append log."""
-    if not is_uri(path):
-        with open(path, "a", encoding="utf-8") as f:
-            f.write(text)
-        return
-    old = read_text(path) if exists(path) else ""
-    write_text(path, old + text)
 
 
 def touch(path: str) -> None:
@@ -262,10 +266,27 @@ def data_file_stats(path: str, suffix: str = ".parquet") -> set[tuple[str, int, 
         return set()
     out: set[tuple[str, int, float]] = set()
     it = fs.listFiles(P(path), True)
-    while it.hasNext():
-        st = it.next()
-        p = st.getPath().toString()
-        if p.endswith(suffix):
-            # Hadoop mtime is epoch millis; only equality matters here
-            out.add((p, int(st.getLen()), st.getModificationTime() / 1000.0))
+    try:
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            if p.endswith(suffix):
+                # Hadoop mtime is epoch millis; only equality matters
+                out.add(
+                    (p, int(st.getLen()), st.getModificationTime() / 1000.0)
+                )
+    except Exception as e:
+        # A file vanishing between the directory listing and its stat
+        # raises java.io.FileNotFoundException out of the iterator.
+        # Local parity (ADVICE r11): record a sentinel entry so the
+        # caller's before/after comparison trips its CLEAN
+        # concurrent-writer abort instead of an opaque Py4J error. The
+        # sentinel embeds the vanished path when the message names it,
+        # plus the partial-set size so two truncated listings can
+        # never compare equal by accident — vanishing files mean a
+        # concurrent writer, and aborting is the correct outcome.
+        name = getattr(
+            getattr(e, "java_exception", None), "getMessage", lambda: ""
+        )()
+        out.add((f"{path}#vanished:{name}#after={len(out)}", -1, -1.0))
     return out

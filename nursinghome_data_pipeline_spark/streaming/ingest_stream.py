@@ -165,10 +165,12 @@ def streaming_upsert_sink(
 
     Exactly-once: Spark's foreachBatch gives at-least-once delivery
     with a stable ``batch_id`` — the sink records committed batch ids
-    in ``_committed_batches`` under the target and skips re-delivered
-    ids, making the merge idempotent. Replacing parquet+manifest with
-    Delta/Iceberg gives the same semantics transactionally; the
-    control flow here is identical, which is the point of the design.
+    as per-batch marker files under the target
+    (:mod:`.commitlog` — crash-safe on every store, r12) and skips
+    re-delivered ids, making the merge idempotent. Replacing
+    parquet+markers with Delta/Iceberg gives the same semantics
+    transactionally; the control flow here is identical, which is the
+    point of the design.
 
     At scale: per batch, one shuffle of the (small) micro-batch plus a
     key-range-pruned rewrite of affected target files — copy-on-write
@@ -179,17 +181,12 @@ def streaming_upsert_sink(
     from pyspark.sql import SparkSession
 
     from .. import fs
-
-    manifest = fs.join(target_dir, "_committed_batches")
+    from . import commitlog
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         spark = SparkSession.getActiveSession()
-        if fs.exists(manifest):
-            committed = {
-                int(line) for line in fs.read_text(manifest).split()
-            }
-            if batch_id in committed:
-                return  # re-delivered batch: idempotent skip
+        if commitlog.is_committed(target_dir, batch_id):
+            return  # re-delivered batch: idempotent skip
         from pyspark.sql.window import Window
 
         non_keys = [c for c in batch.columns if c not in keys]
@@ -246,7 +243,7 @@ def streaming_upsert_sink(
         fs.rename(data_dir + "_next", data_dir)
         if fs.exists(old_dir):
             fs.rmtree(old_dir)
-        fs.append_text(manifest, f"{batch_id}\n")
+        commitlog.record_commit(target_dir, batch_id)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

@@ -46,7 +46,7 @@ def _split3(docs):
 def test_fs_helpers_uri_and_local_parity(spark, tmp_path):
     """Unit battery: every fs helper behaves identically on a plain
     path and its file:// twin (exists/is_dir/listdir/read/write/
-    append/touch/remove/rename/rmtree/glob/stats)."""
+    touch/remove/rename/rmtree/glob/stats)."""
     for root in (str(tmp_path / "plain"), f"file://{tmp_path}/uri"):
         fs.makedirs(fs.join(root, "d"))
         assert fs.exists(root) and fs.is_dir(root)
@@ -54,7 +54,9 @@ def test_fs_helpers_uri_and_local_parity(spark, tmp_path):
         fs.write_text(f1, "hello")
         assert fs.read_text(f1) == "hello"
         assert not fs.is_dir(f1)
-        fs.append_text(f1, " world")
+        # overwrite semantics (append_text was removed in r12 — the
+        # torn-manifest hazard went with it; commits are marker files)
+        fs.write_text(f1, "hello world")
         assert fs.read_text(f1) == "hello world"
         fs.touch(fs.join(root, "_m-1.intent"))
         fs.touch(fs.join(root, "_m-2.intent"))
@@ -81,7 +83,7 @@ def test_fs_helpers_uri_and_local_parity(spark, tmp_path):
 
 
 def test_unreachable_scheme_raises_named_error(spark):
-    with pytest.raises(RuntimeError, match="no Hadoop filesystem client"):
+    with pytest.raises(RuntimeError, match="filesystem for .* is unusable"):
         fs.check_fs("s3a://bucket/idx", "test_op")
     # plain paths and file:// are reachable — no-op / silent pass
     fs.check_fs("/tmp/anything", "test_op")
@@ -264,5 +266,7 @@ def test_streaming_ingest_over_file_uri(spark, sf_dir, tmp_path):
         ).parquet(fs.join(target, "data")).collect()
     }
     assert got == {i for i, _ in fresh}
-    # exactly-once manifest lives at the URI
-    assert fs.read_text(fs.join(target, "_committed_batches")).split() == ["0"]
+    # exactly-once commit log lives at the URI (marker files — r12)
+    from nursinghome_data_pipeline_spark.streaming import commitlog
+
+    assert commitlog.committed_ids(target) == {0}

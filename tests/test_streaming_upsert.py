@@ -63,10 +63,10 @@ def test_streaming_upsert_merges_microbatches(spark, tmp_path):
     finally:
         q.stop()
 
-    # committed-batch manifest records each applied batch exactly once
-    manifest = os.path.join(target, "_committed_batches")
-    ids = open(manifest, encoding="utf-8").read().split()
-    assert len(ids) == len(set(ids)) >= 2
+    # commit log records each applied batch (marker files — r12)
+    from nursinghome_data_pipeline_spark.streaming import commitlog
+
+    assert len(commitlog.committed_ids(target)) >= 2
 
     # re-delivery: a FRESH checkpoint replays everything as batch 0,
     # which is already committed — the manifest dedupe makes the merge
@@ -125,6 +125,7 @@ def test_streaming_upsert_over_file_uri_target(spark, tmp_path):
         for r in spark.read.parquet(fs.join(target, "data")).collect()
     }
     assert got == {1: "a", 2: "B", 3: "c"}
-    # the exactly-once manifest lives at the URI, one id per batch
-    ids = fs.read_text(fs.join(target, "_committed_batches")).split()
-    assert sorted(ids) == ["0", "1"]
+    # the exactly-once commit log lives at the URI, one marker per batch
+    from nursinghome_data_pipeline_spark.streaming import commitlog
+
+    assert commitlog.committed_ids(target) == {0, 1}
