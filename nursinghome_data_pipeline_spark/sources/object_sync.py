@@ -104,6 +104,50 @@ def _local_path(p: str) -> str:
     return p
 
 
+#: Hadoop scheme spelling → the spelling ``pyarrow.fs.FileSystem.from_uri``
+#: resolves. Arrow has no client at all for the legacy Azure ``wasb(s)``
+#: spellings — fail fast with the scheme named rather than let from_uri
+#: raise a generic "unrecognized filesystem" deep inside an executor
+#: task (r11 verdict #5: only s3a was translated; abfs/gs destinations
+#: silently depended on Arrow happening to accept the Hadoop spelling).
+_ARROW_SCHEME_MAP = {
+    "s3a": "s3",
+    "s3n": "s3",
+    "gs": "gcs",
+    "abfs": "abfs",  # Arrow >= 16 ships AzureFileSystem under this name
+    "abfss": "abfss",
+    "file": "file",
+    "s3": "s3",
+    "gcs": "gcs",
+    "hdfs": "hdfs",  # needs libhdfs at runtime; Arrow names the gap
+}
+_ARROW_UNSUPPORTED = {"wasb", "wasbs", "swift"}
+
+
+def arrow_uri(uri: str) -> str:
+    """Translate a Hadoop-spelled destination URI to Arrow's spelling,
+    failing fast (scheme named) for spellings Arrow has no client
+    for."""
+    import re as _re
+
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", uri)
+    if not m:
+        return uri
+    scheme = m.group(1).lower()
+    if scheme in _ARROW_UNSUPPORTED:
+        raise ValueError(
+            f"copy_files: destination scheme {scheme!r} has no "
+            "pyarrow.fs client — use the abfs(s):// spelling for "
+            "Azure, or copy via a Hadoop-side tool"
+        )
+    mapped = _ARROW_SCHEME_MAP.get(scheme)
+    if mapped is None:
+        # unknown scheme: pass through and let from_uri name it —
+        # Arrow may grow clients we don't know about
+        return uri
+    return _re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*://", mapped + "://", uri)
+
+
 def copy_files(
     plan: DataFrame,
     base_dir: str,
@@ -123,9 +167,13 @@ def copy_files(
     path, tmp-file + atomic ``os.replace``) or a ``scheme://`` URI
     resolved with ``pyarrow.fs.FileSystem.from_uri`` (r11) — executors
     have no SparkSession, so the object-store client here is Arrow's,
-    not Hadoop's: ``file://`` and (where the wheel ships the
-    filesystem) ``s3://`` work, and Hadoop's ``s3a://`` spelling is
-    translated to ``s3://``. On an object store the tmp+move commit is
+    not Hadoop's. Hadoop scheme spellings are translated via
+    :func:`arrow_uri` (``s3a``/``s3n``→``s3``, ``gs``→``gcs``,
+    ``abfs(s)`` passes through to Arrow's Azure client) and spellings
+    Arrow has no client for (``wasb(s)``) fail fast on the driver with
+    the scheme named (r12). ``file://`` is exercised end-to-end in
+    tests; remote schemes work where the pyarrow wheel ships the
+    filesystem. On an object store the tmp+move commit is
     copy-based rather than atomic — a killed task can leave an
     ``.__inflight`` object, which never enters the manifest and is
     overwritten by the retry.
@@ -140,14 +188,19 @@ def copy_files(
     import shutil
 
     dest_is_uri = bool(re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", dest_root))
+    if dest_is_uri:
+        # validate the scheme ON THE DRIVER — an unsupported spelling
+        # must raise here with the scheme named, not as an opaque
+        # executor-task failure after the job launches
+        arrow_uri(dest_root)
 
     def do_copy(pdfs):
         if dest_is_uri:
             from pyarrow import fs as pafs
 
-            # Hadoop spells S3 "s3a://"; Arrow spells it "s3://"
-            uri = re.sub(r"^s3a://", "s3://", dest_root)
-            dfs, droot = pafs.FileSystem.from_uri(uri)
+            # Hadoop scheme spellings → Arrow's (fail-fast for schemes
+            # Arrow has no client for — see arrow_uri)
+            dfs, droot = pafs.FileSystem.from_uri(arrow_uri(dest_root))
             droot = droot.rstrip("/")
         for pdf in pdfs:
             dests, ok, vsha = [], [], []

@@ -11,11 +11,11 @@ accepted. This is the loop a 100 TB training corpus actually grows by:
 per batch, cost is O(batch + matched index buckets); corpus size never
 appears in it.
 
-Idempotency is CRASH-POINT-COMPLETE, not just manifest-gated:
+Idempotency is CRASH-POINT-COMPLETE, not just commit-gated:
 
-- the committed-batch manifest (same protocol as the upsert sink)
-  skips re-delivered batch ids outright;
-- a crash AFTER the index append but BEFORE the manifest is the
+- the committed-batch marker files (:mod:`.commitlog`, same protocol
+  as the upsert sink) skip re-delivered batch ids outright;
+- a crash AFTER the index append but BEFORE the commit marker is the
   dangerous replay: the re-run probes an index that already contains
   this batch's accepted docs, so every one of them would match
   "the corpus" (itself, jaccard 1.0), accept nothing, and overwrite
@@ -51,10 +51,12 @@ Null-payload rows (no text/vector to fingerprint) bypass every dedup
 stage: they pass straight to the sink and are never posted to the
 index — filter them upstream if the corpus should not carry them.
 Degenerate srp vectors (zero-norm / NULL-element) bypass only the
-NEAR stages; bit-identical copies within a batch are still collapsed
-by the exact min-id rule (r11, ADVICE r10). Cross-batch copies of
-degenerate vectors are NOT caught — they are never indexed, so batch
-N+1 cannot see batch N's copy; filter them upstream if that matters.
+NEAR stages; bit-identical copies within a batch are collapsed by the
+exact min-id rule (r11, ADVICE r10), and ACROSS batches by the
+at-rest ``_degen.d`` marker set under the target (r12, r11 verdict
+#4): one marker per distinct degenerate payload ever accepted, probed
+per batch with the same winner-id self-exclusion the main probe uses
+for crash replay, so exactly one copy survives the whole stream.
 
 Within-batch near-dup policy: after exact dedup (min-id winner per
 ``md5(text)``; min-id per identical vector for the srp family — no
@@ -74,6 +76,44 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: marker directory under the TARGET recording every degenerate
+#: payload ever accepted — ``<md5>__<hex(winner_id)>`` per entry. Under
+#: the target (not the index) because compaction's swap replaces the
+#: index tree wholesale; same no-torn-state marker protocol as
+#: streaming/commitlog.py.
+DEGEN_DIR = "_degen.d"
+
+
+def _degen_entries(target_dir: str) -> dict[str, str]:
+    """{payload_md5: winner_id_str} of every degenerate payload a
+    previous batch accepted."""
+    from .. import fs
+
+    try:
+        names = fs.listdir(fs.join(target_dir, DEGEN_DIR))
+    except OSError:
+        return {}
+    out: dict[str, str] = {}
+    for n in names:
+        md5, sep, hexid = n.partition("__")
+        if not sep:
+            continue  # foreign file
+        try:
+            out[md5] = bytes.fromhex(hexid).decode("utf-8")
+        except ValueError:
+            continue
+    return out
+
+
+def _degen_record(target_dir: str, payload_md5: str, winner_id: str) -> None:
+    from .. import fs
+
+    d = fs.join(target_dir, DEGEN_DIR)
+    fs.makedirs(d)
+    fs.touch(
+        fs.join(d, f"{payload_md5}__{winner_id.encode('utf-8').hex()}")
+    )
 
 
 def streaming_dedup_ingest(
@@ -172,13 +212,15 @@ def streaming_dedup_ingest(
         load_ann_meta,
     )
 
-    # the committed-batch manifest is the same driver-side sidecar
-    # class as the index protocol — routed through fs (r11), so a
+    # committed-batch bookkeeping is the per-batch marker protocol in
+    # streaming/commitlog.py (r12: markers cannot tear, unlike the
+    # appended manifest file) — routed through fs (r11), so a
     # file://-or-remote target keeps the exactly-once bookkeeping on
     # the SAME filesystem as the data, never a cwd-relative local file
+    from . import commitlog
+
     fs.check_fs(target_dir, "streaming_dedup_ingest")
     fs.check_fs(index_path, "streaming_dedup_ingest")
-    manifest = fs.join(target_dir, "_committed_batches")
 
     def _require_dedup_kind(meta: dict) -> None:
         if meta.get("kind") not in ("minhash", "simhash", "srp"):
@@ -231,10 +273,8 @@ def streaming_dedup_ingest(
 
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:
         spark = SparkSession.getActiveSession()
-        if fs.exists(manifest):
-            committed = {int(line) for line in fs.read_text(manifest).split()}
-            if batch_id in committed:
-                return  # re-delivered batch: idempotent skip
+        if commitlog.is_committed(target_dir, batch_id):
+            return  # re-delivered batch: idempotent skip
         meta = load_ann_meta(index_path)
         # re-checked per batch: an index swapped out underneath a
         # running stream must still fail with the kinds named
@@ -372,25 +412,56 @@ def streaming_dedup_ingest(
             )
             bypass_pred = bypass_pred | nrm2.isNull() | (nrm2 == 0.0)
         null_payload = batch.where(bypass_pred)
+        degen_new: list[tuple[str, str]] = []
         if meta["kind"] == "srp":
             # Degenerate vectors rightly skip the NEAR stages (NULL
             # cosine can never clear a threshold) — but bit-identical
             # copies are still EXACT duplicates, the one class a dedup
-            # pipeline can always catch (ADVICE r10). Apply stage 1's
-            # own rule to them: group identical payload arrays, min-id
-            # wins. Truly-NULL payloads carry no content to compare
-            # and pass through unchanged. Scope note: this is
-            # within-batch only — degenerate vectors are never posted
-            # to the index, so a zero vector in batch N+1 cannot see
-            # batch N's copy; filter degenerate rows upstream if the
-            # corpus must not accumulate them across batches.
+            # pipeline can always catch (ADVICE r10). Within the
+            # batch, stage 1's own rule applies: group identical
+            # payload arrays, min-id wins. ACROSS batches (r12, r11
+            # verdict #4): degenerate vectors are never posted to the
+            # index, so the loop keeps its own at-rest record — one
+            # empty marker file per distinct degenerate payload under
+            # the TARGET (``_degen.d/<md5>__<hex(winner_id)>``; inside
+            # the index it would not survive the compaction swap).
+            # Marker names carry both fields, so there is no torn
+            # state (same protocol as commitlog), and the winner id
+            # enables the same self-exclusion the main probe uses for
+            # crash replay: a marker whose winner IS one of this
+            # batch's rows means the marker came from this very
+            # batch's earlier, uncommitted run — keep the row, so the
+            # replay reproduces the first run's accepted set exactly.
+            # Truly-NULL payloads carry no content to compare and pass
+            # through unchanged. Driver boundedness: one row per
+            # DISTINCT degenerate payload (zero vectors of one dim are
+            # a single md5), not per row.
             degen = null_payload.where(F.col(payload_col).isNotNull())
-            degen_winners = degen.groupBy(payload_col).agg(
-                F.min(id_col).alias(id_col)
-            ).select(id_col)
+            md5e = F.md5(
+                F.col(payload_col).cast("string").cast("binary")
+            ).alias("__md5")
+            surv = [
+                (r["__md5"], r["__win"])
+                for r in degen.groupBy(md5e)
+                .agg(F.min(id_col).alias("__win"))
+                .collect()
+            ]
+            known = _degen_entries(target_dir)
+            keep_ids = [
+                w
+                for m, w in surv
+                if m not in known or known[m] == str(w)
+            ]
+            degen_new = [
+                (m, str(w)) for m, w in surv if m not in known
+            ]
+            keep_df = spark.createDataFrame(
+                [(i,) for i in keep_ids] or [],
+                degen.select(id_col).schema,
+            )
             null_payload = null_payload.where(
                 F.col(payload_col).isNull()
-            ).unionByName(degen.join(degen_winners, id_col, "left_semi"))
+            ).unionByName(degen.join(keep_df, id_col, "left_semi"))
         null_payload = null_payload.localCheckpoint(eager=False)
         batch = batch.where(~bypass_pred)
         # stage 1 — exact within batch (family-dispatched winner rule
@@ -451,7 +522,13 @@ def streaming_dedup_ingest(
         routed = rows.join(accepted.select(id_col), id_col, "left_semi")
         append_routed_rows(as_delta_append(routed), index_path, "pb")
         fs.makedirs(target_dir)
-        fs.append_text(manifest, f"{batch_id}\n")
+        # record NEW degenerate payloads before the commit marker:
+        # marker creation is idempotent, and a crash between here and
+        # the commit replays the batch with the self-exclusion above
+        # reproducing the identical accepted set
+        for m, w in degen_new:
+            _degen_record(target_dir, m, w)
+        commitlog.record_commit(target_dir, batch_id)
         if compact_every:
             # the batch is already committed above — NOTHING in this
             # maintenance block may fail it. RuntimeError is the
@@ -460,8 +537,7 @@ def streaming_dedup_ingest(
             # permission failure mid-swap; ValueError a corrupted
             # sidecar. All defer to the next cadence point.
             try:
-                n_committed = len(fs.read_text(manifest).split())
-                if n_committed % compact_every == 0:
+                if commitlog.n_committed(target_dir) % compact_every == 0:
                     from ..operators.similarity import compact_ann_index
 
                     compact_ann_index(

@@ -181,3 +181,32 @@ def test_copy_files_to_file_uri_dest(spark, tree, tmp_path):
         if f.endswith(".__inflight")
     ]
     assert leftovers == []
+
+
+def test_arrow_uri_scheme_map():
+    """r12 (r11 verdict #5): Hadoop scheme spellings translate to the
+    pyarrow.fs spellings; spellings Arrow has no client for fail with
+    the scheme named; unknown schemes pass through for from_uri to
+    adjudicate."""
+    from nursinghome_data_pipeline_spark.sources.object_sync import arrow_uri
+
+    assert arrow_uri("s3a://bkt/p") == "s3://bkt/p"
+    assert arrow_uri("s3n://bkt/p") == "s3://bkt/p"
+    assert arrow_uri("gs://bkt/p") == "gcs://bkt/p"
+    assert arrow_uri("abfs://c@a.dfs.core.windows.net/p") == (
+        "abfs://c@a.dfs.core.windows.net/p"
+    )
+    assert arrow_uri("file:///x/y") == "file:///x/y"
+    assert arrow_uri("/plain/path") == "/plain/path"
+    assert arrow_uri("someFutureFs://x/y") == "someFutureFs://x/y"
+    with pytest.raises(ValueError, match="'wasb'"):
+        arrow_uri("wasb://c@a.blob.core.windows.net/p")
+
+
+def test_copy_files_unsupported_scheme_fails_on_driver(spark, tree):
+    """A wasb:// destination must raise at plan time with the scheme
+    named — not as an opaque executor-task failure."""
+    files = collect_files(str(tree))
+    plan = checksum_files(spark, files)
+    with pytest.raises(ValueError, match="'wasbs'"):
+        copy_files(plan, str(tree), "wasbs://c@a.blob.core.windows.net/d")

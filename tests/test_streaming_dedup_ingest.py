@@ -131,9 +131,10 @@ def test_stream_dedups_within_and_across_batches(spark, tmp_path):
     assert all(c not in (12, 13, 20, 10) for _, c in got)
     assert not any(b == 901 for b, _ in got)
 
-    # manifest recorded each batch once
-    ids = open(os.path.join(target, "_committed_batches")).read().split()
-    assert len(ids) == len(set(ids)) >= 2
+    # commit log recorded each batch (marker files — r12)
+    from nursinghome_data_pipeline_spark.streaming import commitlog
+
+    assert len(commitlog.committed_ids(target)) >= 2
 
     # re-delivery with a FRESH checkpoint replays all files as batch 0
     # — already committed, so the manifest skip keeps target AND index
@@ -202,10 +203,10 @@ def test_crash_replay_after_index_append_is_idempotent(spark, tmp_path):
 
     run("ckpt")
     assert _accepted_ids(spark, target) == {11}
-    # simulate the crash: drop the manifest line (as if the process
-    # died between the index append and the manifest write), then
+    # simulate the crash: drop the commit marker (as if the process
+    # died between the index append and the commit record), then
     # replay the same source through a fresh checkpoint
-    os.remove(os.path.join(target, "_committed_batches"))
+    os.remove(os.path.join(target, "_committed_batches.d", "0"))
     run("ckpt2")
     assert _accepted_ids(spark, target) == {11}
     # 11 survived its own replay (self-match excluded), and its target
@@ -459,8 +460,9 @@ def test_maintenance_failure_never_fails_a_committed_batch(
     finally:
         q.stop()
     assert _accepted_ids(spark, target) == {11}
-    with open(os.path.join(target, "_committed_batches")) as fh:
-        assert fh.read().split() == ["0"]
+    from nursinghome_data_pipeline_spark.streaming import commitlog
+
+    assert commitlog.committed_ids(target) == {0}
     assert "deferred" in capsys.readouterr().err
 
 
@@ -716,6 +718,91 @@ def test_srp_zero_norm_vectors_bypass_index(spark, tmp_path):
         for r in spark.read.parquet(index).select("vec_id").collect()
     }
     assert posted == {1, 34}
+
+
+def test_srp_degenerate_duplicates_dropped_across_batches(spark, tmp_path):
+    """r12 (r11 verdict #4): degenerate vectors are never indexed, so
+    cross-batch copies used to be exempt by documented policy. The
+    ``_degen.d`` marker set closes the class: a zero-norm vector
+    accepted by batch N leaves a marker, and bit-identical copies in
+    batch N+1 are dropped — exactly one copy survives the stream. The
+    marker's winner id also self-excludes on crash replay (marker
+    written, commit lost → the replay reproduces the first run's
+    accepted set instead of dropping its own winner)."""
+    import numpy as np
+
+    from nursinghome_data_pipeline_spark.operators.embedding_index import (
+        write_srp_index,
+    )
+
+    dim = 8
+    rng = np.random.default_rng(11)
+
+    def unit():
+        v = rng.standard_normal(dim)
+        return [float(x) for x in (v / np.linalg.norm(v))]
+
+    corpus = spark.createDataFrame(
+        [(1, unit())], "vec_id long, embedding array<float>"
+    )
+    index = str(tmp_path / "srp_index")
+    write_srp_index(
+        corpus, index, dim=dim, design_threshold=0.9, n_planes=4,
+        n_tables=2, n_buckets=16,
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    target = str(tmp_path / "target")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).json(src)
+        q = streaming_dedup_ingest(
+            stream, index, target, checkpoint_dir=str(tmp_path / ckpt)
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def accepted():
+        data = os.path.join(target, "data")
+        return {
+            r["vec_id"]
+            for r in spark.read.option("basePath", data)
+            .parquet(data)
+            .collect()
+        }
+
+    with open(os.path.join(src, "b0.json"), "w", encoding="utf-8") as f:
+        for i, v in [(30, [0.0] * dim), (34, unit())]:
+            f.write(json.dumps({"vec_id": i, "embedding": v}) + "\n")
+    run("ckpt")
+    assert accepted() == {30, 34}
+    # batch 1: two bit-identical copies of batch 0's zero vector (41
+    # collapses into 40 within the batch; 40 is dropped against 30's
+    # marker) plus a fresh normal vector
+    with open(os.path.join(src, "b1.json"), "w", encoding="utf-8") as f:
+        for i, v in [
+            (40, [0.0] * dim),
+            (41, [0.0] * dim),
+            (42, unit()),
+        ]:
+            f.write(json.dumps({"vec_id": i, "embedding": v}) + "\n")
+    run("ckpt")
+    assert accepted() == {30, 34, 42}
+    # exactly one marker exists for the zero payload, naming winner 30
+    from nursinghome_data_pipeline_spark.streaming.ingest_dedup import (
+        _degen_entries,
+    )
+
+    assert list(_degen_entries(target).values()) == ["30"]
+    # crash replay: markers survive but batch 0's commit is lost — the
+    # replay must NOT drop its own winner against its own marker
+    os.remove(os.path.join(target, "_committed_batches.d", "0"))
+    run("ckpt2")
+    assert accepted() == {30, 34, 42}
 
 
 def test_sidecar_payload_col_backtick_rejected_at_stream_start(
