@@ -716,6 +716,12 @@ def summary_line(
             payload["calib"] = calib
             if calib_end is not None:
                 payload["calib_end"] = calib_end
+                # r11 verdict #2: on a host that got SLOWER mid-run
+                # the mean-calib `adjusted` still overstates the raw
+                # sum; the end-calib restatement bounds the drift from
+                # the other side, so a drifting window carries both
+                # readings in the line itself
+                payload["adjusted_end"] = adjusted_total(total, calib_end)
             mean_calib = (
                 (calib + calib_end) / 2 if calib_end is not None else calib
             )

@@ -3,7 +3,9 @@
 The ANN/dedup index protocol keeps three kinds of driver-side state
 next to the Spark-written parquet data: the ``_ann_meta.json`` sidecar
 (geometry), the Dekker intent/lock markers (append-vs-compact
-exclusion), and the compaction swap/stat bookkeeping. Through r10
+exclusion), and the compaction's generation-pointer/stat bookkeeping
+(r12 — the commit is an atomic empty-file creation, never a data
+rename, so it is crash-safe on object stores too). Through r10
 these used ``open()``/``os.rename``/``os.listdir`` directly, which
 bound every at-rest index to one node's local disk — a
 ``NotImplementedError`` gate (`_require_local_path`) rejected any
@@ -209,9 +211,12 @@ def remove(path: str) -> None:
 
 
 def rename(src: str, dst: str) -> None:
-    """Same-filesystem rename (the compaction swap). Hadoop's
-    ``rename`` returns False instead of raising — normalize to
-    ``OSError`` so the swap protocol's error handling is uniform."""
+    """Same-filesystem rename (the upsert sink's target swap, legacy
+    crash recovery). Atomic on local disk/HDFS, copy-based on object
+    stores — which is why the index compaction commit no longer uses
+    it (generation pointer, r12). Hadoop's ``rename`` returns False
+    instead of raising — normalize to ``OSError`` so callers' error
+    handling is uniform."""
     if not is_uri(src):
         os.rename(src, dst)
         return

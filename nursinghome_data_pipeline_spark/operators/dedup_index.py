@@ -78,6 +78,7 @@ from .dedup import (
 from .similarity import (
     _require_kind,
     _write_ann_meta,
+    active_data_root,
     load_ann_meta,
     read_matched_partitions,
 )
@@ -277,7 +278,7 @@ def dedup_index_bucket_stats(
             "not supported — expected one of ['minhash', 'simhash', "
             "'srp']"
         )
-    rows = spark.read.parquet(path)
+    rows = spark.read.parquet(active_data_root(path))
     if meta["kind"] == "minhash":
         keyed = rows.select("band", "bkey")
     elif meta["kind"] == "srp":
@@ -555,10 +556,13 @@ def probe_index_with_banded_rows(
     # default geometry) — the partition-pruning literal, same shape as
     # the ANN probes' cell/bucket lists
     pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
+    # the active generation dir after a generational compaction (r12),
+    # the index root before one
+    droot = active_data_root(path)
     # un-compacted LSM delta appends (pb=-1, see DELTA_PB) hold recent
     # postings for EVERY bucket, so every probe reads them too — a
     # single small directory bounded by the compaction cadence
-    if fs.is_dir(fs.join(path, f"pb={DELTA_PB}")):
+    if fs.is_dir(fs.join(droot, f"pb={DELTA_PB}")):
         pbs = pbs + [DELTA_PB]
     id_col = meta["id_col"]
     # Matched-directories-only read: above ~32 directories Spark's
@@ -572,7 +576,7 @@ def probe_index_with_banded_rows(
     # the index flat instead of listing ~every directory explicitly.
     rel = read_matched_partitions(
         spark,
-        path,
+        droot,
         "pb",
         pbs,
         total_partitions=int(meta["bands"]) * int(meta["n_buckets"]),
@@ -827,11 +831,12 @@ def probe_index_with_simhash_rows(
     of :func:`probe_index_with_banded_rows`, same caller contract
     (including the delta-directory read)."""
     pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
-    if fs.is_dir(fs.join(path, f"pb={DELTA_PB}")):
+    droot = active_data_root(path)
+    if fs.is_dir(fs.join(droot, f"pb={DELTA_PB}")):
         pbs = pbs + [DELTA_PB]
     id_col = meta["id_col"]
     rel = read_matched_partitions(
-        spark, path, "pb", pbs, total_partitions=int(meta["n_buckets"])
+        spark, droot, "pb", pbs, total_partitions=int(meta["n_buckets"])
     )
     if rel is None:
         from pyspark.sql.types import IntegerType, StructField, StructType

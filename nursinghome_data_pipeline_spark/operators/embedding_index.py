@@ -82,6 +82,7 @@ from .similarity import (
     _cosine_with_norms,
     _require_kind,
     _write_ann_meta,
+    active_data_root,
     auto_lsh_planes,
     auto_lsh_tables,
     load_ann_meta,
@@ -523,12 +524,15 @@ def probe_index_with_srp_rows(
     # bounded driver collect: ≤ n_tables × n_buckets ints — the
     # partition-pruning literal, same shape as the other index probes
     pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
-    if fs.is_dir(fs.join(path, f"pb={DELTA_PB}")):
+    # the active generation dir after a generational compaction (r12),
+    # the index root before one
+    droot = active_data_root(path)
+    if fs.is_dir(fs.join(droot, f"pb={DELTA_PB}")):
         pbs = pbs + [DELTA_PB]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     rel = read_matched_partitions(
         spark,
-        path,
+        droot,
         "pb",
         pbs,
         total_partitions=int(meta["n_tables"]) * int(meta["n_buckets"]),
@@ -612,7 +616,7 @@ def probe_index_with_srp_rows(
                 except ValueError:
                     return False
 
-            if not any(_is_vec_dir(e) for e in fs.listdir(path)):
+            if not any(_is_vec_dir(e) for e in fs.listdir(droot)):
                 raise RuntimeError(
                     f"probe_index_with_srp_rows: normalized srp index "
                     f"at {path} has posting rows but no vector "
@@ -647,7 +651,7 @@ def probe_index_with_srp_rows(
                 .collect()
             ]
             if vbs:
-                vrel = read_matched_partitions(spark, path, "pb", vbs)
+                vrel = read_matched_partitions(spark, droot, "pb", vbs)
                 if vrel is None:
                     # candidates with base postings exist (vbs derives
                     # from them) but NONE of their vector directories

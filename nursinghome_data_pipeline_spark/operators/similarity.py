@@ -621,8 +621,53 @@ ANN_META_FILE = "_ann_meta.json"
 #: Lockfile dropped by :func:`compact_ann_index` for the duration of a
 #: compaction. :func:`append_to_ann_index` refuses to write while it
 #: exists — an append that lands between the compactor's read and its
-#: directory swap would be silently deleted with the demoted copy.
+#: generation flip would be silently dropped with the GC'd old
+#: generation.
 ANN_COMPACT_LOCK = "_compacting.lock"
+
+#: Generation-dir prefix (r12). A compaction writes its rewritten tree
+#: to ``<index>/_gen-NNNNNN/`` and commits it by CREATING the empty
+#: pointer file ``<index>/_gen-NNNNNN.ptr`` — the generation number is
+#: the ptr's NAME, so the flip is one atomic file creation on every
+#: store (local create, HDFS create, S3 PUT), replacing the r5-r11
+#: demote/promote directory renames that were copy-based (hence
+#: non-atomic AND O(data)) on object stores. The leading underscore
+#: keeps generation dirs invisible to Spark's parquet discovery, so a
+#: LEGACY root-layout index (data dirs at the index root — every fresh
+#: build) can be read flat while its first generational compaction is
+#: writing inside it. Readers resolve the active data root as the
+#: max-numbered pointer's dir, else the root itself; old generations
+#: are GC'd after the flip, and a crash at ANY point leaves either the
+#: old generation fully active (ptr never created; the orphan tree is
+#: GC'd by the next compaction) or the new one fully active (ptr
+#: created; leftover old gen/ptr GC'd by the next compaction).
+GEN_PREFIX = "_gen-"
+GEN_PTR_SUFFIX = ".ptr"
+
+
+def _active_gen(path: str) -> str | None:
+    """Name (``_gen-NNNNNN``) of the active generation, or None for a
+    legacy root-layout index. One directory listing; zero-padded
+    numbers make lexicographic max the numeric max."""
+    from .. import fs
+
+    ptrs = fs.glob_names(path, f"{GEN_PREFIX}*{GEN_PTR_SUFFIX}")
+    if not ptrs:
+        return None
+    return max(ptrs)[: -len(GEN_PTR_SUFFIX)]
+
+
+def active_data_root(path: str) -> str:
+    """The directory holding the index's DATA (partition dirs, LSM
+    delta, per-generation sidecar): the active generation dir after a
+    generational compaction, else the index root. Public because
+    out-of-API readers (``spark.read.parquet`` on the raw tree, file
+    counting, scripts) must resolve through it once an index has been
+    compacted."""
+    from .. import fs
+
+    g = _active_gen(path)
+    return fs.join(path, g) if g else path
 
 
 #: r5-r10 had a ``_require_local_path`` gate here rejecting every
@@ -669,13 +714,26 @@ def _write_ann_meta(path: str, meta: dict) -> None:
 
 
 def load_ann_meta(path: str) -> dict:
-    """Read the ``_ann_meta.json`` sidecar written by
-    :func:`write_ivf_index` / :func:`write_lsh_index`."""
+    """Read the index's ACTIVE sidecar: the one inside the active
+    generation dir (written there before the generation's pointer
+    flip, so geometry and data commit atomically together — a
+    regeometry can never leave new buckets live under an old
+    ``n_buckets``), else the root sidecar of a legacy root-layout
+    index."""
+    return _load_active(path)[0]
+
+
+def _load_active(path: str) -> tuple[dict, str]:
+    """(meta, data_root) resolved in ONE generation lookup — the entry
+    point every probe/append/compact path uses, so the sidecar it
+    routes with and the tree it reads always come from the same
+    generation."""
     import json
 
     from .. import fs
 
-    return json.loads(fs.read_text(fs.join(path, ANN_META_FILE)))
+    droot = active_data_root(path)
+    return json.loads(fs.read_text(fs.join(droot, ANN_META_FILE))), droot
 
 
 #: matched-directory fraction above which a probe reads the index
@@ -1015,7 +1073,13 @@ def append_routed_rows(routed: DataFrame, path: str, part: str) -> None:
                 "compaction crashed and the next compact_ann_index call "
                 "will repair it (or remove the lockfile by hand)."
             )
-        routed.write.mode("append").partitionBy(part).parquet(path)
+        # resolved INSIDE the handshake window: with the intent up and
+        # no compactor lock, the active generation cannot flip under
+        # this write (intent/lock live at the index ROOT, shared
+        # across generations)
+        routed.write.mode("append").partitionBy(part).parquet(
+            active_data_root(path)
+        )
     finally:
         import contextlib
 
@@ -1052,7 +1116,7 @@ def compact_ann_index(
     does (``pb = band·n_buckets' + bkey mod n_buckets'``), so the
     result is bit-identical to a fresh rebuild at the new geometry
     (pinned by ``tests/test_dedup_index.py``) and the sidecar's
-    ``n_buckets`` is updated under the same atomic-swap + Dekker
+    ``n_buckets`` is updated under the same generation-flip + Dekker
     protocol as the plain rewrite. IVF/LSH kinds reject the flag:
     their geometry (seeds/planes) defines routing semantics, not just
     partitioning, and cannot be re-derived from stored rows.
@@ -1061,15 +1125,27 @@ def compact_ann_index(
     batches each add files to the probed directories, and at some
     cadence the accumulated footer/listing tax exceeds one rewrite
     (the compaction probe measured fragmented probes 27% slower and
-    8,192-file layouts at 128-task builds — SCALE.md). Same temp-dir +
-    atomic-swap + crash-recovery protocol as
-    ``operators/skew.compact_files``: a compaction that dies mid-swap
-    never leaves the index half-rewritten, and the next call repairs
-    the leftover state before touching anything. (The swap's renames
-    are atomic on local disk and HDFS; an object-store URI makes them
-    copy-based — r11 ``fs`` module caveat — so prefer HDFS-class
-    stores for compacted indexes, or quiesce probes around
-    compaction.)
+    8,192-file layouts at 128-task builds — SCALE.md).
+
+    Commit protocol (r12 — generation pointer, replacing the r5-r11
+    demote/promote directory renames, which were copy-based and so
+    neither atomic nor O(1) on object stores): the rewritten tree is
+    written to a NEW hidden generation dir ``_gen-NNNNNN/`` inside
+    the index (invisible to Spark's discovery, so a legacy root
+    layout keeps serving flat reads while it is written), its sidecar
+    is written INSIDE it (geometry+data commit together), and the
+    swap is one empty-file creation: ``_gen-NNNNNN.ptr``. File
+    creation with the number in the NAME is atomic on local disk,
+    HDFS, and S3 alike — there is no torn state, and a crash at any
+    point leaves either the old generation fully active (no ptr; the
+    orphan tree is GC'd on the next call) or the new one fully active
+    (leftover old generation GC'd on the next call). Probes resolve
+    the active generation per call (:func:`active_data_root`); a
+    probe mid-flight when the old generation is GC'd can fail and
+    must retry — quiesce probes around compaction for strict
+    no-retry operation, exactly as the r11 protocol required. Crashed
+    pre-r12 rename-swap state (``.compact.old``/``.compact.tmp``
+    siblings) is still repaired at entry.
 
     SINGLE-WRITER contract with :func:`append_to_ann_index`, enforced
     by the Dekker-style intent/lock handshake (described there): this
@@ -1093,13 +1169,21 @@ def compact_ann_index(
     from .. import fs
 
     fs.check_fs(path, "compact_ann_index")
+    # pre-r12 rename-swap crash states (``path.compact.old`` holding a
+    # demoted copy) are still repaired so an upgraded deployment can
+    # compact over whatever a crashed r11 run left behind
     old = path.rstrip("/") + ".compact.old"
     if fs.exists(old):
         if fs.exists(path):
             fs.rmtree(old)
         else:
             fs.rename(old, path)
-    meta = load_ann_meta(path)
+    legacy_tmp = path.rstrip("/") + ".compact.tmp"
+    if fs.exists(legacy_tmp):
+        fs.rmtree(legacy_tmp)
+    meta, droot = _load_active(path)
+    cur_gen = _active_gen(path)
+    cur_n = int(cur_gen[len(GEN_PREFIX):]) if cur_gen else 0
     parts = {
         "ivf": "cell",
         "lsh": "bucket",
@@ -1120,16 +1204,15 @@ def compact_ann_index(
             "IVF seeds / LSH planes define routing semantics and "
             "cannot be re-derived from stored rows"
         )
-    tmp = path.rstrip("/") + ".compact.tmp"
+    new_gen = f"{GEN_PREFIX}{cur_n + 1:06d}"
+    new_dir = fs.join(path, new_gen)
     lock = fs.join(path, ANN_COMPACT_LOCK)
     # Reclaim a crashed compaction's lock: singleton-compactor is the
     # caller's contract, so a lock that predates this call is stale.
     fs.write_text(lock, "compact_ann_index in progress")
-    # The lock is NOT removed before the swap — it travels with the
-    # directory renames (path→old) and dies with rmtree(old), so there
-    # is no unlocked instant between the re-list gate and the swap; an
-    # append during the swap itself fails loudly on the missing
-    # sidecar. Error paths below remove it so a failed rewrite doesn't
+    # The lock stays up through the flip and the old generation's GC —
+    # there is no unlocked instant between the re-list gate and the
+    # commit. Error paths below remove it so a failed rewrite doesn't
     # block appends until the next compaction.
     try:
         # Handshake step 2 (after the lock is visible): any append
@@ -1144,13 +1227,33 @@ def compact_ann_index(
                 "crashed append stranded its intent marker — remove it "
                 "by hand."
             )
+        # GC generation debris under the lock: dirs without a pointer
+        # (a crashed rewrite's orphan tree) and stale pointers/dirs
+        # below the active generation (a crash between flip and GC)
+        for name in fs.glob_names(path, f"{GEN_PREFIX}*"):
+            if name.endswith(GEN_PTR_SUFFIX):
+                if cur_gen and name[: -len(GEN_PTR_SUFFIX)] != cur_gen:
+                    with _contextlib.suppress(FileNotFoundError):
+                        fs.remove(fs.join(path, name))
+            elif name != cur_gen and fs.is_dir(fs.join(path, name)):
+                fs.rmtree(fs.join(path, name))
 
         # (path, size, mtime) — not bare paths — so a rogue writer
         # that overwrites an existing part file IN PLACE (same name)
-        # is still caught before the swap discards its data (see
-        # fs.data_file_stats for the vanishing-file sentinel).
-        before = fs.data_file_stats(path)
-        df = spark.read.parquet(path)
+        # is still caught before the commit discards its data (see
+        # fs.data_file_stats for the vanishing-file sentinel). Files
+        # under generation dirs are excluded: when the active root IS
+        # the index root (legacy layout), the new generation is
+        # written inside it between the two listings.
+        def _data_stats(root):
+            return {
+                e
+                for e in fs.data_file_stats(root)
+                if f"/{GEN_PREFIX}" not in e[0]
+            }
+
+        before = _data_stats(droot)
+        df = spark.read.parquet(droot)
         if meta["kind"] in ("minhash", "simhash", "srp"):
             from .dedup_index import (
                 DELTA_PB,
@@ -1258,28 +1361,48 @@ def compact_ann_index(
             meta = {**meta, "n_buckets": new_nb}
         _compact_for_write(
             df, part, files_per_partition, meta["id_col"]
-        ).write.mode("overwrite").partitionBy(part).parquet(tmp)
-        _write_ann_meta(tmp, meta)
-        # Belt-and-braces: abort the swap if any data file changed
+        ).write.mode("overwrite").partitionBy(part).parquet(new_dir)
+        # geometry commits WITH the data: the sidecar lives inside the
+        # generation, so the ptr flip below activates both atomically
+        _write_ann_meta(new_dir, meta)
+        # Belt-and-braces: abort the commit if any data file changed
         # anyway (e.g. a writer that bypassed append_to_ann_index).
-        if fs.data_file_stats(path) != before:
-            fs.rmtree(tmp)
+        if _data_stats(droot) != before:
+            fs.rmtree(new_dir)
             raise RuntimeError(
                 f"compact_ann_index: {path} changed during compaction "
                 "(concurrent append?) — index left untouched, retry."
             )
+        # THE FLIP: one atomic empty-file creation. Everything before
+        # it leaves the old generation fully active; everything after
+        # it is GC of the now-inactive old generation.
+        fs.touch(fs.join(path, new_gen + GEN_PTR_SUFFIX))
+        if cur_gen:
+            with _contextlib.suppress(FileNotFoundError):
+                fs.remove(fs.join(path, cur_gen + GEN_PTR_SUFFIX))
+            fs.rmtree(droot)
+        else:
+            # legacy root layout: drop the superseded root-level data
+            # dirs, marker file, and sidecar (the per-generation
+            # sidecar is now the single authority — a stale root copy
+            # would misreport a later regeometry's n_buckets)
+            for name in fs.glob_names(path, f"{part}=*"):
+                if fs.is_dir(fs.join(path, name)):
+                    fs.rmtree(fs.join(path, name))
+            for name in ("_SUCCESS", ANN_META_FILE):
+                with _contextlib.suppress(FileNotFoundError):
+                    fs.remove(fs.join(path, name))
     except BaseException:
         # the lock can vanish with the directory itself (e.g. the
-        # whole index removed/swapped out from under a failing
-        # compaction — the same scenario the append side guards
-        # against); don't let the cleanup mask the real error
+        # whole index removed from under a failing compaction — the
+        # same scenario the append side guards against); don't let the
+        # cleanup mask the real error
         with _contextlib.suppress(FileNotFoundError):
             fs.remove(lock)
         raise
-    fs.rename(path, old)
-    fs.rename(tmp, path)
-    fs.rmtree(old)
-    return len(fs.data_file_stats(path))
+    with _contextlib.suppress(FileNotFoundError):
+        fs.remove(lock)
+    return len(fs.data_file_stats(new_dir))
 
 
 def knn_ivf_partitioned(
@@ -1310,9 +1433,10 @@ def knn_ivf_partitioned(
         id_col = meta.get("id_col", id_col)
         vec_col = meta.get("vec_col", vec_col)
     probes = ivf_probe_cells(seeds, query_vec, n_probe=n_probe)
-    rel = read_matched_partitions(spark, path, "cell", probes)
+    droot = active_data_root(path)
+    rel = read_matched_partitions(spark, droot, "cell", probes)
     if rel is None:
-        rel = spark.read.parquet(path)
+        rel = spark.read.parquet(droot)
     return (
         rel
         .where(F.col("cell").isin(probes))
@@ -1604,9 +1728,10 @@ def knn_lsh_partitioned(
         seed=seed,
         n_probe_buckets=n_probe_buckets,
     )
-    rel = read_matched_partitions(spark, path, "bucket", probes)
+    droot = active_data_root(path)
+    rel = read_matched_partitions(spark, droot, "bucket", probes)
     if rel is None:
-        rel = spark.read.parquet(path)
+        rel = spark.read.parquet(droot)
     return (
         rel
         .where(F.col("bucket").isin(probes))

@@ -773,9 +773,15 @@ def _dedup_cadence_probes(
     out: dict = {"cores": cores, "sf_dir": SF_DIR, "batch_docs": batch_docs}
 
     def _index_stats(path: str) -> tuple[int, int, float]:
+        from nursinghome_data_pipeline_spark.operators.similarity import (
+            active_data_root,
+        )
+
         per = [
             len([f for f in os.listdir(d) if f.endswith(".parquet")])
-            for d in glob.glob(os.path.join(path, "pb=*"))
+            for d in glob.glob(
+                os.path.join(active_data_root(path), "pb=*")
+            )
         ]
         return sum(per), max(per), round(sum(per) / len(per), 2)
 
@@ -806,7 +812,11 @@ def _dedup_cadence_probes(
             n_buckets=int(meta["n_buckets"]),
         )
         pbs = [r["pb"] for r in b.select("pb").distinct().collect()]
-        idx = spark.read.parquet(path)
+        from nursinghome_data_pipeline_spark.operators.similarity import (
+            active_data_root,
+        )
+
+        idx = spark.read.parquet(active_data_root(path))
         return (
             len(pbs),
             idx.where(F.col("pb").isin(pbs)).count(),

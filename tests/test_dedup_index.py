@@ -206,9 +206,13 @@ def test_append_is_one_delta_file_and_compact_folds_it(
     # delta rows carry real routing columns, only pb is the sentinel
     delta = spark.read.parquet(path).where(F.col("pb") == -1)
     assert delta.count() > 0
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        active_data_root,
+    )
+
     compact_ann_index(spark, path)
     nb = load_ann_meta(path)["n_buckets"]
-    rows = spark.read.parquet(path).collect()
+    rows = spark.read.parquet(active_data_root(path)).collect()
     assert all(r["pb"] >= 0 for r in rows)
     assert all(r["pb"] == r["band"] * nb + r["bkey"] % nb for r in rows)
     full = str(tmp_path / "full_idx")
@@ -396,14 +400,18 @@ def test_regeometry_compaction_matches_fresh_rebuild(spark, sf_dir, tmp_path):
     assert m_g["n_buckets"] == m_f["n_buckets"]
     assert m_g["kind"] == "minhash" and m_g["bands"] == m_f["bands"]
 
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        active_data_root,
+    )
+
     key = lambda r: (r["pb"], r["band"], r["bkey"], r["doc_id"])  # noqa: E731
     rows_g = sorted(
         [(r["pb"], r["band"], r["bkey"], r["doc_id"], tuple(r["sh"]))
-         for r in spark.read.parquet(grown).collect()]
+         for r in spark.read.parquet(active_data_root(grown)).collect()]
     )
     rows_f = sorted(
         [(r["pb"], r["band"], r["bkey"], r["doc_id"], tuple(r["sh"]))
-         for r in spark.read.parquet(fresh).collect()]
+         for r in spark.read.parquet(active_data_root(fresh)).collect()]
     )
     assert rows_g == rows_f
 

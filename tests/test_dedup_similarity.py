@@ -628,19 +628,25 @@ def test_compact_ann_index_bounds_files_preserving_results(spark, sf_dir, tmp_pa
         for d in _glob.glob(_os.path.join(path, "bucket=*"))
     )
     assert frag >= 2  # the appends really fragmented some directory
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        active_data_root,
+    )
+
     n_files = compact_ann_index(spark, path, files_per_partition=1)
     assert n_files <= 1 << 4
-    for d in _glob.glob(_os.path.join(path, "bucket=*")):
+    droot = active_data_root(path)  # the committed generation (r12)
+    assert droot != path
+    for d in _glob.glob(_os.path.join(droot, "bucket=*")):
         files = [f for f in _os.listdir(d) if f.endswith(".parquet")]
         assert len(files) <= 1, (d, files)
-    assert load_ann_meta(path) == meta_before  # sidecar survives the swap
+    assert load_ann_meta(path) == meta_before  # sidecar survives the flip
     after = knn_lsh_partitioned(
         spark, path, qvec, k=6, n_probe_buckets=3
     ).collect()
     assert [(r.vec_id, r.cosine_sim) for r in after] == [
         (r.vec_id, r.cosine_sim) for r in before
     ]
-    assert spark.read.parquet(path).count() == emb.count()
+    assert spark.read.parquet(droot).count() == emb.count()
 
 
 def test_knn_lsh_dataframe_query_contract_lazy_path(spark, sf_dir):

@@ -207,7 +207,15 @@ def test_index_lifecycle_over_file_uri(spark, sf_dir, tmp_path, kind):
         pre = run_probe(path)
         n_files = compact_ann_index(spark, path, regeometry=True)
         assert n_files > 0
+        # the delta folded into the committed generation (r12): no
+        # pb=-1 anywhere the resolver can see
+        from nursinghome_data_pipeline_spark.operators.similarity import (
+            active_data_root,
+        )
+
         assert not fs.is_dir(fs.join(path, "pb=-1"))
+        assert not fs.is_dir(fs.join(active_data_root(path), "pb=-1"))
+        assert active_data_root(path) != path
         post = run_probe(path)
         assert pre == post, f"{kind}: compaction changed the pair set"
         assert post, f"{kind}: empty probe proves nothing"

@@ -362,8 +362,8 @@ def test_compact_aborts_swap_if_files_changed_mid_rewrite(
 
     def sneak_append_then_write(p, meta):
         # simulate an append racing in while the rewrite runs: it lands
-        # in the LIVE dir just before the gate re-lists it
-        if not state["fired"] and p.endswith(".compact.tmp"):
+        # in the LIVE (root) layout just before the gate re-lists it
+        if not state["fired"] and sim.GEN_PREFIX in p:
             state["fired"] = True
             routed = late.select(
                 meta["id_col"],
@@ -378,13 +378,19 @@ def test_compact_aborts_swap_if_files_changed_mid_rewrite(
     monkeypatch.setattr(sim, "_write_ann_meta", sneak_append_then_write)
     with _pytest.raises(RuntimeError, match="changed during compaction"):
         sim.compact_ann_index(spark, path, files_per_partition=1)
-    # live index intact and now includes the slipped batch; lock gone
+    assert state["fired"]
+    # live index intact and now includes the slipped batch; the gate
+    # removed the uncommitted generation tree and released the lock
     assert not _os.path.exists(_os.path.join(path, sim.ANN_COMPACT_LOCK))
-    assert not _os.path.exists(path + ".compact.tmp")
-    assert spark.read.parquet(path).count() == emb.count()
+    import glob as _glob
+
+    assert not any(
+        _os.path.isdir(d) for d in _glob.glob(_os.path.join(path, "_gen-*"))
+    )
+    assert spark.read.parquet(sim.active_data_root(path)).count() == emb.count()
     # and a retry (no race this time) succeeds
     sim.compact_ann_index(spark, path, files_per_partition=1)
-    assert spark.read.parquet(path).count() == emb.count()
+    assert spark.read.parquet(sim.active_data_root(path)).count() == emb.count()
 
 
 def test_probe_kind_mismatch_raises_named_error(spark, sf_dir, tmp_path):
@@ -433,7 +439,7 @@ def test_unconfigured_scheme_fails_fast_before_any_write(spark):
         (compact_ann_index, (None, "abfss://c@a.dfs.core.windows.net/idx")),
         (write_lsh_index, (None, "s3a://bucket/idx")),
     ]:
-        with _pytest.raises(RuntimeError, match="no Hadoop filesystem client"):
+        with _pytest.raises(RuntimeError, match="filesystem for .* is unusable"):
             fn(*args) if fn is not write_lsh_index else fn(*args, dim=64)
 
 
@@ -461,13 +467,19 @@ def test_compact_refused_while_append_intent_present(spark, sf_dir, tmp_path):
     open(marker, "w").close()
     with _pytest.raises(RuntimeError, match="_append-deadbeef.intent"):
         compact_ann_index(spark, path, files_per_partition=1)
-    # abort released the lock and left the index intact
-    assert not _os.path.exists(
-        _os.path.join(path, "_compacting.lock")
-    ) and not _os.path.exists(path + ".compact.tmp")
+    # abort released the lock and left the index intact (no committed
+    # or orphan generation)
+    import glob as _glob
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        active_data_root,
+    )
+
+    assert not _os.path.exists(_os.path.join(path, "_compacting.lock"))
+    assert _glob.glob(_os.path.join(path, "_gen-*")) == []
     _os.remove(marker)
     compact_ann_index(spark, path, files_per_partition=1)
-    assert spark.read.parquet(path).count() == emb.count()
+    assert spark.read.parquet(active_data_root(path)).count() == emb.count()
 
 
 def test_append_leaves_no_intent_marker_behind(spark, sf_dir, tmp_path):
@@ -546,80 +558,96 @@ def _ivf_crash_fixture(spark, sf_dir, tmp_path):
     return sim, path, topk, topk()
 
 
-def test_compact_crash_between_swap_renames_is_repaired(
+def test_compact_crash_between_write_and_flip_is_repaired(
     spark, sf_dir, tmp_path, monkeypatch
 ):
-    """Failure injection (r6 verdict ask): kill the compactor at the
-    worst instant — after path→old demoted the live index but before
-    tmp→path promoted the rewrite. The next compact_ann_index call
-    must restore the index (rename old back), reclaim the stale lock,
-    finish a clean compaction, and probes must answer exactly as
-    before the crash."""
+    """Kill-point injection (r12, r11 verdict #3): kill the compactor
+    at the worst instant of the GENERATION protocol — after the new
+    generation tree (and its sidecar) is fully written but before the
+    pointer flip. Nothing was committed: the old layout must still be
+    fully active, probes must answer exactly as before, and the next
+    compact_ann_index call must GC the orphan tree, reclaim the stale
+    lock, and finish cleanly."""
+    import glob as _glob
     import os as _os
 
     import pytest as _pytest
 
+    from nursinghome_data_pipeline_spark import fs as _fs
+
     sim, path, topk, want = _ivf_crash_fixture(spark, sf_dir, tmp_path)
-    real_rename = _os.rename
+    real_touch = _fs.touch
     state = {"n": 0}
 
-    def dying_rename(src, dst):
-        # first rename of the swap (path -> .compact.old) succeeds,
-        # the promoting rename (tmp -> path) dies
-        if src.rstrip("/") == path.rstrip("/"):
-            return real_rename(src, dst)
-        if dst.rstrip("/") == path.rstrip("/"):
+    def dying_touch(p):
+        if p.endswith(sim.GEN_PTR_SUFFIX):
             state["n"] += 1
-            raise OSError("injected crash mid-swap")
-        return real_rename(src, dst)
+            raise OSError("injected crash before flip")
+        return real_touch(p)
 
-    monkeypatch.setattr(_os, "rename", dying_rename)
+    monkeypatch.setattr(_fs, "touch", dying_touch)
     with _pytest.raises(OSError, match="injected crash"):
         sim.compact_ann_index(spark, path, files_per_partition=1)
     monkeypatch.undo()
     assert state["n"] == 1
-    # crashed state: live dir demoted, promotion never happened
-    assert not _os.path.exists(path)
-    assert _os.path.exists(path + ".compact.old")
-    # next call repairs before touching anything, then compacts
+    # crashed state: orphan generation tree, no pointer — the legacy
+    # root layout is still the active data root and probes still work
+    assert _glob.glob(_os.path.join(path, "_gen-*.ptr")) == []
+    orphans = [
+        d for d in _glob.glob(_os.path.join(path, "_gen-*"))
+        if _os.path.isdir(d)
+    ]
+    assert orphans, "new generation tree should have been written"
+    assert sim.active_data_root(path) == path
+    assert topk() == want
+    # next call GCs the orphan, reclaims the stale lock, completes
     sim.compact_ann_index(spark, path, files_per_partition=1)
     assert topk() == want
-    assert not _os.path.exists(path + ".compact.old")
-    assert not _os.path.exists(path + ".compact.tmp")
+    ptrs = _glob.glob(_os.path.join(path, "_gen-*.ptr"))
+    assert len(ptrs) == 1
     assert not _os.path.exists(_os.path.join(path, sim.ANN_COMPACT_LOCK))
 
 
-def test_compact_crash_before_old_cleanup_is_repaired(
+def test_compact_crash_between_flip_and_gc_is_repaired(
     spark, sf_dir, tmp_path, monkeypatch
 ):
-    """Failure injection: crash after BOTH swap renames but before
-    rmtree(old). The promoted rewrite is already live — the next call
-    must just dispose of the demoted copy and proceed; probes keep
-    answering correctly throughout (no double-counting from the
-    leftover old copy)."""
+    """Kill-point injection: crash AFTER the pointer flip but before
+    the old generation's GC. The new generation is already committed —
+    probes must serve it immediately (the max pointer wins), and the
+    next call must reap the stale generation, its pointer, and the
+    stale lock; probes keep answering correctly throughout."""
+    import glob as _glob
     import os as _os
-    import shutil as _shutil
 
     import pytest as _pytest
 
+    from nursinghome_data_pipeline_spark import fs as _fs
+
     sim, path, topk, want = _ivf_crash_fixture(spark, sf_dir, tmp_path)
-    real_rmtree = _shutil.rmtree
+    # first compaction: establish generation 1 normally
+    sim.compact_ann_index(spark, path, files_per_partition=1)
+    gen1 = sim.active_data_root(path)
+    assert gen1 != path
+    real_rmtree = _fs.rmtree
 
-    def dying_rmtree(p, *a, **kw):
-        if p.rstrip("/") == path.rstrip("/") + ".compact.old":
-            raise OSError("injected crash before old-cleanup")
-        return real_rmtree(p, *a, **kw)
+    def dying_rmtree(p):
+        if p.rstrip("/") == gen1.rstrip("/"):
+            raise OSError("injected crash before old-gen GC")
+        return real_rmtree(p)
 
-    monkeypatch.setattr(_shutil, "rmtree", dying_rmtree)
+    monkeypatch.setattr(_fs, "rmtree", dying_rmtree)
     with _pytest.raises(OSError, match="injected crash"):
         sim.compact_ann_index(spark, path, files_per_partition=1)
     monkeypatch.undo()
-    # promoted rewrite is live already; stale demoted copy lingers
-    assert _os.path.exists(path + ".compact.old")
+    # generation 2 is committed and active despite the leftover tree;
+    # the stale lock (crash before removal) is reclaimed by next call
+    assert sim.active_data_root(path).endswith("_gen-000002")
+    assert _os.path.isdir(gen1)
     assert topk() == want
-    # next call reaps the stale copy and completes normally
     sim.compact_ann_index(spark, path, files_per_partition=1)
-    assert not _os.path.exists(path + ".compact.old")
+    assert not _os.path.isdir(gen1)
+    assert sim.active_data_root(path).endswith("_gen-000003")
+    assert len(_glob.glob(_os.path.join(path, "_gen-*.ptr"))) == 1
     assert topk() == want
 
 
@@ -653,7 +681,7 @@ def test_compact_detects_in_place_overwrite_of_part_file(
     state = {"fired": False}
 
     def overwrite_in_place_then_write(p, meta):
-        if not state["fired"] and p.endswith(".compact.tmp"):
+        if not state["fired"] and sim.GEN_PREFIX in p:
             state["fired"] = True
             _shutil.copyfile(b, a)  # same name `a`, different bytes
         real_meta_write(p, meta)
@@ -662,9 +690,12 @@ def test_compact_detects_in_place_overwrite_of_part_file(
     with _pytest.raises(RuntimeError, match="changed during compaction"):
         sim.compact_ann_index(spark, path, files_per_partition=1)
     assert state["fired"]
-    # gate released the lock and removed the tmp dir; live dir intact
+    # gate released the lock and removed the uncommitted generation;
+    # live (root) layout intact
+    import glob as _glob
+
     assert not _os.path.exists(_os.path.join(path, sim.ANN_COMPACT_LOCK))
-    assert not _os.path.exists(path + ".compact.tmp")
+    assert _glob.glob(_os.path.join(path, "_gen-*")) == []
 
 
 def test_compact_lock_cleanup_tolerates_vanished_lock(
@@ -681,7 +712,7 @@ def test_compact_lock_cleanup_tolerates_vanished_lock(
     real_meta_write = sim._write_ann_meta
 
     def remove_lock_then_die(p, meta):
-        if p.endswith(".compact.tmp"):
+        if sim.GEN_PREFIX in p:
             _os.remove(_os.path.join(path, sim.ANN_COMPACT_LOCK))
             raise RuntimeError("original failure to surface")
         real_meta_write(p, meta)

@@ -191,9 +191,13 @@ def test_regeometry_compaction_matches_fresh_rebuild(spark, sf_dir, tmp_path):
         load_ann_meta(grown)["n_buckets"]
         == load_ann_meta(fresh)["n_buckets"]
     )
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        active_data_root,
+    )
+
     rows = lambda p: sorted(  # noqa: E731
         (r["pb"], r["bucket"], r["doc_id"], r["sh"])
-        for r in spark.read.parquet(p).collect()
+        for r in spark.read.parquet(active_data_root(p)).collect()
     )
     assert rows(grown) == rows(fresh)
     g = _pairs(

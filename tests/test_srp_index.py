@@ -224,6 +224,10 @@ def test_regeometry_compaction_matches_fresh_rebuild(
         load_ann_meta(grown)["n_buckets"]
         == load_ann_meta(fresh)["n_buckets"]
     )
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        active_data_root,
+    )
+
     rows = lambda p: sorted(  # noqa: E731
         # vector rows of the normalized layout carry NULL tbl/bucket —
         # map to -1 so mixed-role tuples stay sortable
@@ -234,7 +238,7 @@ def test_regeometry_compaction_matches_fresh_rebuild(
             r["vec_id"],
             r["nrm"],
         )
-        for r in spark.read.parquet(p).collect()
+        for r in spark.read.parquet(active_data_root(p)).collect()
     )
     assert rows(grown) == rows(fresh)
     g = _pairs(
@@ -503,8 +507,13 @@ def test_normalized_layout_pins(spark, sf_dir, tmp_path):
     )
     # compaction splits the delta: postings lose the payload, every
     # appended id gains exactly one vector row, probe unchanged
+    # (post-compaction the data lives in the active generation — r12)
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        active_data_root,
+    )
+
     compact_ann_index(spark, path)
-    idx = spark.read.parquet(path)
+    idx = spark.read.parquet(active_data_root(path))
     assert idx.where(
         F.col("tbl").isNotNull() & F.col("embedding").isNotNull()
     ).count() == 0

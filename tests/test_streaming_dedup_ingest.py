@@ -271,9 +271,13 @@ def test_cadence_compaction_preserves_results_and_bounds_files(
     # postings preserved by ROUTING identity (band, bkey, doc): pb is
     # derived — the no-compact twin still holds its appends as pb=-1
     # LSM deltas while the cadence run folded them into true buckets
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        active_data_root,
+    )
+
     key = lambda r: (r["band"], r["bkey"], r["doc_id"])  # noqa: E731
-    rows_c = spark.read.parquet(idx_c).collect()
-    rows_n = spark.read.parquet(idx_n).collect()
+    rows_c = spark.read.parquet(active_data_root(idx_c)).collect()
+    rows_n = spark.read.parquet(active_data_root(idx_n)).collect()
     assert sorted(map(key, rows_c)) == sorted(map(key, rows_n))
     # the cadence run's last compaction fired at batch 6, so no delta
     # remains and every pb matches the derived formula; the no-compact
