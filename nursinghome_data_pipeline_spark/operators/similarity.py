@@ -1241,15 +1241,20 @@ def compact_ann_index(
         # (path, size, mtime) — not bare paths — so a rogue writer
         # that overwrites an existing part file IN PLACE (same name)
         # is still caught before the commit discards its data (see
-        # fs.data_file_stats for the vanishing-file sentinel). Files
-        # under generation dirs are excluded: when the active root IS
-        # the index root (legacy layout), the new generation is
-        # written inside it between the two listings.
+        # fs.data_file_stats for the vanishing-file sentinel). On the
+        # LEGACY layout (active root == index root) the new generation
+        # is written INSIDE the listed tree between the two listings,
+        # so files under generation dirs are excluded there; when the
+        # active root is itself a generation dir, new generations are
+        # SIBLINGS and nothing may be excluded — the naive substring
+        # exclusion would match the droot's own path prefix and void
+        # the gate entirely.
         def _data_stats(root):
+            stats = fs.data_file_stats(root)
+            if root != path:
+                return stats
             return {
-                e
-                for e in fs.data_file_stats(root)
-                if f"/{GEN_PREFIX}" not in e[0]
+                e for e in stats if f"/{GEN_PREFIX}" not in e[0]
             }
 
         before = _data_stats(droot)

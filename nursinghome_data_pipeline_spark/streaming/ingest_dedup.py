@@ -455,10 +455,17 @@ def streaming_dedup_ingest(
             degen_new = [
                 (m, str(w)) for m, w in surv if m not in known
             ]
-            keep_df = spark.createDataFrame(
-                [(i,) for i in keep_ids] or [],
-                degen.select(id_col).schema,
-            )
+            import pandas as _pd
+
+            keep_schema = degen.select(id_col).schema
+            if keep_ids:
+                # pandas-backed: ships via Arrow as a JVM
+                # LocalTableScan (see test_plan_quality's source lint)
+                keep_df = spark.createDataFrame(
+                    _pd.DataFrame({id_col: keep_ids}), schema=keep_schema
+                )
+            else:
+                keep_df = spark.createDataFrame([], keep_schema)
             null_payload = null_payload.where(
                 F.col(payload_col).isNull()
             ).unionByName(degen.join(keep_df, id_col, "left_semi"))

@@ -390,7 +390,31 @@ def test_compact_aborts_swap_if_files_changed_mid_rewrite(
     assert spark.read.parquet(sim.active_data_root(path)).count() == emb.count()
     # and a retry (no race this time) succeeds
     sim.compact_ann_index(spark, path, files_per_partition=1)
-    assert spark.read.parquet(sim.active_data_root(path)).count() == emb.count()
+    gen1 = sim.active_data_root(path)
+    assert spark.read.parquet(gen1).count() == emb.count()
+    # r12 regression pin: the gate must ALSO fire when the active root
+    # is itself a generation dir (new generations are siblings there —
+    # a substring-based exclusion would void the gate entirely)
+    state2 = {"fired": False}
+
+    def sneak_append_gen1(p, meta):
+        if not state2["fired"] and p != gen1 and sim.GEN_PREFIX in p:
+            state2["fired"] = True
+            routed = late.select(
+                meta["id_col"],
+                meta["vec_col"],
+                sim.ivf_cell_col(
+                    [(int(s), v) for s, v in meta["seeds"]], meta["vec_col"]
+                ).alias("cell"),
+            )
+            routed.write.mode("append").partitionBy("cell").parquet(gen1)
+        real_meta_write(p, meta)
+
+    monkeypatch.setattr(sim, "_write_ann_meta", sneak_append_gen1)
+    with _pytest.raises(RuntimeError, match="changed during compaction"):
+        sim.compact_ann_index(spark, path, files_per_partition=1)
+    assert state2["fired"]
+    assert sim.active_data_root(path) == gen1  # flip never happened
 
 
 def test_probe_kind_mismatch_raises_named_error(spark, sf_dir, tmp_path):
