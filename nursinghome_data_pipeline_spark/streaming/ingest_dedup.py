@@ -79,9 +79,11 @@ from pyspark.sql import functions as F
 
 #: marker directory under the TARGET recording every degenerate
 #: payload ever accepted — ``<md5>__<hex(winner_id)>`` per entry. Under
-#: the target (not the index) because compaction's swap replaces the
-#: index tree wholesale; same no-torn-state marker protocol as
-#: streaming/commitlog.py.
+#: the target (not the index) because the index tree belongs to the
+#: compaction lifecycle (generation GC, legacy rename recovery, and a
+#: full rebuild's mode('overwrite') all reclaim index state; the
+#: target is the stream's own durable root). Same no-torn-state marker
+#: protocol as streaming/commitlog.py.
 DEGEN_DIR = "_degen.d"
 
 
