@@ -278,3 +278,68 @@ def test_streaming_ingest_over_file_uri(spark, sf_dir, tmp_path):
     from nursinghome_data_pipeline_spark.streaming import commitlog
 
     assert commitlog.committed_ids(target) == {0}
+
+
+def test_srp_degen_markers_over_file_uri(spark, tmp_path):
+    """The cross-batch degenerate-vector marker set (r12) over a
+    ``file://`` target: the ``_degen.d`` markers must land on the
+    target's filesystem, and a second batch's bit-identical zero-norm
+    vector must be dropped against them — one survivor across the
+    stream, exactly as on a plain path."""
+    import json
+
+    import numpy as np
+
+    from nursinghome_data_pipeline_spark.operators.embedding_index import (
+        write_srp_index,
+    )
+    from nursinghome_data_pipeline_spark.streaming.ingest_dedup import (
+        _degen_entries,
+        streaming_dedup_ingest,
+    )
+
+    dim = 8
+    rng = np.random.default_rng(13)
+
+    def unit():
+        v = rng.standard_normal(dim)
+        return [float(x) for x in (v / np.linalg.norm(v))]
+
+    corpus = spark.createDataFrame(
+        [(1, unit())], "vec_id long, embedding array<float>"
+    )
+    index = f"file://{tmp_path}/degen_idx"
+    target = f"file://{tmp_path}/degen_target"
+    write_srp_index(
+        corpus, index, dim=dim, design_threshold=0.9, n_planes=4,
+        n_tables=2, n_buckets=8,
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).json(src)
+    q = streaming_dedup_ingest(
+        stream, index, target, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        with open(os.path.join(src, "b0.json"), "w", encoding="utf-8") as f:
+            f.write(json.dumps({"vec_id": 30, "embedding": [0.0] * dim}))
+            f.write("\n")
+        q.processAllAvailable()
+        with open(os.path.join(src, "b1.json"), "w", encoding="utf-8") as f:
+            f.write(json.dumps({"vec_id": 40, "embedding": [0.0] * dim}))
+            f.write("\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    data = fs.join(target, "data")
+    got = {
+        r["vec_id"]
+        for r in spark.read.option("basePath", data).parquet(data).collect()
+    }
+    assert got == {30}
+    assert _degen_entries(target) == {
+        next(iter(_degen_entries(target))): "30"
+    }
+    assert fs.is_dir(fs.join(target, "_degen.d"))
