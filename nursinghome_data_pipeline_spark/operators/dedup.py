@@ -872,13 +872,29 @@ def connected_components(
             max_iter=max_iter,
         )
         return labels
-    # materialize the (possibly expensive — LSH/Jaccard join) edge
-    # input ONCE before the bidirectional union references it twice
-    e0 = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    # Symmetrize in ONE pass: exploding each pair into its two
+    # directed rows runs the (possibly expensive — LSH/Jaccard join)
+    # edge subtree exactly once inside a single checkpoint job. The
+    # former union-of-two-references needed its own eager checkpoint
+    # of the raw pairs first (two barriers, two scans); map-side
+    # explode needs neither. Same multiset of directed edges, then the
+    # same distinct.
     e = (
-        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("src"),
+                        F.col(dst_col).alias("dst"),
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("src"),
+                        F.col(src_col).alias("dst"),
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )

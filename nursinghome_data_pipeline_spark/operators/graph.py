@@ -77,12 +77,25 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, *, max_hops: int) -> DataFrame:
     the bidirectional edge list so undirected adjacency needs no
     second join.
     """
-    # materialize the adjacency ONCE: every round joins against it (and
-    # the union references edges twice), so without this the upstream
-    # edge-construction subtree re-executes 2x per round
+    # materialize the adjacency ONCE: every round joins against it, so
+    # without this the upstream edge-construction subtree re-executes
+    # per round. Symmetrization is a map-side explode — one pass over
+    # the (expensive — cooccurrence join) edge subtree instead of a
+    # union that references it twice inside the checkpoint job.
     bidir = (
-        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("src"), F.col("v").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("v").alias("src"), F.col("u").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .localCheckpoint(eager=True)
     )
     visited = seeds.select(
@@ -115,8 +128,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     # expensive) construction subtree three times
     edges = edges.localCheckpoint(eager=True)
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        edges.select(
+            F.explode(F.array(F.col("u"), F.col("v"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -241,15 +255,26 @@ def pagerank(
     if directed:
         adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
     else:
+        # map-side explode symmetrization: one pass over the edge
+        # subtree instead of a union referencing it twice (same
+        # one-scan rewrite as bfs_hops / connected_components)
         adj = edges.select(
-            F.col("u").alias("src"), F.col("v").alias("dst")
-        ).unionAll(
-            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("src"), F.col("v").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("v").alias("src"), F.col("u").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        ).select("_e.src", "_e.dst")
     adj = adj.localCheckpoint(eager=True)
     vertices = (
-        adj.select(F.col("src").alias("node"))
-        .unionAll(adj.select(F.col("dst").alias("node")))
+        adj.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
