@@ -749,6 +749,14 @@ def jaccard_pair_join(
             )
             .where(F.col("_rk") <= F.col("_plen"))
             .select(id_col, "sz", "shingle")
+            # NOT checkpointed, deliberately: both self-join sides
+            # re-run the df-ranking pipeline (explode + two window
+            # shuffles), but the two copies run CONCURRENTLY across
+            # cores while a checkpoint is a serializing barrier —
+            # measured 1.96 s → 2.40 s at sf0.1 when a lazy
+            # localCheckpoint was tried here (r12). The `sets`
+            # checkpoint above already bounds the duplicated work to
+            # the ranking passes over in-memory postings.
         )
         a, b = prefix.alias("a"), prefix.alias("b")
         cands = (
