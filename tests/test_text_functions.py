@@ -17,10 +17,19 @@ from nursinghome_data_pipeline_spark.functions.text import (
 
 
 def reference_normalize_quarter(val):
-    """The reference's documented behavior, re-stated as the spec."""
+    """The reference's documented behavior, re-stated as the spec.
+
+    Digit classes are ASCII-explicit (``[0-9]``, not ``\\d``): Python's
+    ``\\d`` alone among the three engines matches Unicode decimal
+    digits (Nd — hypothesis counterexample ``"2000\U0001D7CE"``), while
+    Java (the product expression) and RE2/DuckDB (the driver oracle)
+    are ASCII-only. The product must hash-match the oracle, so the
+    ASCII reading IS the canonical spec; the reference corpus never
+    contains non-ASCII digits, so the behaviors are identical there.
+    """
     if val is None:
         return None
-    m = re.search(r"(20\d{2}).*?(\d)", str(val))
+    m = re.search(r"(20[0-9]{2}).*?([0-9])", str(val))
     if m:
         year, q = m.groups()
         return f"{year}-Q{q}"
