@@ -561,6 +561,26 @@ def adjusted_total(total: float, calib: float) -> float:
 #: probe's own startup wake (load1 well under 1 on an idle host).
 LOAD_DIRTY_THRESHOLD = 1.2
 
+#: 5-min load average above which a run is flagged dirty at START
+#: (r12 guard gap, verdict #2): the 1-min sample alone waved through a
+#: window started while the 5-min average was still decaying from a
+#: prior heavy job (ts 1786979210: load1 0.13 at start, yet the run
+#: read a uniform 1.14x slow — the leading edge of returning
+#: contention). 0.6 sits well above this box's idle background
+#: (load5 ~0.1 observed) and far below the ~2+ a decaying test-suite
+#: or bench run leaves behind for minutes.
+LOAD5_DIRTY_THRESHOLD = 0.6
+
+#: Hypervisor-steal fraction above which a run may not SEED the
+#: retry-gate history even though it is not flagged visibly dirty
+#: (the 2% STEAL_RETRY_FRACTION gate is for retries/flags): the
+#: accepted-but-inflated r12 window passed at 0.36% steal while
+#: reading 1.14x high. A genuinely quiet host on this box measures
+#: ~0.0-0.06% across a full run, so 0.3% separates the regimes with
+#: margin on both sides. Append-gate only — the printed JSON line and
+#: bench_full.json are unaffected.
+STEAL_APPEND_FRACTION = 0.003
+
 #: Per-entry retry gates (r9 verdict #1: three consecutive load_dirty
 #: recordings left the bench unable to resolve a real 1.2x
 #: regression). An entry measured while load1 exceeded
@@ -603,13 +623,19 @@ def _cpu_times() -> tuple[int, int] | None:
         return None
 
 
-def _trailing_medians(bench_dir: str) -> dict[str, float]:
+def _trailing_medians(bench_dir: str, cpus: int | None = None) -> dict[str, float]:
     """Per-query median over the last :data:`HISTORY_WINDOW` recorded
     runs (``bench_history.jsonl``; falls back to the single
     ``bench_full.json`` recording before any history exists). This is
     the retry gate's reference — a per-entry expectation that survives
     registry growth because unknown queries simply have no reference
     (first measurement is never retried for slowness, only for load).
+
+    ``cpus`` (r13, verdict #2): history lines now record the core
+    count they ran at, and the medians only aggregate lines matching
+    the CURRENT count — an 8-core window must not seed 32-core retry
+    gates (or vice versa). Legacy lines without the field predate the
+    change and were all recorded at 32 cores, so they count as 32.
     """
     import statistics
 
@@ -625,6 +651,8 @@ def _trailing_medians(bench_dir: str) -> dict[str, float]:
                     rec = json.loads(line)
                 except ValueError:
                     continue  # torn tail line from a killed run
+                if cpus is not None and int(rec.get("cpus", 32)) != cpus:
+                    continue
                 if isinstance(rec.get("queries"), dict):
                     runs.append(rec)
     if not runs:
@@ -655,6 +683,7 @@ def summary_line(
     retried: list[str] | None = None,
     drift_dirty: bool = False,
     steal: float | None = None,
+    load5: float | None = None,
 ) -> str:
     """ONE compact JSON line that fits :data:`LINE_BUDGET`.
 
@@ -703,6 +732,14 @@ def summary_line(
             # drift_dirty instead (still->slow vs trailing medians).
             if load1[0] > LOAD_DIRTY_THRESHOLD:
                 payload["load_dirty"] = True
+        if load5 is not None:
+            # r13 (r12 verdict #2): the 5-min average at START catches
+            # a window opened while load is still decaying from a
+            # prior heavy job — the case the 1-min sample waved
+            # through while the run read uniformly slow.
+            payload["load5"] = round(load5, 2)
+            if load5 > LOAD5_DIRTY_THRESHOLD:
+                payload["load_dirty"] = True
         if drift_dirty:
             payload["load_dirty"] = True
             payload["drift_dirty"] = True
@@ -746,9 +783,23 @@ def main() -> None:
     # dirty in bench_full.json, and warn loudly (stderr, so the JSON
     # line contract is untouched) when the host is already busy.
     cpus = os.cpu_count() or 1
+    #: the SPARK core count (the local[N] the queries run on) — the
+    #: axis history lines must be keyed by: an 8-core window's
+    #: timings are not comparable to 32-core medians (r12 kept its
+    #: 8-core record out of history entirely for this reason)
+    spark_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     calib = _cpu_calibration()
     run_ct0 = _cpu_times()
     load_start = os.getloadavg()[0]
+    load5_start = os.getloadavg()[1]
+    if load5_start > LOAD5_DIRTY_THRESHOLD:
+        print(
+            f"WARNING: 5-min load {load5_start:.2f} > "
+            f"{LOAD5_DIRTY_THRESHOLD} at bench start — the host is "
+            "still decaying from recent work; the run will be flagged "
+            "dirty. Wait for load5 to settle and re-run.",
+            file=sys.stderr,
+        )
     if load_start > cpus / 4:
         print(
             f"WARNING: 1-min load {load_start:.1f} > cores/4 "
@@ -791,7 +842,7 @@ def main() -> None:
     ):
         EXTRA_BENCH[_warm](spark, SF_DIR)
     bench_dir = os.path.dirname(os.path.abspath(__file__))
-    refs = _trailing_medians(bench_dir)
+    refs = _trailing_medians(bench_dir, cpus=spark_cpus)
 
     def _best_of(fn, reps: int) -> float:
         best = float("inf")
@@ -907,7 +958,9 @@ def main() -> None:
                 "sf": sf,
                 "host_load": {
                     "cpus": cpus,
+                    "spark_cpus": spark_cpus,
                     "load1_start": round(load_start, 2),
+                    "load5_start": round(load5_start, 2),
                     "load1_end": round(load_end, 2),
                     "dirty_start": load_start > cpus / 4,
                     "cpu_calib_sec": calib,
@@ -935,11 +988,24 @@ def main() -> None:
     dirty_run = load_start > LOAD_DIRTY_THRESHOLD or drift_dirty or (
         run_steal is not None and run_steal > STEAL_RETRY_FRACTION
     )
+    # r13 append-only gates (r12 verdict #2): a run can be clean enough
+    # to PRINT (the flags above) yet too contaminated to SEED the next
+    # run's retry-gate medians — a decaying-load start (load5) or any
+    # measurable hypervisor steal (>0.3%; a quiet run on this box reads
+    # ~0.0-0.06%) uniformly inflates timings without tripping per-entry
+    # gates. The 85.97s r12 window (0.36% steal, 1.14x uniform) is the
+    # motivating case.
+    no_seed = (
+        dirty_run
+        or load5_start > LOAD5_DIRTY_THRESHOLD
+        or (run_steal is not None and run_steal > STEAL_APPEND_FRACTION)
+    )
     hist_path = os.path.join(bench_dir, HISTORY_FILE)
-    if dirty_run and os.path.exists(hist_path):
+    if no_seed and os.path.exists(hist_path):
         print(
-            "bench: run flagged dirty (load/drift/steal) — NOT appended "
-            "to bench_history.jsonl (retry-gate medians stay clean)",
+            "bench: run flagged dirty or contaminated (load/load5/"
+            "drift/steal) — NOT appended to bench_history.jsonl "
+            "(retry-gate medians stay clean)",
             file=sys.stderr,
         )
     else:
@@ -949,8 +1015,14 @@ def main() -> None:
                     {
                         "ts": int(time.time()),
                         "sf": sf,
+                        "cpus": spark_cpus,
                         "queries": timings,
                         "load1": [round(load_start, 2), round(load_end, 2)],
+                        "load5": round(load5_start, 2),
+                        "steal_pct": (
+                            None if run_steal is None
+                            else round(100 * run_steal, 2)
+                        ),
                         "calib": calib,
                         "retried": retried,
                     },
@@ -969,6 +1041,7 @@ def main() -> None:
             retried=retried,
             drift_dirty=drift_dirty,
             steal=run_steal,
+            load5=load5_start,
         )
     )
     spark.stop()

@@ -221,3 +221,37 @@ def test_steal_recorded_and_flags_dirty_above_threshold():
     if ct is not None:
         steal_j, total_j = ct
         assert 0 <= steal_j <= total_j
+
+
+def test_load5_start_gate_flags_decaying_host():
+    """r13 (r12 verdict #2): a window opened while the 5-min load is
+    still decaying from prior heavy work must grade dirty even when
+    the 1-min sample already looks quiet (the accepted-but-inflated
+    85.97s r12 window is the motivating case)."""
+    decaying = json.loads(
+        bench.summary_line(
+            {"q1": 1.0}, 1.0, 0.1, load1=(0.1, 0.2), load5=1.8
+        )
+    )
+    assert decaying["load5"] == 1.8 and decaying["load_dirty"] is True
+    quiet = json.loads(
+        bench.summary_line(
+            {"q1": 1.0}, 1.0, 0.1, load1=(0.1, 0.2), load5=0.1
+        )
+    )
+    assert quiet["load5"] == 0.1 and "load_dirty" not in quiet
+
+
+def test_trailing_medians_keyed_by_core_count(tmp_path):
+    """r13 (r12 verdict #2): history lines carry the Spark core count
+    and medians only aggregate the current count's lines; legacy
+    lines without the field were all recorded at 32 cores."""
+    d = str(tmp_path)
+    with open(os.path.join(d, "bench_history.jsonl"), "w") as f:
+        f.write(json.dumps({"queries": {"q1": 1.0}}) + "\n")  # legacy=32
+        f.write(json.dumps({"cpus": 8, "queries": {"q1": 9.0}}) + "\n")
+        f.write(json.dumps({"cpus": 32, "queries": {"q1": 2.0}}) + "\n")
+    assert bench._trailing_medians(d, cpus=32) == {"q1": 1.5}
+    assert bench._trailing_medians(d, cpus=8) == {"q1": 9.0}
+    # cpus=None keeps the legacy everything-counts behavior
+    assert bench._trailing_medians(d) == {"q1": 2.0}
