@@ -2784,6 +2784,14 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import knn_ivf_fixed
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
+    # NOT materialized (r13 measured rejection, r12 verdict #5): an
+    # eager localCheckpoint of cands here — one materialization vs the
+    # 4+ jobs re-running the scan+filter (init collect, two Lloyd
+    # iterations, fixed-probe) — A/B'd at parity across 6 interleaved
+    # sessions (old best-of-3 3.55-4.69 s, new 3.67-4.58 s): the
+    # parquet re-scan is cheaper than the checkpoint barrier at this
+    # geometry, and at 100 TB materializing the full candidate corpus
+    # per query is exactly what the sampled-training design avoids.
     cands = embeddings.where(F.col("vec_id") != 0)
     init = (
         cands.orderBy(
@@ -5343,24 +5351,29 @@ def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
            {oracle_q_sum('value')} AS total_value
     FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     """,
-    "Arbitrary stateful streaming (streaming/running_totals.py): "
-    "per-user running totals held in keyed state, updated cumulative "
-    "row emitted per touched key per micro-batch (online feature-store "
+    "Stateful streaming (streaming/running_totals.py): per-user "
+    "running totals held in keyed state, updated cumulative row "
+    "emitted per touched key per micro-batch (online feature-store "
     "shape). THIS RUN IS A REAL MULTI-BATCH STREAM: events are staged "
     "as 8 parquet files and read with maxFilesPerTrigger=2, so state "
     "must survive ≥4 micro-batches; the latest emission per key "
     "(max_by on the strictly-increasing count) is the final answer. "
     "State carries the exact quantized integer value sum, so the "
     "result is independent of batch boundaries/order and hash-matches "
-    "the batch GROUP BY oracle bit-for-bit. Runs the GroupState API "
-    "(applyInPandasWithState); the Spark 4 transformWithStateInPandas "
-    "twin of the same fold ships alongside, import-gated on protobuf "
-    "(absent in this container — see module docstring).",
+    "the batch GROUP BY oracle bit-for-bit. Since r13 this fold runs "
+    "as a CATALYST-NATIVE streaming aggregation in update mode (count "
+    "+ quantized-sum are built-in aggregates — JVM state store, zero "
+    "Python workers on the plan, guide §4); the GroupState API twin "
+    "(applyInPandasWithState — the arbitrary-stateful shape for folds "
+    "built-ins cannot express) and the Spark 4 "
+    "transformWithStateInPandas twin ship alongside, emission-"
+    "identical (differential-pinned in tests/test_running_totals.py; "
+    "the TWS twin is import-gated on protobuf, absent here).",
 )
 def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.running_totals import (
         finalize_totals,
-        running_totals_stream,
+        running_totals_stream_agg,
     )
     from .streaming.ingest_stream import run_stream_to_memory
 
@@ -5380,7 +5393,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         .option("maxFilesPerTrigger", 2)
         .parquet(staged)
     )
-    emitted = running_totals_stream(stream)
+    emitted = running_totals_stream_agg(stream)
     run_stream_to_memory(
         emitted, "nh_stream_stateful_totals", output_mode="update"
     )
@@ -6986,6 +6999,9 @@ def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import kmeans_lloyd
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
+    # not materialized — same r13 measured rejection as knn_ivf_topk
+    # (localCheckpoint of the input A/B'd at parity; re-scan per
+    # iteration stays the honest at-scale shape)
     init = embeddings.where(F.col("vec_id").isin(1, 2, 3, 4)).select(
         F.col("vec_id").alias("cid"),
         F.transform("embedding", lambda v: v.cast("double")).alias("clist"),

@@ -4,12 +4,21 @@ The online-feature-store shape: maintain PER-USER cumulative totals
 across micro-batches and emit the updated row for every user touched by
 a batch ("events and spend per user so far", updated as data arrives).
 
-Two implementations of the same fold:
+Three implementations of the same fold:
 
+- :func:`running_totals_stream_agg` — a Catalyst-native streaming
+  aggregation (``groupBy().agg()`` in update mode). THIS particular
+  fold (count + quantized sum) is expressible as built-in aggregates,
+  so the JVM state-store path needs no Python worker at all — the
+  default for the oracle-checked registry query
+  ``streaming_stateful_user_totals`` since r13 (guide §4: the
+  GroupState path ran 8 Python state tasks per micro-batch for
+  arithmetic the state store does natively; emissions are row-for-row
+  identical, pinned by ``tests/test_running_totals.py``).
 - :func:`running_totals_stream` — ``applyInPandasWithState`` (the
-  GroupState API, Spark 3.4+). The default: no extra Python
-  dependencies, used by the oracle-checked registry query
-  ``streaming_stateful_user_totals``.
+  GroupState API, Spark 3.4+): the ARBITRARY-stateful shape for folds
+  that are not expressible as built-in aggregates. No extra Python
+  dependencies; differential-tested against the native twin.
 - :func:`running_totals_stream_tws` — Spark 4's
   ``transformWithStateInPandas`` successor API (typed ValueState on the
   RocksDB state backend, timers/TTL capable). Its Python state-server
@@ -37,7 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.exprs import Q_BITS
+from ..functions.exprs import Q_BITS, q_sum_term
 
 _STATE_SCHEMA = "n long, vq long"
 #: cumulative totals per key; value_q is the exact quantized integer sum
@@ -66,13 +75,64 @@ def _fold_batch(n: int, vq: int, pdf: pd.DataFrame) -> tuple[int, int]:
     vals = np.asarray(pdf["value"], dtype=np.float64)
     # isfinite, not just not-NaN: floor(±inf * 2^Q) cast to int64 is
     # undefined (INT64_MIN in practice) and would silently corrupt the
-    # running total. Dropping non-finite terms matches the batch twin:
-    # q_sum_term's CAST(floor(inf * 2^Q) AS DECIMAL) yields NULL under
-    # the engine's coerce-to-null cast and falls out of the SUM.
+    # running total. (Spark's own non-ANSI floor(±inf) does not null
+    # out either — it CLAMPS to ±Long.MAX, measured r13 — so the
+    # native-agg twin masks non-finite values explicitly to match this
+    # guard; the differential non-finite test pins both paths.)
     finite = np.isfinite(vals)
     if finite.any():
         vq += int(np.floor(vals[finite] * q).astype(np.int64).sum())
     return n, vq
+
+
+def running_totals_stream_agg(
+    events: DataFrame, *, key_col: str = "user_id"
+) -> DataFrame:
+    """Catalyst-native restatement of the running-totals fold: a
+    streaming ``groupBy().agg()`` in update output mode.
+
+    Emission-identical to :func:`running_totals_stream` (one CUMULATIVE
+    row per touched key per micro-batch — update mode emits exactly the
+    keys the batch touched, with totals folded into JVM state-store
+    state), but with ZERO Python boundary: no Python worker processes,
+    no Arrow transposes, no per-task GroupState protocol. The plan is
+    ``StateStoreRestore → partial agg → StateStoreSave`` with map-side
+    partial aggregation per micro-batch (guide §2.3/§4) instead of
+    ``FlatMapGroupsInPandasWithState`` shipping every row to Python.
+
+    Bit-exactness with the GroupState fold: ``value_q`` sums
+    ``floor(value * 2^Q_BITS)`` as exact integers via the engine-wide
+    :func:`~..functions.exprs.q_sum_term`, with non-finite values
+    masked out FIRST — ``_fold_batch`` drops them with ``isfinite``,
+    and Spark's non-ANSI ``floor(±inf)`` does NOT null out, it clamps
+    to ±Long.MAX (measured; the differential non-finite test pins this
+    seam), so the mask is what keeps the two plans bit-equal. NULL
+    values fall out of the SUM on both paths while ``count(1)`` still
+    counts their rows, and ``coalesce(…, 0)`` pins the
+    all-values-non-finite key to 0, matching the Python fold's integer
+    state. The final cast to long is exact for any total below 2^63.
+    Differential-pinned row-for-row by ``tests/test_running_totals.py``.
+
+    Use :func:`running_totals_stream` when the per-key fold is NOT
+    expressible as built-in aggregates (model state, ordered history,
+    custom eviction) — that is what the GroupState API is for.
+    """
+    v = F.col("value")
+    finite = (
+        ~F.isnan(v) & (v != F.lit(float("inf"))) & (v != F.lit(float("-inf")))
+    )
+    return (
+        events.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(
+                F.sum(F.when(finite, q_sum_term(v))), F.lit(0)
+            )
+            .cast("long")
+            .alias("value_q"),
+        )
+    )
 
 
 def running_totals_stream(events: DataFrame, *, key_col: str = "user_id") -> DataFrame:

@@ -16,6 +16,7 @@ from nursinghome_data_pipeline_spark.streaming.ingest_stream import (
 from nursinghome_data_pipeline_spark.streaming.running_totals import (
     finalize_totals,
     running_totals_stream,
+    running_totals_stream_agg,
 )
 
 
@@ -36,15 +37,13 @@ def staged_batches(spark, tmp_path):
     return d
 
 
-def _run(spark, staged, name):
+def _run(spark, staged, name, op=running_totals_stream):
     stream = (
         spark.readStream.schema("user_id bigint, value double")
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)
     )
-    run_stream_to_memory(
-        running_totals_stream(stream), name, output_mode="update"
-    )
+    run_stream_to_memory(op(stream), name, output_mode="update")
     return spark.table(name)
 
 
@@ -89,6 +88,51 @@ def test_finalize_matches_batch_aggregate(spark, staged_batches):
         .collect()
     }
     assert final == expected  # negative values included: max_by, not max
+
+
+def test_native_agg_twin_emission_identical(spark, staged_batches):
+    """The r13 Catalyst-native restatement (streaming groupBy().agg()
+    in update mode — the registry query's plan since r13) must emit
+    EXACTLY the rows the GroupState fold emits: one cumulative row per
+    touched key per micro-batch, bit-equal value_q. Multiset equality
+    over the full emission history is the strongest observable pin —
+    it proves per-batch update semantics, not just the final fold."""
+    by_fold = _run(spark, staged_batches, "rt_diff_fold")
+    by_agg = _run(
+        spark, staged_batches, "rt_diff_agg", op=running_totals_stream_agg
+    )
+    rows_fold = sorted(map(tuple, by_fold.collect()))
+    rows_agg = sorted(map(tuple, by_agg.collect()))
+    assert rows_fold == rows_agg
+
+
+def test_native_agg_twin_nonfinite_values(spark, tmp_path):
+    """Non-finite values: the GroupState fold drops them from the sum
+    (``isfinite`` guard) while counting the rows; the native twin gets
+    the same semantics from q_sum_term's coerce-to-null decimal cast
+    plus coalesce-to-0 (a key whose every value is non-finite must
+    report value_q = 0, not NULL). Pin both paths agree per emission."""
+    d = os.path.join(tmp_path, "nf_batches")
+    batches = [
+        [(1, float("inf")), (2, 1.5)],
+        [(1, float("nan")), (1, 2.0), (2, float("-inf"))],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "user_id long, value double").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+    by_fold = _run(spark, d, "rt_nf_fold")
+    by_agg = _run(spark, d, "rt_nf_agg", op=running_totals_stream_agg)
+    rows_fold = sorted(map(tuple, by_fold.collect()))
+    rows_agg = sorted(map(tuple, by_agg.collect()))
+    assert rows_fold == rows_agg
+    q = 1 << Q_BITS
+    # user 1 saw only non-finite values in batch 1 → value_q pinned 0;
+    # batch 2 adds one finite 2.0 (count still includes non-finite rows)
+    assert [(u, n, vq) for (u, n, vq) in rows_agg if u == 1] == [
+        (1, 1, 0),
+        (1, 3, 2 * q),
+    ]
 
 
 def test_tws_variant_gated_on_protobuf(spark):
