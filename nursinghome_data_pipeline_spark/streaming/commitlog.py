@@ -38,13 +38,13 @@ MARKER_DIR = "_committed_batches.d"
 
 def committed_ids(target_dir: str) -> set[int]:
     """All committed batch ids under ``target_dir`` — marker files
-    plus any legacy manifest lines."""
+    (loose plus compacted packs, :mod:`.markerpack` — r13) plus any
+    legacy manifest lines."""
+    from . import markerpack
+
     ids: set[int] = set()
     marker_dir = fs.join(target_dir, MARKER_DIR)
-    try:
-        names = fs.listdir(marker_dir)
-    except OSError:
-        names = []
+    names = markerpack.list_markers(marker_dir)
     for n in names:
         try:
             ids.add(int(n))
@@ -58,17 +58,13 @@ def committed_ids(target_dir: str) -> set[int]:
 
 
 def is_committed(target_dir: str, batch_id: int) -> bool:
-    """Cheap single-batch check: one ``exists`` on the marker (the
-    per-batch hot path) with the legacy-file fallback only when the
-    marker is absent."""
+    """Cheap single-batch check: one ``exists`` on the loose marker
+    (the per-batch hot path — a just-committed id is always loose
+    until the next compaction), falling back to the full committed
+    set (packs + legacy manifest) only when the marker is absent."""
     if fs.exists(fs.join(target_dir, MARKER_DIR, str(int(batch_id)))):
         return True
-    legacy = fs.join(target_dir, MANIFEST_FILE)
-    if fs.exists(legacy):
-        return int(batch_id) in {
-            int(line) for line in fs.read_text(legacy).split()
-        }
-    return False
+    return int(batch_id) in committed_ids(target_dir)
 
 
 def record_commit(target_dir: str, batch_id: int) -> None:
@@ -82,3 +78,15 @@ def record_commit(target_dir: str, batch_id: int) -> None:
 def n_committed(target_dir: str) -> int:
     """Committed-batch count (the compaction-cadence counter)."""
     return len(committed_ids(target_dir))
+
+
+def compact_markers(target_dir: str, *, threshold: int | None = None) -> bool:
+    """Roll loose commit markers into a pack once ``threshold`` of
+    them accumulate (:mod:`.markerpack` — bounds the per-batch
+    ``committed_ids`` listing to O(batches since last pack); r13, r12
+    verdict #9). Maintenance cadence only, never the commit hot path;
+    single writer per target (the sinks' existing contract)."""
+    from . import markerpack
+
+    kw = {} if threshold is None else {"threshold": threshold}
+    return markerpack.compact(fs.join(target_dir, MARKER_DIR), **kw)

@@ -89,13 +89,14 @@ DEGEN_DIR = "_degen.d"
 
 def _degen_entries(target_dir: str) -> dict[str, str]:
     """{payload_md5: winner_id_str} of every degenerate payload a
-    previous batch accepted."""
+    previous batch accepted. Reads loose markers plus compacted packs
+    (:mod:`.markerpack`) so the per-batch listing stays O(markers
+    since the last compaction), not O(stream lifetime) — r13, r12
+    verdict #9."""
     from .. import fs
+    from . import markerpack
 
-    try:
-        names = fs.listdir(fs.join(target_dir, DEGEN_DIR))
-    except OSError:
-        return {}
+    names = markerpack.list_markers(fs.join(target_dir, DEGEN_DIR))
     out: dict[str, str] = {}
     for n in names:
         md5, sep, hexid = n.partition("__")
@@ -546,6 +547,15 @@ def streaming_dedup_ingest(
             # permission failure mid-swap; ValueError a corrupted
             # sidecar. All defer to the next cadence point.
             try:
+                # bound the per-batch marker listings (commit ids +
+                # degen payloads) the same way the index LSM bounds
+                # delta files: threshold-gated pack compaction (r13,
+                # r12 verdict #9). Crash-safe and idempotent — see
+                # streaming/markerpack.py.
+                from . import markerpack
+
+                commitlog.compact_markers(target_dir)
+                markerpack.compact(fs.join(target_dir, DEGEN_DIR))
                 if commitlog.n_committed(target_dir) % compact_every == 0:
                     from ..operators.similarity import compact_ann_index
 
