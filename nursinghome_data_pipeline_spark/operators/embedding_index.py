@@ -86,7 +86,7 @@ from .similarity import (
     auto_lsh_planes,
     auto_lsh_tables,
     load_ann_meta,
-    lsh_bucket_col,
+    lsh_bucket_structs_col,
     read_matched_partitions,
 )
 
@@ -147,15 +147,15 @@ def _srp_rows(
     path, so index and query always agree on routing."""
     _require_unreserved(id_col, "id_col", "_srp_rows")
     _require_unreserved(vec_col, "vec_col", "_srp_rows")
-    bucket_exprs = [
-        F.struct(
-            F.lit(j).alias("tbl"),
-            lsh_bucket_col(
-                vec_col, dim=dim, n_planes=n_planes, seed=seed + j
-            ).alias("bucket"),
-        )
-        for j in range(n_tables)
-    ]
+    # ALL tables' (tbl, bucket) structs in ONE HOF expression over a
+    # single parsed plane-matrix literal (r13): same bucket ids
+    # bit-for-bit as the former per-table lsh_bucket_col fan-out
+    # (pinned by tests/test_srp_properties.py), ~2x cheaper to
+    # construct and 2-3x cheaper to execute at probe geometry — see
+    # lsh_bucket_structs_col.
+    bucket_structs = lsh_bucket_structs_col(
+        vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
+    )
     # generator and struct-field access cannot share one select —
     # explode first, then project the fields (withColumn seam)
     exploded = (
@@ -163,7 +163,7 @@ def _srp_rows(
             F.col(id_col),
             F.col(vec_col),
             l2_norm_col(vec_col).alias("nrm"),
-            F.explode(F.array(*bucket_exprs)).alias("__tb"),
+            F.explode(bucket_structs).alias("__tb"),
         )
         .withColumn("tbl", F.col("__tb.tbl"))
         .withColumn("bucket", F.col("__tb.bucket"))

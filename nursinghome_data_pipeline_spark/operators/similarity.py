@@ -12,6 +12,8 @@ partitionings, and the DuckDB oracle.
 
 from __future__ import annotations
 
+import threading
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -212,6 +214,104 @@ def lsh_bucket_col(
     return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
 
 
+def lsh_bucket_structs_col(
+    vec_col: str,
+    *,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int = 42,
+    tbl_alias: str = "tbl",
+) -> Column:
+    """ALL tables' ``(tbl, bucket)`` structs as ONE array expression —
+    the multi-table fan-out's bucket math collapsed into a single
+    higher-order-function tree over one parsed hyperplane-matrix
+    literal (r13, r12 verdict #3).
+
+    The former shape — ``array(struct(j, lsh_bucket_col(seed+j)) for
+    j)`` — built ``n_tables`` independent expression trees, each
+    ``n_planes`` aggregate/zip_with folds plus a CASE-sum chain. At
+    the 10M-probe geometry (15 tables × 18 planes × 64 dims) that tree
+    dominated the probe's fixed cost: measured on this box (warm JVM,
+    2000-row exec), per-table-exprs construct (build+analyze) 1.7-2.9 s
+    and noop-exec 0.6-0.9 s vs **0.1 s build + ~1.1 s analyze and
+    0.27 s exec** for this form — the plane values parse once as one
+    ``array(array(array(...)))`` literal (the same repr-exact doubles),
+    and one ``transform × zip_with × aggregate`` tree walks it.
+    (A nested ``F.lit`` was measured 10-14 s to BUILD — PySpark
+    recurses element-wise through py4j — and a 3-D numpy literal is
+    unsupported; the parsed text is the fast path.)
+
+    Bit-equality with the per-table form (exceptAll == 0 both ways,
+    pinned by ``tests/test_srp_properties.py``): identical plane
+    literals (repr round-trip), identical sequential zip_with/aggregate
+    dot fold, identical ``>= 0`` sign rule and ``2^i`` weights summed
+    left-to-right as longs — so indexes built under either expression
+    probe identically under the other.
+
+    ``n_planes == 0`` keeps :func:`lsh_bucket_col`'s contract (bucket
+    0 for every table). Like that function, the plane values live in
+    SQL text; ``vec_col`` does NOT (it resolves via ``F.col``), so any
+    column name is safe here.
+    """
+    if n_planes == 0:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias(tbl_alias),
+                    F.lit(0).cast("long").alias("bucket"),
+                )
+                for j in range(n_tables)
+            ]
+        )
+    p3 = [lsh_planes(n_planes, dim, seed + j) for j in range(n_tables)]
+    lit3 = F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array("
+                + ", ".join(f"{float(v)!r}D" for v in plane)
+                + ")"
+                for plane in tp
+            )
+            + ")"
+            for tp in p3
+        )
+        + ")"
+    )
+    weights = F.lit([1 << i for i in range(n_planes)]).cast("array<bigint>")
+    v = F.col(vec_col)
+
+    def dot(plane: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                v, plane, lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+
+    def bucket(tp: Column) -> Column:
+        terms = F.zip_with(
+            tp,
+            weights,
+            lambda plane, w: F.when(dot(plane) >= 0, w).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        return F.aggregate(
+            terms, F.lit(0).cast("long"), lambda acc, val: acc + val
+        )
+
+    return F.transform(
+        lit3,
+        lambda tp, j: F.struct(
+            j.alias(tbl_alias), bucket(tp).alias("bucket")
+        ),
+    )
+
+
 def auto_lsh_planes(
     n_rows: int, *, target_bucket_pop: int = 64, lo: int = 4, hi: int = 24
 ) -> int:
@@ -352,16 +452,19 @@ def embedding_near_duplicate_pairs(
         # one scan computes every table's bucket id, then a generator
         # fans each row out to its t (table, bucket) keys — the
         # upstream scan/norm is shared across tables, unlike a
-        # t-way union of per-table projections
-        bucket_exprs = [
-            F.struct(
-                F.lit(j).alias("__tbl"),
-                lsh_bucket_col(
-                    vec_col, dim=dim, n_planes=n_planes, seed=seed + j
-                ).alias("bucket"),
-            )
-            for j in range(n_tables)
-        ]
+        # t-way union of per-table projections. All tables' structs
+        # come from ONE HOF expression over a single parsed plane
+        # literal (r13, bit-equal to the per-table fan-out — see
+        # lsh_bucket_structs_col), so this stays in lockstep with the
+        # at-rest index's _srp_rows routing.
+        bucket_structs = lsh_bucket_structs_col(
+            vec_col,
+            dim=dim,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            seed=seed,
+            tbl_alias="__tbl",
+        )
         # generator and struct-field access cannot share one select —
         # explode first, then project the fields (withColumn seam)
         bucketed = (
@@ -369,7 +472,7 @@ def embedding_near_duplicate_pairs(
                 F.col(id_col),
                 F.col(vec_col),
                 l2_norm_col(vec_col).alias("__nrm"),
-                F.explode(F.array(*bucket_exprs)).alias("__tb"),
+                F.explode(bucket_structs).alias("__tb"),
             )
             .withColumn("__tbl", F.col("__tb.__tbl"))
             .withColumn("bucket", F.col("__tb.bucket"))
@@ -750,6 +853,10 @@ FLAT_READ_CROSSOVER = 0.5
 #: (ADVICE r10).
 _FLAT_READ_WARNED: set[str] = set()
 
+#: serializes the parallel-discovery-threshold save/restore window in
+#: :func:`_read_many_dirs` — see its thread-exclusion note (r13).
+_DISCOVERY_CONF_LOCK = threading.Lock()
+
 
 def crossover_flat_read(values, total_partitions: int | None) -> bool:
     """True when a probe over these partition values is past
@@ -866,10 +973,23 @@ def _read_many_dirs(spark, base_path: str, dirs: list[str]):
     duration of the construct. ``scheme://`` URIs keep the parallel
     job — against S3 each LIST is a ~30-50 ms RPC and the driver
     serializing 4,096 of them would cost minutes; only the schema
-    shortcut applies there. The threshold save/restore is driver-side
-    session state: concurrent reads constructed on OTHER threads
-    during this window would also list sequentially — harmless for
-    correctness, momentarily slower for them on remote stores."""
+    shortcut applies there.
+
+    Thread-exclusion note (r12 verdict #8): the threshold is a
+    session-level SQL conf consulted from the active ``SQLConf`` at
+    ``InMemoryFileIndex`` construction — there is NO per-reader
+    ``option()`` for it in the public API (reader options are data-
+    source options; this one is not), so a save/restore window is the
+    only way to scope it. ``_DISCOVERY_CONF_LOCK`` serializes the
+    window across THIS module's constructions — without it two
+    concurrent constructions could interleave save/restore and leave
+    the session threshold permanently raised (A saves default, B
+    saves A's raised value, A restores the default, B "restores" the
+    raised value). A concurrent read constructed on an unrelated
+    driver thread inside the window still lists sequentially —
+    harmless for correctness, momentarily slower for it on remote
+    stores; callers that construct probes from many driver threads
+    against URI stores should funnel them through one thread."""
     from .. import fs
 
     schema = spark.read.option("basePath", base_path).parquet(dirs[0]).schema
@@ -877,12 +997,13 @@ def _read_many_dirs(spark, base_path: str, dirs: list[str]):
     if fs.is_uri(base_path) or len(dirs) <= 32:
         return reader.parquet(*dirs)
     key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    saved = spark.conf.get(key)
-    try:
-        spark.conf.set(key, str(max(len(dirs) + 1, int(saved))))
-        return reader.parquet(*dirs)
-    finally:
-        spark.conf.set(key, saved)
+    with _DISCOVERY_CONF_LOCK:
+        saved = spark.conf.get(key)
+        try:
+            spark.conf.set(key, str(max(len(dirs) + 1, int(saved))))
+            return reader.parquet(*dirs)
+        finally:
+            spark.conf.set(key, saved)
 
 
 def _compact_for_write(

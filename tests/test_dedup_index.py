@@ -513,3 +513,39 @@ def test_read_matched_partitions_flat_switch_unit(spark, tmp_path):
     os.makedirs(empty)
     assert read_matched_partitions(spark, empty, "pb", [1], total_partitions=2) is None
     assert read_matched_partitions(spark, empty, "pb", [1]) is None
+
+
+def test_read_many_dirs_concurrent_conf_restore(spark, tmp_path):
+    """r13 (r12 verdict #8): the sequential-listing construct scopes
+    the parallel-discovery threshold via save/restore on session conf;
+    concurrent constructions must serialize that window (module lock)
+    so interleaved save/restore can never leave the session threshold
+    permanently raised. Post-condition pinned across a thread race."""
+    import threading
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        _read_many_dirs,
+    )
+
+    base = str(tmp_path / "many")
+    df = spark.range(40).selectExpr("id", "CAST(id AS INT) AS pb")
+    df.write.partitionBy("pb").mode("overwrite").parquet(base)
+    dirs = [f"{base}/pb={i}" for i in range(40)]
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    before = spark.conf.get(key)
+    errs: list[Exception] = []
+
+    def construct():
+        try:
+            rel = _read_many_dirs(spark, base, dirs)
+            assert rel.count() == 40
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=construct) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert spark.conf.get(key) == before

@@ -136,3 +136,68 @@ def test_probe_matches_independent_reference(spark, tmp_path):
             any(b == (1 << 21) + k for b, _, _ in got)
             for k in (0, 2)
         ), f"trial {t}: planted exact copies missing"
+
+
+def test_bucket_structs_col_bit_equal_to_per_table_form(spark):
+    """r13 (r12 verdict #3): the single-expression multi-table bucket
+    builder must reproduce the former per-table lsh_bucket_col fan-out
+    BIT-FOR-BIT — indexes built under either expression must probe
+    identically under the other. exceptAll both ways over random
+    vectors (including a zero vector and negative components) is the
+    strongest engine-side pin; the independent-reference probe test
+    above covers the semantics."""
+    import numpy as _np
+    from pyspark.sql import functions as F
+
+    from nursinghome_data_pipeline_spark.operators.similarity import (
+        lsh_bucket_col,
+        lsh_bucket_structs_col,
+    )
+
+    dim, n_planes, n_tables, seed = 16, 7, 5, 99
+    rng = _np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(200)]
+    rows.append((200, [0.0] * dim))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = df.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("tbl"),
+                        lsh_bucket_col(
+                            "embedding",
+                            dim=dim,
+                            n_planes=n_planes,
+                            seed=seed + j,
+                        ).alias("bucket"),
+                    )
+                    for j in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+    new = df.select(
+        "vec_id",
+        F.explode(
+            lsh_bucket_structs_col(
+                "embedding",
+                dim=dim,
+                n_planes=n_planes,
+                n_tables=n_tables,
+                seed=seed,
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    # n_planes=0 contract: bucket 0 in every table
+    z = df.limit(1).select(
+        F.explode(
+            lsh_bucket_structs_col(
+                "embedding", dim=dim, n_planes=0, n_tables=3, seed=seed
+            )
+        ).alias("tb")
+    ).select("tb.tbl", "tb.bucket").collect()
+    assert sorted((r.tbl, r.bucket) for r in z) == [(0, 0), (1, 0), (2, 0)]
