@@ -731,7 +731,14 @@ def jaccard_pair_join(
         # slack keeps a float product that is mathematically integral
         # from ceiling one too high (which would SHORTEN the prefix —
         # the unsafe direction; too-long prefixes only add candidates).
-        kept_sz = F.count(F.lit(1)).over(w_id)
+        # With no max_df the kept postings ARE the full set, so the
+        # kept-size COUNT window is provably the existing `sz` column
+        # — one window op per self-join side saved (r13; the row_number
+        # window below still owns the id-partition exchange either way).
+        if max_df is None:
+            kept_sz = F.col("sz")
+        else:
+            kept_sz = F.count(F.lit(1)).over(w_id)
         rank = F.row_number().over(
             w_id.orderBy(F.col("_df").asc(), F.col("shingle").asc())
         )
@@ -882,11 +889,26 @@ def connected_components(
         return labels
     # Symmetrize in ONE pass: exploding each pair into its two
     # directed rows runs the (possibly expensive — LSH/Jaccard join)
-    # edge subtree exactly once inside a single checkpoint job. The
-    # former union-of-two-references needed its own eager checkpoint
-    # of the raw pairs first (two barriers, two scans); map-side
-    # explode needs neither. Same multiset of directed edges, then the
-    # same distinct.
+    # edge subtree exactly once. The former union-of-two-references
+    # needed its own eager checkpoint of the raw pairs first (two
+    # barriers, two scans); map-side explode needs neither. Same
+    # multiset of directed edges, then the same dedup.
+    #
+    # r13 (§2.4, r12 verdict #7): the adjacency is REPARTITIONED BY
+    # THE JOIN KEY and PERSISTED instead of localCheckpoint'd — a
+    # checkpoint's LogicalRDD forgets its partitioning (measured:
+    # every round re-shuffled e by src, ENSURE_REQUIREMENTS), while a
+    # cached plan keeps it, so every propagation round's e-side
+    # exchange is ELIDED (plan-verified: rounds carry only the labels
+    # and groupBy exchanges; at scale |E| >> |labels|, so this removes
+    # the round's dominant shuffle). repartition(src) BEFORE the dedup
+    # also satisfies the dedup aggregate's clustering (src ⊆
+    # {src,dst}), so the build still pays exactly ONE shuffle of E.
+    # The cache is safe to drop before returning: every round's label
+    # relation is eagerly checkpointed, so the returned labels never
+    # re-read e. (bfs/pagerank/triangle return LAZY results, where an
+    # unpersist-at-exit would silently re-run the edge subtree per
+    # reference — they keep the eager checkpoint.)
     e = (
         edges.select(
             F.explode(
@@ -903,8 +925,9 @@ def connected_components(
             ).alias("_e")
         )
         .select("_e.src", "_e.dst")
-        .distinct()
-        .localCheckpoint(eager=True)
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
     )
     # label base = nodes ∪ edge endpoints: an id appearing only in the
     # edge list still belongs to a component (and may BE its minimum),
@@ -952,31 +975,38 @@ def connected_components(
         state = get_metrics(obs, timeout=_OBS_TIMEOUT_S, fallback=_explicit)
         return ck, (state["n"], state["s"])
 
-    labels, prev = _observed_checkpoint(
-        nodes.select(F.col(id_col).alias("node"))
-        .union(e.select(F.col("src").alias("node")))
-        .distinct()
-        .select("node", F.col("node").alias("component_id")),
-        "cc_seed",
-    )
-    converged = False
-    for rnd in range(max_iter):
-        prop = e.join(
-            labels.select(
-                F.col("node").alias("src"), F.col("component_id")
-            ),
-            "src",
-        ).select(F.col("dst").alias("node"), "component_id")
-        labels, new = _observed_checkpoint(
-            labels.union(prop)
-            .groupBy("node")
-            .agg(F.min("component_id").alias("component_id")),
-            f"cc_round_{rnd}",
+    try:
+        labels, prev = _observed_checkpoint(
+            nodes.select(F.col(id_col).alias("node"))
+            .union(e.select(F.col("src").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("component_id")),
+            "cc_seed",
         )
-        if new == prev:
-            converged = True
-            break
-        prev = new
+        converged = False
+        for rnd in range(max_iter):
+            prop = e.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("component_id")
+                ),
+                "src",
+            ).select(F.col("dst").alias("node"), "component_id")
+            labels, new = _observed_checkpoint(
+                labels.union(prop)
+                .groupBy("node")
+                .agg(F.min("component_id").alias("component_id")),
+                f"cc_round_{rnd}",
+            )
+            if new == prev:
+                converged = True
+                break
+            prev = new
+    finally:
+        # rounds are eagerly materialized above, so nothing downstream
+        # re-reads e — release the cached adjacency before returning
+        # (long-lived sessions run CC per ingest batch; leaking one
+        # cache entry per call would accumulate)
+        e.unpersist(blocking=False)
     if not converged:
         # Partial labels are silently WRONG (nodes mid-chain still carry
         # a non-minimum label) — never return them. A graph that needs
