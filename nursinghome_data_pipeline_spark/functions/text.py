@@ -19,6 +19,14 @@ from pyspark.sql import functions as F
 #: than ``.`` because Java's ``.`` excludes \r (a line terminator) while
 #: Python's and RE2's exclude only \n; ``[^\n]`` behaves identically in
 #: all three (hypothesis counterexample: "2000\r0").
+#:
+#: Unicode-digit divergence (deliberate, ADVICE r12): ``\d`` here is
+#: Java-regex ASCII ``[0-9]``, and the DuckDB/RE2 oracle agrees — but
+#: the upstream Python reference (calculate_metrics.py) uses Python
+#: ``\d``, which also matches Unicode Nd digits (e.g. 𝟎 U+1D7CE). On
+#: such inputs the reference returns a value while this product (and
+#: the oracle) return NULL. The corpus is ASCII; the test spec pins
+#: ``[0-9]`` (tests/test_text_functions.py).
 QUARTER_PATTERN = r"(20\d{2})[^\n]*?(\d)"
 
 

@@ -1,15 +1,15 @@
 #!/usr/bin/env python3
-"""Round-12 measurement pass (optimization guide §1: measure first).
+"""Round-13 measurement pass (optimization guide §1: measure first).
 
 For every bench entry: capture `.explain("formatted")` into
-plans/r12/<name>_before.txt (or _after.txt with --after), time one
+plans/r13/<name>_before.txt (or _after.txt with --after), time one
 noop-sink run, and count the Spark jobs the entry launches (extra jobs
 beyond the final noop write = driver-side actions: .first()/.collect()
 setup passes, iterative loops). Plans are the judge's evidence and the
 job counts are the hunting map — a query whose wall is 3x the median
 with 40 jobs is paying scheduler fixed costs, not plan costs.
 
-Writes a JSON summary to plans/r12/measure_summary_before.json (or
+Writes a JSON summary to plans/r13/measure_summary_before.json (or
 ``_after.json`` with --after), keyed by entry, so before/after diffs
 are scriptable. Not part of the driver contract; bench.py remains the
 official timing.
@@ -32,14 +32,14 @@ def main() -> None:
     after = "--after" in sys.argv
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     suffix = "after" if after else "before"
-    out_dir = os.path.join(REPO, "plans", "r12")
+    out_dir = os.path.join(REPO, "plans", "r13")
     os.makedirs(out_dir, exist_ok=True)
 
     import bench
     from nursinghome_data_pipeline_spark import registry
     from nursinghome_data_pipeline_spark.session import build_session
 
-    spark = build_session("r12-measure")
+    spark = build_session("r13-measure")
     sc = spark.sparkContext
     qs = registry.queries()
     names = only or (list(bench.BENCH_QUERIES) + list(bench.EXTRA_BENCH))
@@ -66,8 +66,8 @@ def main() -> None:
     summary: dict[str, dict] = {}
     for name in names:
         fn = fns.get(name) or qs[name]
-        sc.setJobGroup(f"r12-{name}", f"r12 measure: {name}")
-        sc.setJobDescription(f"r12 measure: {name}")
+        sc.setJobGroup(f"r13-{name}", f"r13 measure: {name}")
+        sc.setJobDescription(f"r13 measure: {name}")
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         t_plan = time.perf_counter() - t0
@@ -83,7 +83,7 @@ def main() -> None:
         t1 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         t_exec = time.perf_counter() - t1
-        jobs = sc.statusTracker().getJobIdsForGroup(f"r12-{name}")
+        jobs = sc.statusTracker().getJobIdsForGroup(f"r13-{name}")
         with open(
             os.path.join(out_dir, f"{name}_{suffix}.txt"), "w"
         ) as f:
