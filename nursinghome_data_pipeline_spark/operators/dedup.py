@@ -906,9 +906,13 @@ def connected_components(
     # {src,dst}), so the build still pays exactly ONE shuffle of E.
     # The cache is safe to drop before returning: every round's label
     # relation is eagerly checkpointed, so the returned labels never
-    # re-read e. (bfs/pagerank/triangle return LAZY results, where an
-    # unpersist-at-exit would silently re-run the edge subtree per
-    # reference — they keep the eager checkpoint.)
+    # re-read e. (r13 closed the lazy-result lifecycle gap for the
+    # other graph loops by eagerly checkpointing their results before
+    # a finally-unpersist; measurement then decided per operator —
+    # triangle's wedge self-join and pagerank's |V|-sized per-iteration
+    # joins took the pattern, while bfs and pagerank's ADJACENCY
+    # rejected it because their big side is broadcast-streamed, never
+    # shuffled — see operators/graph.py.)
     e = (
         edges.select(
             F.explode(

@@ -82,6 +82,20 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, *, max_hops: int) -> DataFrame:
     # per round. Symmetrization is a map-side explode — one pass over
     # the (expensive — cooccurrence join) edge subtree instead of a
     # union that references it twice inside the checkpoint job.
+    #
+    # r13 measured rejection (§2.4 / CC's repartition+persist pattern):
+    # the adjacency is deliberately NOT cached-partitioned here. The
+    # executed per-round plans show every round's frontier join AND
+    # anti-join are BroadcastHashJoins (the frontier/visited sides are
+    # small and AQE broadcasts them), so the adjacency is STREAMED each
+    # round, never shuffled — there is no per-round e-side exchange to
+    # elide, unlike connected_components, whose label side is |V|-sized
+    # and joins e via a shuffle. A repartition("src")+persist variant
+    # was built and measured: it ADDED one full shuffle of the
+    # adjacency plus a per-round columnar-cache decompression where the
+    # checkpoint streams raw blocks — interleaved probe at 900k edges:
+    # wall 5.2/5.8 s (checkpoint) vs 8.9/9.3 s (cache), plans
+    # confirming identical BroadcastHashJoin rounds on both sides.
     bidir = (
         edges.select(
             F.explode(
@@ -115,6 +129,19 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, *, max_hops: int) -> DataFrame:
     return visited.groupBy("node").agg(F.min("hops").cast("int").alias("hops"))
 
 
+#: triangle_stats switches from checkpoint-and-rescan to partitioned
+#: caches at this edge count. Below it the wedge join is broadcast-
+#: sized and fixed costs dominate: interleaved A/B at the 14k-edge
+#: bench graph read the cached shape ~10% SLOWER in every pair (cache
+#: build + eager barriers buying nothing — AQE already broadcasts).
+#: Above it the cached shape removes two of the three degree passes and
+#: both wedge-side exchanges of the oriented list (−58% shuffle bytes
+#: at 900k edges), the term that grows with |E| while the overhead
+#: stays constant. Same size-driven crossover discipline as
+#: similarity.crossover_flat_read.
+TRIANGLE_CACHE_MIN_EDGES = 500_000
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """Exact triangle count + global clustering coefficient.
 
@@ -125,8 +152,18 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     """
     # the edge list feeds degree counting, orientation, and the edge
     # count — materialize once instead of re-running its (possibly
-    # expensive) construction subtree three times
-    edges = edges.localCheckpoint(eager=True)
+    # expensive) construction subtree three times. LAZY checkpoint +
+    # explicit count(): the count both materializes the checkpoint
+    # (the same single job an eager checkpoint runs internally) and
+    # yields |E| for the size crossover — no extra job.
+    edges = edges.localCheckpoint(eager=False)
+    large = edges.count() >= TRIANGLE_CACHE_MIN_EDGES
+    # r13: deg is referenced THREE times (the u-side and v-side
+    # orientation joins plus the wedge-count aggregate); uncached, each
+    # reference re-ran the explode + groupBy over the full edge list
+    # (3 passes, 3 shuffles). One cached |V|-row relation instead —
+    # when the graph is big enough for the passes to outweigh the
+    # cache build.
     deg = (
         edges.select(
             F.explode(F.array(F.col("u"), F.col("v"))).alias("node")
@@ -134,6 +171,8 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    if large:
+        deg = deg.persist()
     # degree-dominant total order as a (d, node) STRUCT — lexicographic
     # comparison, valid for ANY 64-bit node id (a deg*2^31+node pack
     # overflows bigint or leaks id bits into the degree field for
@@ -162,43 +201,66 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         )
     )
     # the oriented list drives both sides of the wedge join plus the
-    # closing-edge probe — three references, one materialization
-    e = e.localCheckpoint(eager=True)
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri_count = (
-        e1.join(
-            e2,
-            (F.col("e1.src") == F.col("e2.src"))
-            & (F.col("e1.dst_k") < F.col("e2.dst_k")),
-        )
-        .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.dst"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
-        )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    # closing-edge probe — three references, one materialization.
+    # r13 (§2.4), large graphs: repartition(src) + persist instead of
+    # localCheckpoint — the cached plan keeps hashpartitioning(src),
+    # which satisfies the wedge self-join's clustering on BOTH sides
+    # (its equi-key is src), so the two wedge-side exchanges of the
+    # oriented list are elided (plan-verified: SortMergeJoin 4 → 2,
+    # Sort 8 → 4, Exchange 10 → 8 at 900k edges); a checkpoint's
+    # LogicalRDD forgot the partitioning and re-shuffled both. The
+    # single-row result is eagerly checkpointed so both caches can be
+    # released before returning. Small graphs keep the r12 checkpoint
+    # shape (see TRIANGLE_CACHE_MIN_EDGES).
+    e = e.repartition("src").persist() if large else e.localCheckpoint(
+        eager=True
     )
-    counts = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2))
-        .cast("bigint")
-        .alias("n_wedges"),
-    )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
-        counts.crossJoin(n_edges)
-        .crossJoin(tri_count)
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            (
-                (F.col("n_triangles") * F.lit(3)).cast("double")
-                / F.nullif(F.col("n_wedges"), F.lit(0)).cast("double")
-            ).alias("clustering"),
+    try:
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        tri_count = (
+            e1.join(
+                e2,
+                (F.col("e1.src") == F.col("e2.src"))
+                & (F.col("e1.dst_k") < F.col("e2.dst_k")),
+            )
+            .join(
+                e3,
+                (F.col("e3.src") == F.col("e1.dst"))
+                & (F.col("e3.dst") == F.col("e2.dst")),
+            )
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
         )
-    )
+        counts = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2))
+            .cast("bigint")
+            .alias("n_wedges"),
+        )
+        n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        result = (
+            counts.crossJoin(n_edges)
+            .crossJoin(tri_count)
+            .select(
+                "n_nodes",
+                "n_edges",
+                "n_wedges",
+                "n_triangles",
+                (
+                    (F.col("n_triangles") * F.lit(3)).cast("double")
+                    / F.nullif(F.col("n_wedges"), F.lit(0)).cast("double")
+                ).alias("clustering"),
+            )
+        )
+        if large:
+            # materialize before the finally-unpersist: a lazy result
+            # would silently re-run the wedge join cache-less per
+            # downstream action
+            result = result.localCheckpoint(eager=True)
+        return result
+    finally:
+        if large:
+            e.unpersist(blocking=False)
+            deg.unpersist(blocking=False)
 
 
 def pagerank(
@@ -224,9 +286,15 @@ def pagerank(
     Scale design, the same discipline as :func:`bfs_hops` /
     ``dedup.connected_components``:
 
-    - the adjacency and each vertex's out-degree materialize ONCE
-      (eager ``localCheckpoint``) — every iteration joins against the
-      same bounded relation, never re-deriving the edge subtree;
+    - the adjacency and each vertex's out-degree materialize ONCE —
+      adj as a raw eager checkpoint (its per-iteration join broadcasts
+      the rank vector and streams adj, so adj is never shuffled; a
+      partitioned cache would only add decompression — measured, see
+      in-code note), while the two |V|-sized relations the iterations
+      DO shuffle-join (vertices, out_deg) are persisted so their
+      aggregate hashpartitioning(node) survives and their per-
+      iteration exchanges are elided (r13). The final rank vector is
+      eagerly checkpointed so the caches release before returning;
     - one shuffle per iteration: the ranks⋈adjacency join keys on the
       source vertex and the contribution sum groups by destination —
       with AQE both land on the same hash partitioning, and the rank
@@ -270,56 +338,76 @@ def pagerank(
                 )
             ).alias("_e")
         ).select("_e.src", "_e.dst")
+    # r13 (§2.4): the adjacency KEEPS the raw eager checkpoint — the
+    # executed per-iteration plans show the ranks⋈adj join broadcasts
+    # the |V|-sized rank vector and STREAMS adj (one BroadcastHashJoin
+    # per iteration, adj never shuffled), so a join-key cache of adj
+    # elides nothing and only swaps raw block scans for a per-iteration
+    # columnar-cache decompression (measured slower — the same finding
+    # as bfs_hops above). The two |V|-sized relations the iterations DO
+    # shuffle-join every round — vertices and out_deg — are persisted
+    # instead of checkpointed: their aggregate output partitioning
+    # (hashpartitioning(node)) survives the cache, so their per-
+    # iteration SMJ-side exchanges are elided.
     adj = adj.localCheckpoint(eager=True)
     vertices = (
         adj.select(
             F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    n = vertices.count()
-    if n == 0:
-        return vertices.withColumn("rank", F.lit(0.0))
     out_deg = (
         adj.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("out_deg"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    ranks = vertices.withColumn("rank", F.lit(1.0 / n))
-    teleport = (1.0 - damping) / n
-    for _ in range(max_iter):
-        src_rank = ranks.join(out_deg, "node", "left")
-        dangling = 0.0
-        if directed:
-            row = (
-                src_rank.where(F.col("out_deg").isNull())
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("s"))
-                .first()
+    try:
+        n = vertices.count()
+        if n == 0:
+            return vertices.withColumn("rank", F.lit(0.0)).localCheckpoint(
+                eager=True
             )
-            dangling = float(row["s"])
-        contribs = (
-            src_rank.join(adj, src_rank["node"] == adj["src"])
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
+        ranks = vertices.withColumn("rank", F.lit(1.0 / n))
+        teleport = (1.0 - damping) / n
+        for it in range(max_iter):
+            src_rank = ranks.join(out_deg, "node", "left")
+            dangling = 0.0
+            if directed:
+                row = (
+                    src_rank.where(F.col("out_deg").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("s"))
+                    .first()
+                )
+                dangling = float(row["s"])
+            contribs = (
+                src_rank.join(adj, src_rank["node"] == adj["src"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("in_sum"))
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        ranks = (
-            vertices.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("in_sum"), F.lit(0.0))
-                        + F.lit(dangling / n)
-                    )
-                ).alias("rank"),
+            ranks = (
+                vertices.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("in_sum"), F.lit(0.0))
+                            + F.lit(dangling / n)
+                        )
+                    ).alias("rank"),
+                )
+                # final iteration is EAGER: materializes the whole
+                # cascade so the finally-unpersist below never exposes
+                # the returned relation to a cache-less recompute
+                .localCheckpoint(eager=(it == max_iter - 1))
             )
-            .localCheckpoint(eager=False)
-        )
-    return ranks
+        return ranks
+    finally:
+        vertices.unpersist(blocking=False)
+        out_deg.unpersist(blocking=False)

@@ -45,6 +45,57 @@ def test_triangle_free_graph_null_clustering(spark):
     assert r.clustering is None
 
 
+def test_triangle_large_path_matches_small_and_releases_caches(spark, monkeypatch):
+    """r13: above TRIANGLE_CACHE_MIN_EDGES the operator switches to
+    join-key-partitioned caches (deg + oriented list). The two paths
+    must agree bit-for-bit on the same graph, and the large path must
+    unpersist both caches before returning (long-lived sessions run
+    this per batch — a leaked cache entry per call would accumulate)."""
+    import numpy as np
+
+    from nursinghome_data_pipeline_spark.operators import graph
+
+    rng = np.random.default_rng(13)
+    edge_list = list(
+        {
+            (int(a), int(b)) if a < b else (int(b), int(a))
+            for a, b in rng.integers(0, 60, size=(300, 2))
+            if a != b
+        }
+    )
+    small = _stats(spark, edge_list)  # default threshold: checkpoint path
+    # the SQL CacheManager tracks df.persist() entries (NOT checkpoint
+    # RDDs, which are the materialized results' own storage)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = cm.isEmpty()
+    monkeypatch.setattr(graph, "TRIANGLE_CACHE_MIN_EDGES", 1)
+    large = _stats(spark, edge_list)  # forced cache path
+    assert tuple(small) == tuple(large)
+    if was_empty:
+        assert cm.isEmpty(), (
+            "triangle_stats leaked df caches on the large path"
+        )
+
+
+def test_pagerank_releases_caches(spark):
+    """r13: pagerank persists vertices/out_deg per call and must
+    release them before returning (the result is eagerly checkpointed,
+    so the unpersist can never expose a recompute)."""
+
+    from nursinghome_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3), (1, 3)], "u long, v long"
+    )
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = cm.isEmpty()
+    ranks = pagerank(edges, max_iter=4)
+    if was_empty:
+        assert cm.isEmpty(), "pagerank leaked df caches"
+    # the returned relation is materialized — collect works post-release
+    assert abs(sum(r["rank"] for r in ranks.collect()) - 1.0) < 1e-9
+
+
 def test_cooccurrence_edges_dedup_and_order(spark):
     df = spark.createDataFrame(
         [(1, "a"), (1, "a"), (2, "a"), (3, "a"), (3, "b"), (4, "b"), (None, "a")],
